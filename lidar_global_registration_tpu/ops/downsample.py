@@ -1,0 +1,150 @@
+"""Weighted voxel-grid downsampling as sort + segment-sum.
+
+Behavioral match of the reference accumulator (include/downsample.h:6-30,
+src/downsample.cpp:5-41): each voxel averages weight-scaled positions and
+normals, the accumulated weight is stored back per point and *compounds*
+across repeated downsampling.  The reference's unordered_map becomes a
+lexicographic sort over integer voxel coordinates followed by segment sums —
+deterministic, O(N log N), and entirely on-device.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from lidar_global_registration_tpu.types import Cloud
+
+_COORD_CLIP = (1 << 24) - 1
+
+
+@partial(jax.jit, static_argnames=())
+def voxel_downsample(cloud: Cloud, voxel_size) -> Cloud:
+    """Downsample into the same capacity (valid mask shrinks).
+
+    Matches downsample.cpp:5-41: voxel_min_bound = min - voxel/2,
+    voxel index = floor((p - voxel_min_bound) / voxel); per-voxel averages are
+    weighted by the accumulated point weights.
+    """
+    voxel = jnp.asarray(voxel_size, jnp.float32)
+    N = cloud.capacity
+    big = jnp.float32(3.0e37)
+    masked = jnp.where(cloud.valid[:, None], cloud.xyz, big)
+    minb = jnp.min(masked, axis=0)
+    minb = jnp.where(jnp.isfinite(minb), minb, 0.0)
+    origin = minb - 0.5 * voxel
+
+    ref = (cloud.xyz - origin) / jnp.maximum(voxel, 1e-30)
+    c = jnp.clip(jnp.floor(ref), 0, _COORD_CLIP).astype(jnp.int32)
+    # Invalid points sort last.
+    cx = jnp.where(cloud.valid, c[:, 0], _COORD_CLIP + 1)
+    cy = jnp.where(cloud.valid, c[:, 1], _COORD_CLIP + 1)
+    cz = jnp.where(cloud.valid, c[:, 2], _COORD_CLIP + 1)
+
+    order = jnp.lexsort((cx, cy, cz)).astype(jnp.int32)
+    sx, sy, sz = cx[order], cy[order], cz[order]
+    svalid = cloud.valid[order]
+
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1]),
+        ]
+    )
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1  # [N] segment id per sorted slot
+    # Segments made of invalid points must not produce output.
+    seg_valid_contrib = svalid
+
+    w = cloud.weight[order] * seg_valid_contrib
+    xyz_s = cloud.xyz[order] * w[:, None]
+    nrm_s = cloud.normal[order] * w[:, None]
+
+    acc_w = jax.ops.segment_sum(w, seg, num_segments=N)
+    acc_xyz = jax.ops.segment_sum(xyz_s, seg, num_segments=N)
+    acc_nrm = jax.ops.segment_sum(nrm_s, seg, num_segments=N)
+    # A segment is a real voxel iff its first sorted member is valid.
+    seg_is_valid = jax.ops.segment_max(
+        seg_valid_contrib.astype(jnp.int32), seg, num_segments=N
+    ).astype(bool)
+
+    wsafe = jnp.maximum(acc_w, 1e-30)
+    out_xyz = acc_xyz / wsafe[:, None]
+    out_nrm = acc_nrm / wsafe[:, None]
+    # Reference GetAveragePoint: normalize unless the norm is ~0
+    # (downsample.h:21-24: norm < 1e-5 -> divide by 1).
+    nn = jnp.sqrt(jnp.sum(out_nrm * out_nrm, axis=-1, keepdims=True))
+    out_nrm = out_nrm / jnp.where(nn < 1e-5, 1.0, nn)
+
+    out_valid = seg_is_valid & (acc_w > 0)
+    out_xyz = jnp.where(out_valid[:, None], out_xyz, Cloud.PAD_COORD)
+    return Cloud(
+        xyz=out_xyz,
+        normal=jnp.where(out_valid[:, None], out_nrm, 0.0),
+        weight=jnp.where(out_valid, acc_w, 0.0),
+        curvature=jnp.zeros((N,), jnp.float32),
+        valid=out_valid,
+    )
+
+
+def filter_duplicate_points(cloud: Cloud) -> Cloud:
+    """Exact-duplicate removal (reference: common.cpp:417-427).
+
+    Keeps the first occurrence of each exact xyz triple.  Sort-based; the
+    output is re-packed to the front (host-free, same capacity).
+    """
+    N = cloud.capacity
+    x, y, z = cloud.xyz[:, 0], cloud.xyz[:, 1], cloud.xyz[:, 2]
+    # Sort by (z, y, x, original index) so the first occurrence wins.
+    idx0 = jnp.arange(N, dtype=jnp.int32)
+    xk = jnp.where(cloud.valid, x, jnp.float32(jnp.inf))
+    yk = jnp.where(cloud.valid, y, jnp.float32(jnp.inf))
+    zk = jnp.where(cloud.valid, z, jnp.float32(jnp.inf))
+    order = jnp.lexsort((idx0, xk, yk, zk)).astype(jnp.int32)
+    sx, sy, sz = xk[order], yk[order], zk[order]
+    sv = cloud.valid[order]
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1]),
+        ]
+    )
+    keep = first & sv
+    # Stable re-pack of kept entries to the front.
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    dest = jnp.where(keep, pos, N - 1)
+    gather = jnp.zeros((N,), jnp.int32).at[dest].set(order, mode="drop")
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    out_valid = jnp.arange(N, dtype=jnp.int32) < n_keep
+
+    def take(a, fill):
+        g = a[gather]
+        if a.ndim == 1:
+            return jnp.where(out_valid, g, fill)
+        return jnp.where(out_valid[:, None], g, fill)
+
+    return Cloud(
+        xyz=take(cloud.xyz, Cloud.PAD_COORD),
+        normal=take(cloud.normal, 0.0),
+        weight=take(cloud.weight, 0.0),
+        curvature=take(cloud.curvature, 0.0),
+        valid=out_valid,
+    )
+
+
+def aabb(cloud: Cloud):
+    """Masked axis-aligned bounding box (reference: common.h:266-286)."""
+    big = jnp.float32(3.0e37)
+    lo = jnp.min(jnp.where(cloud.valid[:, None], cloud.xyz, big), axis=0)
+    hi = jnp.max(jnp.where(cloud.valid[:, None], cloud.xyz, -big), axis=0)
+    return lo, hi
+
+
+def aabb_diagonal(cloud: Cloud):
+    lo, hi = aabb(cloud)
+    return jnp.sqrt(jnp.sum((hi - lo) ** 2))
+
+
+def replace(cloud: Cloud, **kw) -> Cloud:
+    return dataclasses.replace(cloud, **kw)

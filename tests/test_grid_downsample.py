@@ -1,0 +1,138 @@
+import numpy as np
+import jax.numpy as jnp
+
+from lidar_global_registration_tpu.types import Cloud
+from lidar_global_registration_tpu.ops import grid as gridmod
+from lidar_global_registration_tpu.ops.downsample import (
+    aabb,
+    aabb_diagonal,
+    filter_duplicate_points,
+    voxel_downsample,
+)
+from lidar_global_registration_tpu.ops.density import smoothed_densities, cloud_density
+
+
+def brute_knn(pts, q, k, include_self):
+    d = np.linalg.norm(pts[None, :, :] - q[:, None, :], axis=-1)
+    if not include_self:
+        same = d < 1e-12
+        d = np.where(same, np.inf, d)
+    idx = np.argsort(d, axis=1)[:, :k]
+    return idx, np.take_along_axis(d, idx, axis=1)
+
+
+def test_radius_neighbors_vs_bruteforce(rng):
+    pts = rng.uniform(0, 10, size=(300, 3)).astype(np.float32)
+    cloud = Cloud.from_numpy(pts)
+    radius = 1.2
+    g = gridmod.build_grid(cloud.xyz, cloud.valid, radius)
+    idx, dist, mask = gridmod.radius_neighbors(
+        g, cloud.xyz, cloud.valid, radius, k=32, cap=64
+    )
+    idx, dist, mask = np.asarray(idx), np.asarray(dist), np.asarray(mask)
+    d_all = np.linalg.norm(pts[None] - pts[:, None], axis=-1)
+    for i in range(pts.shape[0]):
+        ref = set(np.nonzero(d_all[i] <= radius)[0].tolist())
+        got = set(idx[i][mask[i]].tolist())
+        if len(ref) <= 32:
+            assert got == ref, f"query {i}: {got ^ ref}"
+        # distances sorted ascending among valid entries
+        dv = dist[i][mask[i]]
+        assert np.all(np.diff(dv) >= -1e-6)
+
+
+def test_knn_vs_bruteforce(rng):
+    pts = rng.uniform(0, 4, size=(256, 3)).astype(np.float32)
+    cloud = Cloud.from_numpy(pts)
+    g = gridmod.build_grid(cloud.xyz, cloud.valid, 2.0)
+    k = 8
+    idx, dist, mask = gridmod.knn(
+        g, cloud.xyz, cloud.valid, k, cap=128, include_self=False,
+        query_index=jnp.arange(cloud.capacity, dtype=jnp.int32),
+    )
+    idx, dist, mask = np.asarray(idx), np.asarray(dist), np.asarray(mask)
+    ridx, rdist = brute_knn(pts, pts, k, include_self=False)
+    n = pts.shape[0]
+    # cell=2.0 over a 4-unit box: the 27-cell envelope covers everything.
+    np.testing.assert_allclose(dist[:n], rdist.astype(np.float32), atol=1e-4)
+    assert mask[:n].all()
+
+
+def test_knn_chunked_matches_unchunked(rng):
+    pts = rng.uniform(0, 4, size=(250, 3)).astype(np.float32)
+    cloud = Cloud.from_numpy(pts, capacity=256)
+    g = gridmod.build_grid(cloud.xyz, cloud.valid, 2.0)
+    a = gridmod.knn(g, cloud.xyz, cloud.valid, 4, cap=128)
+    b = gridmod.knn(g, cloud.xyz, cloud.valid, 4, cap=128, chunk=64)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_voxel_downsample_weighted(rng):
+    # Two clusters of known points; voxel large enough to merge each cluster.
+    pts = np.array(
+        [[0.1, 0.1, 0.1], [0.2, 0.1, 0.1], [5.0, 5.0, 5.0], [5.1, 5.0, 5.0], [5.0, 5.2, 5.0]],
+        np.float32,
+    )
+    w = np.array([1.0, 3.0, 1.0, 1.0, 2.0], np.float32)
+    cloud = Cloud.from_numpy(pts, weight=w, capacity=128)
+    out = voxel_downsample(cloud, 1.0)
+    v = np.asarray(out.valid)
+    xyz = np.asarray(out.xyz)[v]
+    wt = np.asarray(out.weight)[v]
+    assert v.sum() == 2
+    order = np.argsort(xyz[:, 0])
+    xyz, wt = xyz[order], wt[order]
+    np.testing.assert_allclose(wt, [4.0, 4.0])
+    np.testing.assert_allclose(
+        xyz[0], (1 * pts[0] + 3 * pts[1]) / 4.0, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        xyz[1], (pts[2] + pts[3] + 2 * pts[4]) / 4.0, atol=1e-6
+    )
+
+
+def test_voxel_downsample_weight_compounds(rng):
+    pts = rng.uniform(0, 2, size=(500, 3)).astype(np.float32)
+    cloud = Cloud.from_numpy(pts, capacity=512)
+    d1 = voxel_downsample(cloud, 0.5)
+    d2 = voxel_downsample(d1, 1.0)
+    # Total weight is conserved through repeated downsampling.
+    assert abs(float(np.asarray(d2.weight).sum()) - 500.0) < 1e-3
+    assert int(np.asarray(d2.valid).sum()) <= int(np.asarray(d1.valid).sum())
+
+
+def test_filter_duplicate_points():
+    pts = np.array(
+        [[0, 0, 0], [1, 1, 1], [0, 0, 0], [2, 2, 2], [1, 1, 1]], np.float32
+    )
+    cloud = Cloud.from_numpy(pts, capacity=128)
+    out = filter_duplicate_points(cloud)
+    v = np.asarray(out.valid)
+    assert v.sum() == 3
+    got = {tuple(p) for p in np.asarray(out.xyz)[v].tolist()}
+    assert got == {(0.0, 0.0, 0.0), (1.0, 1.0, 1.0), (2.0, 2.0, 2.0)}
+
+
+def test_aabb():
+    pts = np.array([[0, -1, 2], [3, 4, -5]], np.float32)
+    cloud = Cloud.from_numpy(pts, capacity=128)
+    lo, hi = aabb(cloud)
+    np.testing.assert_allclose(np.asarray(lo), [0, -1, -5])
+    np.testing.assert_allclose(np.asarray(hi), [3, 4, 2])
+    diag = float(np.asarray(aabb_diagonal(cloud)))
+    np.testing.assert_allclose(diag, np.linalg.norm([3, 5, 7]), rtol=1e-6)
+
+
+def test_smoothed_densities_regular_grid():
+    # Regular 10x10 grid with spacing 1: every point's nearest non-self
+    # neighbor is at distance 1, so smoothed density (k=2) == 1 everywhere.
+    xs, ys = np.meshgrid(np.arange(10.0), np.arange(10.0))
+    pts = np.stack([xs.ravel(), ys.ravel(), np.zeros(100)], axis=1).astype(np.float32)
+    cloud = Cloud.from_numpy(pts)
+    dens, _ = smoothed_densities(cloud, k=2)
+    d = np.asarray(dens)[np.asarray(cloud.valid)]
+    np.testing.assert_allclose(d, 1.0, atol=1e-5)
+    # 0.8-quantile of 7th-non-self-NN distances: sqrt(2) interior, 2.0 at the
+    # boundary (36/100 points) -> quantile lands in [sqrt(2), 2].
+    assert np.sqrt(2.0) - 1e-5 <= cloud_density(cloud) <= 2.0 + 1e-5
