@@ -1,0 +1,108 @@
+"""ISS keypoint detection on neighbor lists.
+
+Reference: common.cpp:657-691 configures pcl::ISSKeypoint3D (via the
+ISSKeypoint3DDebug subclass, src/pcl/iss_debug.cpp) with
+salient = non-max radius = iss_radius, gamma21 = gamma32 = 0.975,
+min_neighbors = 4.  The PCL algorithm per point p:
+  scatter = sum_j w_j (p_j - p)(p_j - p)^T / sum_j w_j over the salient
+  neighborhood, w_j = 1 / |neighborhood(j)|; eigenvalues l1>=l2>=l3;
+  saliency = l3 kept iff l2/l1 < g21 and l3/l2 < g32 and l3 > 0;
+  keypoint iff saliency is a strict local max over the non-max radius with at
+  least min_neighbors neighbors.
+
+TPU re-design: one radius-neighbor pass feeds a batched scatter-matrix
+einsum + closed-form eigenvalues; non-max suppression is a masked gather-max
+over the same neighbor lists.  Neighbor counts are capped (the reference
+itself caps via max_neighbors_, iss_debug.cpp:47-54).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidar_global_registration_tpu.ops import grid as gridmod
+from lidar_global_registration_tpu.ops.eigen3 import eigvals_sym3
+from lidar_global_registration_tpu.types import Cloud
+
+
+@partial(jax.jit, static_argnames=("gamma21", "gamma32", "min_neighbors"))
+def _iss_saliency(
+    xyz, valid, idx, mask, counts, gamma21=0.975, gamma32=0.975, min_neighbors=4
+):
+    """Third-eigenvalue saliency per point given salient-radius neighbors."""
+    pts = xyz[idx]  # [N,K,3]
+    w = jnp.where(mask, 1.0 / jnp.maximum(counts[idx].astype(jnp.float32), 1.0), 0.0)
+    d = pts - xyz[:, None, :]
+    dw = d * w[..., None]
+    cov = jnp.einsum("nki,nkj->nij", dw, d)
+    wsum = jnp.sum(w, axis=1)
+    cov = cov / jnp.maximum(wsum, 1e-30)[:, None, None]
+    eig = eigvals_sym3(cov)  # ascending
+    l3, l2, l1 = eig[:, 0], eig[:, 1], eig[:, 2]
+    ok = (
+        valid
+        & (wsum > 0)
+        & (l2 / jnp.maximum(l1, 1e-30) < gamma21)
+        & (l3 / jnp.maximum(l2, 1e-30) < gamma32)
+        & (l3 > 0)
+    )
+    return jnp.where(ok, l3, 0.0), ok
+
+
+@partial(jax.jit, static_argnames=("min_neighbors",))
+def _nms(saliency, ok, idx, mask, min_neighbors=4):
+    nb_sal = jnp.where(mask, saliency[idx], -jnp.inf)
+    nb_max = jnp.max(nb_sal, axis=1)
+    n_nb = jnp.sum(mask, axis=1)
+    # strict local max over the non-max neighborhood (self excluded from idx)
+    is_kp = ok & (n_nb >= min_neighbors) & (saliency > nb_max)
+    return is_kp
+
+
+def iss_keypoints(
+    cloud: Cloud,
+    iss_radius: float,
+    gamma21: float = 0.975,
+    gamma32: float = 0.975,
+    min_neighbors: int = 4,
+    cap_per_cell: int = 32,
+    k_neighbors: int = 64,
+    chunk: int | None = None,
+):
+    """Returns (is_keypoint bool[N], saliency f32[N]).
+
+    Keypoint *indices* (sorted, as the reference does under fix_seed,
+    common.cpp:674-676) are recovered host-side by np.nonzero."""
+    g = gridmod.build_grid(cloud.xyz, cloud.valid, iss_radius)
+    qidx = jnp.arange(cloud.capacity, dtype=jnp.int32)
+    idx, _dist, mask = gridmod.radius_neighbors(
+        g,
+        cloud.xyz,
+        cloud.valid,
+        iss_radius,
+        k=k_neighbors,
+        cap=cap_per_cell,
+        include_self=False,
+        query_index=qidx,
+        chunk=chunk,
+    )
+    counts = jnp.sum(mask, axis=1).astype(jnp.int32) + 1  # |neighborhood| incl self
+    saliency, ok = _iss_saliency(
+        cloud.xyz, cloud.valid, idx, mask, counts, gamma21, gamma32, min_neighbors
+    )
+    is_kp = _nms(saliency, ok, idx, mask, min_neighbors)
+    return is_kp, saliency
+
+
+def detect_keypoints(cloud: Cloud, keypoint_id: str, iss_radius: float, **kw):
+    """detectKeyPoints equivalent (common.cpp:657-691): 'iss' or 'any'.
+
+    Returns sorted keypoint indices as a host numpy array."""
+    valid = np.asarray(cloud.valid)
+    if keypoint_id == "iss":
+        is_kp, _ = iss_keypoints(cloud, iss_radius, **kw)
+        return np.nonzero(np.asarray(is_kp) & valid)[0].astype(np.int32)
+    return np.nonzero(valid)[0].astype(np.int32)
