@@ -1,0 +1,339 @@
+"""GROR: graph-reliability based optimal registration.
+
+Reference: vendored Wuhan-University implementation
+(include/gror/ia_gror.hpp, invoked from alignment.cpp:21-35 with
+K_optimal=800 and resolution = distance_thr).  Stages:
+
+  1. node reliability: degree of each correspondence in the length-
+     consistency graph |d_src - d_tgt| < 2*resolution; keep top K
+     (ia_gror.hpp:126-194);
+  2. edge enumeration: consistent pairs among the survivors (:82-124);
+  3. for the most promising edges: two-point alignment (:418-441), a lower
+     bound in the relaxed constraint space (:473-501), then the exact
+     1-DoF rotation search via interval stabbing over circle-intersection
+     azimuth arcs (:521-747);
+  4. refinement: inliers < 2*resolution under the best transform -> Umeyama.
+
+TPU re-design: the O(K^2) degree and edge phases are dense masked pairwise
+matrices (one fused distance broadcast); the per-edge loop becomes a BATCH
+of E candidate edges processed at once; interval stabbing becomes a batched
+sort + prefix-scan (+1 starts / -1 ends with starts-first tie-breaks,
+closed-interval semantics matching the reference sweep).
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidar_global_registration_tpu.ops.transform import to_matrix4, umeyama
+from lidar_global_registration_tpu.types import (
+    AlignmentParameters,
+    AlignmentResult,
+    Cloud,
+    Correspondences,
+)
+
+K_OPTIMAL = 800  # alignment.cpp:31
+TWO_PI = 2.0 * np.pi
+
+
+@partial(jax.jit, static_argnames=())
+def _node_degrees(p, q, valid, resolution):
+    """Degree in the length-consistency graph (ia_gror.hpp:126-194)."""
+    dp = jnp.sqrt(
+        jnp.maximum(jnp.sum((p[:, None, :] - p[None, :, :]) ** 2, axis=-1), 0.0)
+    )
+    dq = jnp.sqrt(
+        jnp.maximum(jnp.sum((q[:, None, :] - q[None, :, :]) ** 2, axis=-1), 0.0)
+    )
+    ok = (
+        (jnp.abs(dp - dq) < 2.0 * resolution)
+        & valid[:, None]
+        & valid[None, :]
+        & ~jnp.eye(p.shape[0], dtype=bool)
+    )
+    return jnp.sum(ok, axis=1), ok
+
+
+def _two_point_align(p1, q1, p2, q2):
+    """twoPairPointsAlign (ia_gror.hpp:418-441), batched over edges [E,...].
+
+    Aligns the source edge direction onto the target edge direction
+    (Rodrigues via skew matrix), translation = mean of the two endpoint
+    residuals.  Returns (R [E,3,3], t [E,3], axis [E,3], origin [E,3])."""
+    vs = p1 - p2
+    vt = q1 - q2
+    vs = vs / jnp.maximum(jnp.linalg.norm(vs, axis=-1, keepdims=True), 1e-30)
+    vt = vt / jnp.maximum(jnp.linalg.norm(vt, axis=-1, keepdims=True), 1e-30)
+    v = jnp.cross(vs, vt)
+    c = jnp.sum(vs * vt, axis=-1)
+
+    def skew(u):
+        z = jnp.zeros_like(u[..., 0])
+        return jnp.stack(
+            [
+                jnp.stack([z, -u[..., 2], u[..., 1]], -1),
+                jnp.stack([u[..., 2], z, -u[..., 0]], -1),
+                jnp.stack([-u[..., 1], u[..., 0], z], -1),
+            ],
+            axis=-2,
+        )
+
+    V = skew(v)
+    eye = jnp.broadcast_to(jnp.eye(3), V.shape)
+    denom = jnp.maximum(1.0 + c, 1e-6)[..., None, None]
+    R = eye + V + (V @ V) / denom
+    # antipodal edge directions (c ~ -1): rotate pi about any axis
+    # perpendicular to vs.
+    perp = jnp.cross(vs, jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), vs.shape))
+    alt = jnp.cross(vs, jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), vs.shape))
+    pn = jnp.linalg.norm(perp, axis=-1, keepdims=True)
+    perp = jnp.where(pn > 1e-3, perp, alt)
+    perp = perp / jnp.maximum(jnp.linalg.norm(perp, axis=-1, keepdims=True), 1e-30)
+    R_pi = 2.0 * perp[..., :, None] * perp[..., None, :] - eye
+    R = jnp.where((c < -1.0 + 1e-6)[..., None, None], R_pi, R)
+
+    t = 0.5 * ((q1 - jnp.einsum("eij,ej->ei", R, p1)) + (q2 - jnp.einsum("eij,ej->ei", R, p2)))
+    return R, t, vt, q1
+
+
+@partial(jax.jit, static_argnames=())
+def _rcfs_counts(R, t, axis, origin, p, q, valid, resolution):
+    """Relaxed-space reliability per edge (calEdgeReliabilityInRCFS,
+    ia_gror.hpp:473-501): |dist-to-origin consistency| and axis-projection
+    consistency.  R,t,axis,origin: [E,...]; p,q: [M,3]."""
+    diff_t = q[None, :, :] - origin[:, None, :]  # [E,M,3]
+    # source-side anchor = R^-1 applied? reference: diff_to_s = s_p - first_corr_s;
+    # axis_s = R^T axis_t; we reconstruct first_corr_s = R^T (origin - t).
+    first_s = jnp.einsum("eji,ej->ei", R, origin - t)
+    axis_s = jnp.einsum("eji,ej->ei", R, axis)
+    diff_s = p[None, :, :] - first_s[:, None, :]
+    dist_t = jnp.linalg.norm(diff_t, axis=-1)
+    dist_s = jnp.linalg.norm(diff_s, axis=-1)
+    proj_t = jnp.sum(diff_t * axis[:, None, :], axis=-1)
+    proj_s = jnp.sum(diff_s * axis_s[:, None, :], axis=-1)
+    ok = (
+        (jnp.abs(dist_t - dist_s) < 2.0 * resolution)
+        & (jnp.abs(proj_t - proj_s) < 2.0 * resolution)
+        & valid[None, :]
+    )
+    return jnp.sum(ok, axis=1)
+
+
+@partial(jax.jit, static_argnames=())
+def _tcfs_stab(R, t, axis, origin, p, q, valid, resolution):
+    """Tight-space reliability: batched interval stabbing over azimuth arcs
+    (calEdgeReliabilityInTCFS + intervalStab, ia_gror.hpp:521-747).
+
+    Returns (best_angle [E], best_count [E])."""
+    E = R.shape[0]
+    M = p.shape[0]
+    thr = 2.0 * resolution
+
+    # rotate both point sets into the axis-aligned frame: z == rot axis
+    z = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), axis.shape)
+    v = jnp.cross(axis, z)
+    c = jnp.sum(axis * z, axis=-1)
+
+    def skew(u):
+        zz = jnp.zeros_like(u[..., 0])
+        return jnp.stack(
+            [
+                jnp.stack([zz, -u[..., 2], u[..., 1]], -1),
+                jnp.stack([u[..., 2], zz, -u[..., 0]], -1),
+                jnp.stack([-u[..., 1], u[..., 0], zz], -1),
+            ],
+            axis=-2,
+        )
+
+    V = skew(v)
+    eye = jnp.broadcast_to(jnp.eye(3), V.shape)
+    W = eye + V + (V @ V) / jnp.maximum(1.0 + c, 1e-6)[..., None, None]
+    flipz = jnp.broadcast_to(jnp.diag(jnp.array([1.0, -1.0, -1.0])), V.shape)
+    W = jnp.where((c < -1.0 + 1e-6)[..., None, None], flipz, W)
+
+    # local target coords: W (q - origin); local source: W (R p + t - origin)
+    tq = jnp.einsum("eij,emj->emi", W, q[None, :, :] - origin[:, None, :])
+    sp = jnp.einsum("eij,mj->emi", R, p) + t[:, None, :] - origin[:, None, :]
+    sp = jnp.einsum("eij,emj->emi", W, sp)
+
+    def cyl(x):
+        length = jnp.sqrt(jnp.maximum(x[..., 0] ** 2 + x[..., 1] ** 2, 0.0))
+        azi = jnp.arctan2(x[..., 1], x[..., 0])
+        return length, x[..., 2], azi
+
+    m_len, m_z, m_azi = cyl(sp)
+    b_len, b_z, b_azi = cyl(tq)
+
+    dz = b_z - m_z
+    d = b_len - m_len
+    th_mz = thr * thr - dz * dz
+    feasible = (d * d <= th_mz) & valid[None, :]
+    rth = jnp.sqrt(jnp.maximum(th_mz, 0.0))
+
+    # circle intersection half-angle (circleIntersection, ia_gror.hpp:521-552)
+    Rr = jnp.maximum(m_len, 1e-12)
+    dd = jnp.maximum(b_len, 0.0)
+    x = (dd * dd - rth * rth + Rr * Rr) / (2.0 * jnp.maximum(dd, 1e-12))
+    rat = x / Rr
+    dev = jnp.where(
+        (dd <= 1e-7) | (rat <= -1.0), jnp.pi, jnp.arccos(jnp.clip(rat, -1.0, 1.0))
+    )
+    full = (m_len <= 1e-7) | (jnp.abs(dev - jnp.pi) <= 1e-7)
+
+    center = jnp.mod(b_azi - m_azi + TWO_PI, TWO_PI)
+    beg = jnp.mod(center - dev + TWO_PI, TWO_PI)
+    end = jnp.mod(center + dev + TWO_PI, TWO_PI)
+    beg = jnp.where(full, 0.0, beg)
+    end = jnp.where(full, TWO_PI, end)
+    # wrapped arcs split into [beg, 2pi] + [0, end]
+    wrap = end < beg
+    big = jnp.float32(1e9)
+
+    # events: 2 intervals per correspondence -> 4 endpoints
+    s1 = jnp.where(feasible, jnp.where(wrap, beg, beg), big)
+    e1 = jnp.where(feasible, jnp.where(wrap, TWO_PI, end), big)
+    s2 = jnp.where(feasible & wrap, 0.0, big)
+    e2 = jnp.where(feasible & wrap, end, big)
+
+    starts = jnp.concatenate([s1, s2], axis=1)  # [E, 2M]
+    ends = jnp.concatenate([e1, e2], axis=1)
+    locs = jnp.concatenate([starts, ends], axis=1)  # [E, 4M]
+    deltas = jnp.concatenate(
+        [jnp.ones((E, 2 * M)), -jnp.ones((E, 2 * M))], axis=1
+    )
+    # sort by (loc, starts first): key = loc*2 - is_start
+    keys = locs * 2.0 - (deltas > 0)
+    order = jnp.argsort(keys, axis=1)
+    sl = jnp.take_along_axis(locs, order, axis=1)
+    sd = jnp.take_along_axis(deltas, order, axis=1)
+    sd = jnp.where(sl >= big, 0.0, sd)
+    run = jnp.cumsum(sd, axis=1)
+    run_at_start = jnp.where((sd > 0) & (sl < big), run, -jnp.inf)
+    best_idx = jnp.argmax(run_at_start, axis=1)
+    best_count = jnp.max(run_at_start, axis=1)
+    best_angle = jnp.take_along_axis(sl, best_idx[:, None], axis=1)[:, 0]
+    best_count = jnp.where(jnp.isfinite(best_count), best_count, 0.0)
+    return best_angle, best_count.astype(jnp.int32)
+
+
+def _axis_rotation(axis, angle):
+    """Rodrigues rotation about `axis` by `angle` (batched)."""
+    a = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-30)
+    c = jnp.cos(angle)[..., None, None]
+    s = jnp.sin(angle)[..., None, None]
+    zz = jnp.zeros_like(a[..., 0])
+    K = jnp.stack(
+        [
+            jnp.stack([zz, -a[..., 2], a[..., 1]], -1),
+            jnp.stack([a[..., 2], zz, -a[..., 0]], -1),
+            jnp.stack([-a[..., 1], a[..., 0], zz], -1),
+        ],
+        axis=-2,
+    )
+    eye = jnp.broadcast_to(jnp.eye(3), K.shape)
+    outer = a[..., :, None] * a[..., None, :]
+    return c * eye + s * K + (1.0 - c) * outer
+
+
+def align_gror(
+    src: Cloud,
+    tgt: Cloud,
+    corrs: Correspondences,
+    params: AlignmentParameters,
+    k_optimal: int = K_OPTIMAL,
+    edge_batch: int = 128,
+) -> AlignmentResult:
+    t0 = time.time()
+    corrs = corrs.compact()
+    n = int(np.asarray(corrs.count()))
+    resolution = params.distance_thr
+    identity = np.eye(4, dtype=np.float32)
+    if n < 2:
+        return AlignmentResult(
+            src=src, tgt=tgt, transformation=identity, correspondences=corrs,
+            iterations=1, converged=False, time_te=time.time() - t0,
+        )
+
+    p_all = src.xyz[corrs.query]
+    q_all = tgt.xyz[corrs.match]
+
+    # 1. node reliability, keep top K (exactly K or all)
+    deg, adj = _node_degrees(p_all, q_all, corrs.valid, resolution)
+    deg_np = np.asarray(deg)
+    order = np.argsort(-deg_np, kind="stable")
+    keep = order[: min(k_optimal, n)]
+    keep = keep[deg_np[keep] >= 0]
+    M = len(keep)
+    p = p_all[jnp.asarray(keep)]
+    q = q_all[jnp.asarray(keep)]
+    valid = jnp.ones((M,), bool)
+
+    # 2. edge enumeration among survivors: for each node, its consistent
+    # partners; candidate edges ranked by endpoint degree (the reference
+    # sorts adjacency lists by size and scans the top of each,
+    # ia_gror.hpp:199-258).
+    _deg2, adj2 = _node_degrees(p, q, valid, resolution)
+    adj_np = np.asarray(adj2)
+    deg2_np = adj_np.sum(1)
+    node_order = np.argsort(-deg2_np, kind="stable")
+    edges = []
+    for i in node_order[: 4 * edge_batch]:
+        js = np.nonzero(adj_np[i])[0]
+        js = js[js > i]
+        if len(js):
+            edges.append((i, js[0]))
+        if len(edges) >= edge_batch:
+            break
+    if not edges:
+        return AlignmentResult(
+            src=src, tgt=tgt, transformation=identity, correspondences=corrs,
+            iterations=1, converged=False, time_te=time.time() - t0,
+        )
+    e = np.asarray(edges, np.int64)
+    i1 = jnp.asarray(e[:, 0])
+    i2 = jnp.asarray(e[:, 1])
+
+    # 3. two-point align + RCFS + TCFS for the whole edge batch at once
+    R, t, axis, origin = _two_point_align(p[i1], q[i1], p[i2], q[i2])
+    rc = _rcfs_counts(R, t, axis, origin, p, q, valid, resolution)
+    best_angle, best_count = _tcfs_stab(R, t, axis, origin, p, q, valid, resolution)
+    # the RCFS count upper-bounds the TCFS one; combine: use TCFS counts
+    score = np.asarray(best_count)
+    best_e = int(np.argmax(score))
+
+    Rb = R[best_e]
+    tb = t[best_e]
+    rot = _axis_rotation(axis[best_e], best_angle[best_e])
+    # compose: translate to origin, rotate about axis, translate back
+    Rf = rot @ Rb
+    tf = rot @ (tb - origin[best_e]) + origin[best_e]
+
+    # 4. refine: inliers < 2*resolution over ALL input correspondences ->
+    # Umeyama (ia_gror.hpp:261-365)
+    Tp = np.eye(4, dtype=np.float32)
+    Tp[:3, :3] = np.asarray(Rf)
+    Tp[:3, 3] = np.asarray(tf)
+    moved = p_all @ np.asarray(Rf).T + np.asarray(tf)
+    d = np.linalg.norm(np.asarray(q_all) - np.asarray(moved), axis=1)
+    inl = (d < 2.0 * resolution) & np.asarray(corrs.valid)
+    if inl.sum() >= 3:
+        w = jnp.asarray(inl.astype(np.float32))
+        Ru, tu = umeyama(p_all[None], q_all[None], w[None])
+        T = np.asarray(to_matrix4(Ru[0], tu[0]))
+    else:
+        T = Tp
+    return AlignmentResult(
+        src=src,
+        tgt=tgt,
+        transformation=T.astype(np.float32),
+        correspondences=corrs,
+        iterations=1,
+        converged=True,
+        time_te=time.time() - t0,
+        metric=float(inl.sum()),
+    )

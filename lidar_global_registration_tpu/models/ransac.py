@@ -273,7 +273,9 @@ def align_ransac(
         est = metricsmod.estimate_max_iterations(
             jnp.asarray(sup), n_corr_f, params.confidence, params.n_samples
         )
-        estimated = min(estimated, int(np.asarray(est)))
+        est_f = float(np.asarray(est))
+        if math.isfinite(est_f):
+            estimated = min(estimated, int(min(est_f, 2.0**31 - 1)))
         iters_done += B
         rounds += 1
 

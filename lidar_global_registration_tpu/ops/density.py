@@ -22,11 +22,16 @@ from lidar_global_registration_tpu.types import Cloud
 
 def _auto_cell_size(cloud: Cloud, k: int) -> float:
     """Initial guess: points live on 2D surfaces, so the k-NN radius scales
-    like spacing * sqrt(k); spacing ~ diag / sqrt(N)."""
+    like spacing * sqrt(k/pi); spacing ~ diag / sqrt(N).
+
+    The cell must stay close to the k-NN radius: the 27-cell envelope only
+    guarantees completeness within one cell size, while oversized cells
+    overflow the per-cell candidate cap and silently return far neighbors
+    (the cap keeps an arbitrary subset of the cell, not the nearest)."""
     n = max(int(np.asarray(cloud.count())), 1)
     diag = float(np.asarray(aabb_diagonal(cloud)))
     spacing = diag / max(np.sqrt(n), 1.0)
-    return max(spacing * np.sqrt(max(k, 2)) * 2.0, 1e-12)
+    return max(spacing * np.sqrt(max(k, 2) / np.pi) * 1.5, 1e-12)
 
 
 def knn_distances(
@@ -57,8 +62,15 @@ def knn_distances(
             query_index=qidx,
             chunk=chunk,
         )
+        # covered = found k neighbors AND the k-th lies inside the envelope
+        # guarantee radius (one cell size) — otherwise nearer points could
+        # hide beyond the 27-cell block.
+        big = jnp.float32(1.0e38)
+        kth = jnp.where(mask[:, k - 1], dist[:, k - 1], big)
         covered = int(
-            np.asarray(jnp.sum((jnp.sum(mask, axis=1) >= k) & cloud.valid))
+            np.asarray(
+                jnp.sum((jnp.sum(mask, axis=1) >= k) & (kth <= cell) & cloud.valid)
+            )
         )
         if covered >= min_covered * n_valid:
             break

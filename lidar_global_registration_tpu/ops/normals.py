@@ -101,7 +101,11 @@ def estimate_normals_knn(
         idx, dist, mask = gridmod.knn(
             g, cloud.xyz, cloud.valid, k, cap=cap, include_self=True, chunk=chunk
         )
-        covered = int(np.asarray(jnp.sum((jnp.sum(mask, axis=1) >= min(k, 3)) & cloud.valid)))
+        big = jnp.float32(1.0e38)
+        kth = jnp.where(mask[:, k - 1], dist[:, k - 1], big)
+        covered = int(
+            np.asarray(jnp.sum((jnp.sum(mask, axis=1) >= k) & (kth <= cell) & cloud.valid))
+        )
         if covered >= 0.999 * n_valid:
             break
         cell *= 2.0

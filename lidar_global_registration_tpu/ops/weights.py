@@ -42,7 +42,11 @@ def _knn(cloud: Cloud, k: int):
     for _ in range(8):
         g = gridmod.build_grid(cloud.xyz, cloud.valid, cell)
         idx, dist, mask = gridmod.knn(g, cloud.xyz, cloud.valid, k, cap=64)
-        covered = int(np.asarray(jnp.sum((jnp.sum(mask, axis=1) >= min(k, 3)) & cloud.valid)))
+        big = jnp.float32(1.0e38)
+        kth = jnp.where(mask[:, k - 1], dist[:, k - 1], big)
+        covered = int(
+            np.asarray(jnp.sum((jnp.sum(mask, axis=1) >= k) & (kth <= cell) & cloud.valid))
+        )
         if covered >= 0.999 * n_valid:
             break
         cell *= 2.0
