@@ -185,28 +185,38 @@ def _refit(ctx: MetricContext, mask):
     return to_matrix4(R[0], t[0])
 
 
-def _closest_plane_refit(ctx: MetricContext, T):
-    """For (weighted_)closest_plane metrics the reference re-fits on
+def _closest_plane_refit(ctx: MetricContext, T, iterations: int = 3):
+    """For (weighted_)closest_plane metrics the reference re-fits once on
     (sample point -> nearest target point) pairs (metric.cpp:25-46 inliers
-    feeding transformation.cpp).  One B=1 grid pass rebuilds those pairs."""
-    R = T[None, :3, :3]
-    t = T[None, :3, 3]
-    tp = (ctx.sample_xyz @ R[0].T) + t[0]
+    feeding transformation.cpp).  We iterate the NN re-association +
+    point-to-PLANE projection a few times (mini-ICP): each round projects
+    the sample onto its nearest target plane, which removes the in-plane
+    drift a single point-to-point fit picks up on structured scans."""
+    Tcur = jnp.asarray(T)
     radius = DIST_TO_PLANE_COEFFICIENT * ctx.cp_threshold
-    idx, dist, mask = gridmod.radius_neighbors(
-        ctx.tgt_grid, tp, ctx.sample_valid, radius, k=1, cap=32
-    )
-    nn = idx[:, 0]
-    found = mask[:, 0]
-    npt = ctx.tgt_grid.xyz[nn]
-    nnm = ctx.tgt_normal[nn]
-    d2p = jnp.abs(jnp.sum(nnm * (npt - tp), axis=-1))
-    nn_ok = jnp.sum(nnm * nnm, axis=-1) > 0.5
-    d2p = jnp.where(nn_ok, d2p, dist[:, 0] ** 2)
-    inlier = found & (d2p < ctx.cp_threshold)
-    w = inlier.astype(jnp.float32)
-    Rn, tn = kabsch(ctx.sample_xyz[None], npt[None], w[None])
-    return to_matrix4(Rn[0], tn[0])
+    for _ in range(iterations):
+        R = Tcur[:3, :3]
+        t = Tcur[:3, 3]
+        tp = ctx.sample_xyz @ R.T + t
+        idx, dist, mask = gridmod.radius_neighbors(
+            ctx.tgt_grid, tp, ctx.sample_valid, radius, k=1, cap=32
+        )
+        nn = idx[:, 0]
+        found = mask[:, 0]
+        npt = ctx.tgt_grid.xyz[nn]
+        nnm = ctx.tgt_normal[nn]
+        off = jnp.sum(nnm * (tp - npt), axis=-1)
+        nn_ok = jnp.sum(nnm * nnm, axis=-1) > 0.5
+        d2p = jnp.where(nn_ok, jnp.abs(off), dist[:, 0] ** 2)
+        inlier = found & (d2p < ctx.cp_threshold)
+        # target = projection of the transformed sample onto the NN plane
+        # (falls back to the NN point when the normal is invalid)
+        proj = tp - off[:, None] * nnm
+        target = jnp.where(nn_ok[:, None], proj, npt)
+        w = inlier.astype(jnp.float32)
+        Rn, tn = kabsch(ctx.sample_xyz[None], target[None], w[None])
+        Tcur = to_matrix4(Rn[0], tn[0])
+    return Tcur
 
 
 @dataclass
