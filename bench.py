@@ -1,0 +1,143 @@
+"""Benchmark: scan pairs registered per second, end-to-end on one chip.
+
+Runs the flagship fully-jittable registration step (normals -> ISS -> FPFH
+-> mutual matching -> batched RANSAC -> refit) on a synthetic bump-terrain
+pair of N points per side, on whatever platform JAX selects (the real TPU
+under the driver).  vs_baseline compares against a self-measured CPU run of
+the same step at the same size (the reference publishes no numbers,
+BASELINE.md; its own C++/PCL stack is not buildable in this image, so the
+CPU XLA path is the stand-in host baseline).
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+N = int(os.environ.get("LGR_BENCH_N", 131072))
+REPEATS = int(os.environ.get("LGR_BENCH_REPEATS", 5))
+CPU_N = int(os.environ.get("LGR_BENCH_CPU_N", N))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_cache.json")
+
+
+def _pair(n):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from __graft_entry__ import _synthetic_pair
+
+    return _synthetic_pair(n)
+
+
+def run_step(n: int, repeats: int) -> float:
+    """Returns seconds per pair (min over repeats)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lidar_global_registration_tpu.models.flagship import (
+        FlagshipConfig,
+        register_pair_step,
+    )
+
+    a, b = _pair(n)
+    spacing = 30.0 / np.sqrt(n)
+    cfg = FlagshipConfig(
+        rounds=8,
+        hypothesis_batch=1024,
+        use_iss=True,
+        query_chunk=16384 if n > 16384 else None,
+        match_tile=4096,
+    )
+    args = (
+        jnp.asarray(a),
+        jnp.ones((n,), bool),
+        jnp.asarray(b),
+        jnp.ones((n,), bool),
+        jax.random.PRNGKey(566),
+        jnp.float32(spacing * 4.0),
+        jnp.float32(spacing * 2.0),
+        jnp.float32(spacing * 2.0),
+        jnp.float32(spacing * 3.0),
+        jnp.float32(spacing * 3.0),
+        jnp.float32(spacing * 8.0),
+        jnp.float32(spacing * 4.0),
+    )
+    out = register_pair_step(*args, cfg=cfg)
+    jax.block_until_ready(out)  # compile + warmup
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = register_pair_step(*args, cfg=cfg)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def cpu_baseline(n: int) -> float:
+    key = f"cpu_{n}"
+    if os.path.exists(CACHE):
+        try:
+            cache = json.load(open(CACHE))
+            if key in cache:
+                return cache[key]
+        except Exception:
+            cache = {}
+    else:
+        cache = {}
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["LGR_BENCH_MODE"] = "cpu_worker"
+    env["LGR_BENCH_N"] = str(n)
+    env["LGR_BENCH_REPEATS"] = "2"
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    secs = json.loads(line)["seconds_per_pair"]
+    cache[key] = secs
+    try:
+        json.dump(cache, open(CACHE, "w"))
+    except Exception:
+        pass
+    return secs
+
+
+def main():
+    if os.environ.get("LGR_BENCH_MODE") == "cpu_worker":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        secs = run_step(N, REPEATS)
+        print(json.dumps({"seconds_per_pair": secs}))
+        return
+
+    secs = run_step(N, REPEATS)
+    try:
+        base = cpu_baseline(CPU_N)
+        vs = (base / secs) * (N / CPU_N) ** 0  # same-size comparison
+    except Exception:
+        base = None
+        vs = float("nan")
+    print(
+        json.dumps(
+            {
+                "metric": f"register_{N//1024}k_pt_pair_e2e",
+                "value": round(1.0 / secs, 4),
+                "unit": "pairs/s",
+                "vs_baseline": round(vs, 3) if vs == vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

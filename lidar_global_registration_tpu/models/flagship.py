@@ -1,0 +1,247 @@
+"""The flagship fully-jittable registration step.
+
+One XLA computation registering a padded scan pair end-to-end: normals ->
+ISS keypoints -> FPFH descriptors -> mutual brute-force matching -> batched
+prerejective RANSAC -> Kabsch refit.  No host round-trips: grid cell sizes
+and radii are data arguments, every stage is masked, and the RANSAC round
+loop is a lax.scan over a fixed hypothesis budget.
+
+This is the serving path for production registration (and the unit the
+parallel layer shards over a device mesh): the host-orchestrated pipeline
+in models/pipeline.py exposes the reference's full multi-scale/sweep
+semantics, while this step trades the data-dependent pyramid for a fixed
+feature radius to stay inside one compiled graph.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from lidar_global_registration_tpu.ops import grid as gridmod
+from lidar_global_registration_tpu.ops import matchers
+from lidar_global_registration_tpu.ops.eigen3 import eigvals_sym3
+from lidar_global_registration_tpu.ops.fpfh import DIM as FPFH_DIM
+from lidar_global_registration_tpu.ops.fpfh import _bin_idx, pair_features, spfh
+from lidar_global_registration_tpu.ops.iss import _iss_saliency, _nms
+from lidar_global_registration_tpu.ops.normals import normals_from_neighbors
+from lidar_global_registration_tpu.ops.transform import kabsch, to_matrix4
+
+MIN_NR_INLIERS = 10
+MIN_NR_FINAL_INLIERS = 20
+MIN_INLIER_RATE = 0.15
+
+
+@dataclass(frozen=True)
+class FlagshipConfig:
+    """Static shape/iteration configuration (one jit specialization)."""
+
+    normal_k: int = 16
+    neighbor_cap: int = 32
+    feature_neighbors: int = 128
+    feature_cap: int = 96
+    iss_neighbors: int = 48
+    rounds: int = 8
+    hypothesis_batch: int = 512
+    n_samples: int = 3
+    edge_thr: float = 0.95
+    confidence: float = 0.999
+    use_iss: bool = True
+    bf16_matching: bool = False
+    match_tile: int = 2048
+    query_chunk: int | None = None  # chunk large neighbor queries (memory)
+
+
+def _knn_fixed(xyz, valid, queries, qvalid, cell, k, cap, include_self, qidx=None,
+               chunk=None):
+    g = gridmod.build_grid(xyz, valid, cell)
+    return gridmod.radius_neighbors(
+        g,
+        queries,
+        qvalid,
+        cell,  # envelope-complete radius
+        k=k,
+        cap=cap,
+        include_self=include_self,
+        query_index=qidx,
+        chunk=chunk,
+    )
+
+
+def _smoothed_density(xyz, valid, cell, cap, chunk=None):
+    """k=2 smoothed densities (common.cpp:531-547) with a fixed cell."""
+    qidx = jnp.arange(xyz.shape[0], dtype=jnp.int32)
+    idx, dist, mask = _knn_fixed(xyz, valid, xyz, valid, cell, 1, cap, False, qidx, chunk=chunk)
+    big = jnp.float32(3.0e38)
+    d_raw = jnp.where(mask[:, 0], dist[:, 0], big)
+    nn = idx[:, 0]
+    d_nn = jnp.where(mask[:, 0], d_raw[nn], big)
+    out = jnp.minimum(d_raw, d_nn)
+    return jnp.where(valid & (out < big), out, 0.0)
+
+
+def _fpfh_fixed(xyz, normal, valid, kp_mask, radius, cfg: FlagshipConfig):
+    """FPFH over all points; rows where kp_mask holds are the keypoints."""
+    g = gridmod.build_grid(xyz, valid, radius)
+    qidx = jnp.arange(xyz.shape[0], dtype=jnp.int32)
+    idx, dist, mask = gridmod.radius_neighbors(
+        g, xyz, valid, radius, k=cfg.feature_neighbors, cap=cfg.feature_cap,
+        include_self=False, query_index=qidx, chunk=cfg.query_chunk,
+    )
+    spfh_all = spfh(xyz, normal, idx, mask)
+    nb = spfh_all[idx]
+    w = jnp.where(mask, 1.0 / jnp.maximum(dist * dist, 1e-30), 0.0)
+    cnt = jnp.sum(mask, axis=1)
+    wsum = jnp.einsum("mk,mkd->md", w, nb) / jnp.maximum(cnt, 1)[:, None]
+    feat = spfh_all + wsum
+    out = []
+    for blk in range(3):
+        f = feat[:, blk * 11 : (blk + 1) * 11]
+        s = jnp.sum(f, axis=1, keepdims=True)
+        out.append(jnp.where(s > 0, 100.0 * f / jnp.maximum(s, 1e-30), f))
+    feat = jnp.concatenate(out, axis=1)
+    fvalid = valid & kp_mask & (cnt > 0)
+    return jnp.where(fvalid[:, None], feat, 0.0), fvalid
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def register_pair_step(
+    src_xyz,
+    src_valid,
+    tgt_xyz,
+    tgt_valid,
+    key,
+    normal_cell,
+    density_cell_src,
+    density_cell_tgt,
+    iss_radius_src,
+    iss_radius_tgt,
+    feature_radius,
+    distance_thr,
+    cfg: FlagshipConfig = FlagshipConfig(),
+):
+    """Register one padded pair.  Returns dict with transformation [4,4],
+    metric, inliers, converged, n_correspondences."""
+    N = src_xyz.shape[0]
+
+    def side(xyz, valid, iss_radius):
+        qidx = jnp.arange(xyz.shape[0], dtype=jnp.int32)
+        idx, dist, mask = _knn_fixed(
+            xyz, valid, xyz, valid, normal_cell, cfg.normal_k, cfg.neighbor_cap, True,
+            chunk=cfg.query_chunk,
+        )
+        normal, _curv, _ok = normals_from_neighbors(xyz, xyz, idx, mask)
+        if cfg.use_iss:
+            g = gridmod.build_grid(xyz, valid, iss_radius)
+            iidx, _idist, imask = gridmod.radius_neighbors(
+                g, xyz, valid, iss_radius, k=cfg.iss_neighbors, cap=cfg.neighbor_cap,
+                include_self=False, query_index=qidx, chunk=cfg.query_chunk,
+            )
+            counts = jnp.sum(imask, axis=1).astype(jnp.int32) + 1
+            sal, ok = _iss_saliency(xyz, valid, iidx, imask, counts)
+            kp_mask = _nms(sal, ok, iidx, imask)
+        else:
+            kp_mask = valid
+        return normal, kp_mask
+
+    src_normal, src_kp = side(src_xyz, src_valid, iss_radius_src)
+    tgt_normal, tgt_kp = side(tgt_xyz, tgt_valid, iss_radius_tgt)
+
+    fq, fq_valid = _fpfh_fixed(src_xyz, src_normal, src_valid, src_kp, feature_radius, cfg)
+    ft, ft_valid = _fpfh_fixed(tgt_xyz, tgt_normal, tgt_valid, tgt_kp, feature_radius, cfg)
+
+    # mutual 1-NN matching (lr strategy, matching.h:418-458)
+    idx_st, dist_st, mask_st = matchers.match_bf(
+        fq, ft, fq_valid, ft_valid, k=1, tile=cfg.match_tile, bf16=cfg.bf16_matching
+    )
+    idx_ts, _dist_ts, mask_ts = matchers.match_bf(
+        ft, fq, ft_valid, fq_valid, k=1, tile=cfg.match_tile, bf16=cfg.bf16_matching
+    )
+    j = idx_st[:, 0]
+    mutual = (
+        mask_st[:, 0]
+        & mask_ts[j, 0]
+        & (idx_ts[j, 0] == jnp.arange(N, dtype=jnp.int32))
+    )
+
+    dens_s = _smoothed_density(src_xyz, src_valid, density_cell_src, cfg.neighbor_cap, cfg.query_chunk)
+    dens_t = _smoothed_density(tgt_xyz, tgt_valid, density_cell_tgt, cfg.neighbor_cap, cfg.query_chunk)
+    thr = jnp.minimum(jnp.maximum(dens_s, dens_t[j]), distance_thr)
+    thr = jnp.where(thr > 0, thr, distance_thr)
+
+    # correspondences as masked parallel arrays (query = row index)
+    p = src_xyz
+    q = tgt_xyz[j]
+    cvalid = mutual
+    n_corr = jnp.sum(cvalid.astype(jnp.float32))
+
+    # ---- batched RANSAC (correspondences metric, constant score) ----
+    B = cfg.hypothesis_batch
+    S = cfg.n_samples
+    # sample VALID correspondences: draw from the compact prefix via sorting
+    order = jnp.argsort(~cvalid)  # valid rows first
+    nvalid_i = jnp.maximum(n_corr.astype(jnp.int32), 1)
+
+    def round_body(carry, rkey):
+        best_metric, best_R, best_t = carry
+        samp = jax.random.randint(rkey, (B, S), 0, nvalid_i)
+        rows = order[samp]  # [B,S]
+        ok = jnp.ones((B,), bool)
+        for a in range(S):
+            for b in range(a + 1, S):
+                ok = ok & (rows[:, a] != rows[:, b])
+        p3 = p[rows]
+        q3 = q[rows]
+        for a in range(S):
+            b = (a + 1) % S
+            ds = jnp.sum((p3[:, a] - p3[:, b]) ** 2, axis=-1)
+            dt = jnp.sum((q3[:, a] - q3[:, b]) ** 2, axis=-1)
+            lo = jnp.minimum(ds, dt)
+            hi = jnp.maximum(ds, dt)
+            ok = ok & (lo >= (cfg.edge_thr**2) * hi) & (hi > 0)
+        R, t = kabsch(p3, q3)
+        tp = jnp.einsum("bij,mj->bmi", R, p) + t[:, None, :]
+        d = jnp.sqrt(jnp.maximum(jnp.sum((tp - q[None]) ** 2, axis=-1), 0.0))
+        inl = (d < thr[None]) & cvalid[None]
+        cnt = jnp.sum(inl, axis=1)
+        metric = cnt.astype(jnp.float32) / jnp.maximum(n_corr, 1.0)
+        metric = jnp.where(ok & (cnt >= MIN_NR_INLIERS), metric, -1.0)
+        bi = jnp.argmax(metric)
+        better = metric[bi] > best_metric
+        best_R = jnp.where(better, R[bi], best_R)
+        best_t = jnp.where(better, t[bi], best_t)
+        best_metric = jnp.where(better, metric[bi], best_metric)
+        return (best_metric, best_R, best_t), None
+
+    keys = jax.random.split(key, cfg.rounds)
+    (best_metric, best_R, best_t), _ = jax.lax.scan(
+        round_body, (jnp.float32(-1.0), jnp.eye(3), jnp.zeros(3)), keys
+    )
+
+    # final refit on inliers
+    tp = p @ best_R.T + best_t
+    d = jnp.sqrt(jnp.maximum(jnp.sum((tp - q) ** 2, axis=-1), 0.0))
+    inl = (d < thr) & cvalid
+    n_inl = jnp.sum(inl)
+    w = inl.astype(jnp.float32)
+    Rf, tf = kabsch(p[None], q[None], w[None])
+    T = to_matrix4(Rf[0], tf[0])
+    tp2 = p @ Rf[0].T + tf[0]
+    d2 = jnp.sqrt(jnp.maximum(jnp.sum((tp2 - q) ** 2, axis=-1), 0.0))
+    inl2 = (d2 < thr) & cvalid
+    n_inl2 = jnp.sum(inl2)
+    metric = n_inl2.astype(jnp.float32) / jnp.maximum(n_corr, 1.0)
+    converged = (
+        (n_inl > MIN_NR_FINAL_INLIERS)
+        | (n_inl.astype(jnp.float32) > MIN_INLIER_RATE * n_corr)
+    ) & (best_metric > 0)
+    T = jnp.where(best_metric > 0, T, jnp.eye(4))
+    return {
+        "transformation": T,
+        "metric": metric,
+        "inliers": n_inl2,
+        "converged": converged,
+        "n_correspondences": n_corr,
+    }

@@ -100,9 +100,9 @@ def fpfh(
     surface_valid,
     radius,
     kp_normal=None,
-    k_neighbors: int = 128,
-    cap: int = 32,
-    chunk: int | None = None,
+    k_neighbors: int = 384,
+    cap: int = 128,
+    chunk: int | None = 2048,
 ):
     """Full FPFH pipeline for keypoints against a surface cloud.
 

@@ -168,7 +168,15 @@ def radius_neighbors(
         return _radius_neighbors_chunk(
             grid, queries, qvalid, query_index, radius, k, cap, include_self
         )
-    assert M % chunk == 0, (M, chunk)
+    pad = (-M) % chunk
+    if pad:
+        queries = jnp.concatenate(
+            [queries, jnp.full((pad, 3), 3.0e18, queries.dtype)], axis=0
+        )
+        qvalid = jnp.concatenate([qvalid, jnp.zeros((pad,), bool)], axis=0)
+        query_index = jnp.concatenate(
+            [query_index, jnp.full((pad,), -1, jnp.int32)], axis=0
+        )
     qs = queries.reshape(-1, chunk, 3)
     vs = qvalid.reshape(-1, chunk)
     ix = query_index.reshape(-1, chunk)
@@ -178,7 +186,11 @@ def radius_neighbors(
         return _radius_neighbors_chunk(grid, qq, vv, ii, radius, k, cap, include_self)
 
     idx, dist, mask = jax.lax.map(body, (qs, vs, ix))
-    return idx.reshape(M, k), dist.reshape(M, k), mask.reshape(M, k)
+    return (
+        idx.reshape(-1, k)[:M],
+        dist.reshape(-1, k)[:M],
+        mask.reshape(-1, k)[:M],
+    )
 
 
 def knn(

@@ -174,9 +174,9 @@ def shot(
     surface_valid,
     radius,
     frames=None,
-    k_neighbors: int = 256,
-    cap: int = 64,
-    chunk: int | None = None,
+    k_neighbors: int = 512,
+    cap: int = 128,
+    chunk: int | None = 2048,
 ):
     """Full SHOT pipeline: neighbors + (optional external) LRFs + histogram.
 

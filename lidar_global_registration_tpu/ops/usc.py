@@ -80,9 +80,9 @@ def usc(
     surface_valid,
     radius,
     frames=None,
-    k_neighbors: int = 256,
-    cap: int = 64,
-    chunk: int | None = None,
+    k_neighbors: int = 384,
+    cap: int = 128,
+    chunk: int | None = 2048,
 ):
     g = gridmod.build_grid(surface_xyz, surface_valid, radius)
     idx, dist, mask = gridmod.radius_neighbors(

@@ -1,0 +1,195 @@
+"""Sharded batched registration: many scan pairs across a device mesh.
+
+register_batch shard_maps the flagship step over a ('dp','tp') mesh:
+  - the pair batch axis is split across dp;
+  - inside each pair, the brute-force descriptor matching (the dominant
+    O(Nq*Nt*D) matmul) splits its train axis across tp; each tp peer
+    computes a local top-1 and the winners are min-combined with an
+    all_gather over ICI.
+
+This is the BASELINE.json config-5 shape: "many scan pairs pipelined
+concurrently with batched RANSAC on v5e".
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lidar_global_registration_tpu.models.flagship import FlagshipConfig
+from lidar_global_registration_tpu.ops import matchers
+
+try:  # jax >= 0.6 top-level export
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+
+def match_bf_tp(fq, ft, fq_valid, ft_valid, k: int, tile: int, bf16: bool, axis: str):
+    """Tensor-parallel exact 1-NN: each device matches against its shard of
+    the train set, then the global best is picked across the axis."""
+    idx, dist, mask = matchers.match_bf(fq, ft, fq_valid, ft_valid, k=k, tile=tile, bf16=bf16)
+    nt_local = ft.shape[0]
+    offset = jax.lax.axis_index(axis) * nt_local
+    gidx = idx + offset
+    big = jnp.float32(3.0e38)
+    d = jnp.where(mask, dist, big)
+    all_d = jax.lax.all_gather(d, axis)  # [tp, Nq, k]
+    all_i = jax.lax.all_gather(gidx, axis)
+    all_m = jax.lax.all_gather(mask, axis)
+    # merge the tp * k candidates per query
+    T, Nq, K = all_d.shape
+    flat_d = jnp.moveaxis(all_d, 0, 1).reshape(Nq, T * K)
+    flat_i = jnp.moveaxis(all_i, 0, 1).reshape(Nq, T * K)
+    flat_m = jnp.moveaxis(all_m, 0, 1).reshape(Nq, T * K)
+    neg, sel = jax.lax.top_k(-flat_d, k)
+    out_d = -neg
+    out_i = jnp.take_along_axis(flat_i, sel, axis=1)
+    out_m = jnp.take_along_axis(flat_m, sel, axis=1) & (out_d < big)
+    return out_i, out_d, out_m
+
+
+def _pair_step_tp(src_xyz, src_valid, tgt_xyz, tgt_valid, key, scalars, cfg):
+    """Flagship step with tp-sharded matching; runs INSIDE shard_map with
+    axis 'tp' live.  Per-pair arrays are replicated across tp; only the
+    matching splits work."""
+    from lidar_global_registration_tpu.models import flagship as fs
+    from lidar_global_registration_tpu.ops import grid as gridmod
+    from lidar_global_registration_tpu.ops.normals import normals_from_neighbors
+    from lidar_global_registration_tpu.ops.transform import kabsch, to_matrix4
+
+    (
+        normal_cell,
+        density_cell_src,
+        density_cell_tgt,
+        iss_radius_src,
+        iss_radius_tgt,
+        feature_radius,
+        distance_thr,
+    ) = scalars
+    N = src_xyz.shape[0]
+
+    def side(xyz, valid, iss_radius):
+        idx, dist, mask = fs._knn_fixed(
+            xyz, valid, xyz, valid, normal_cell, cfg.normal_k, cfg.neighbor_cap, True
+        )
+        normal, _c, _o = normals_from_neighbors(xyz, xyz, idx, mask)
+        if cfg.use_iss:
+            qidx = jnp.arange(xyz.shape[0], dtype=jnp.int32)
+            g = gridmod.build_grid(xyz, valid, iss_radius)
+            iidx, _d, imask = gridmod.radius_neighbors(
+                g, xyz, valid, iss_radius, k=cfg.iss_neighbors, cap=cfg.neighbor_cap,
+                include_self=False, query_index=qidx,
+            )
+            counts = jnp.sum(imask, axis=1).astype(jnp.int32) + 1
+            sal, ok = fs._iss_saliency(xyz, valid, iidx, imask, counts)
+            kp = fs._nms(sal, ok, iidx, imask)
+        else:
+            kp = valid
+        return normal, kp
+
+    src_normal, src_kp = side(src_xyz, src_valid, iss_radius_src)
+    tgt_normal, tgt_kp = side(tgt_xyz, tgt_valid, iss_radius_tgt)
+    fq, fqv = fs._fpfh_fixed(src_xyz, src_normal, src_valid, src_kp, feature_radius, cfg)
+    ft, ftv = fs._fpfh_fixed(tgt_xyz, tgt_normal, tgt_valid, tgt_kp, feature_radius, cfg)
+
+    # ---- tp split of the train side ----
+    tp_size = jax.lax.axis_size("tp")
+    ti = jax.lax.axis_index("tp")
+    shard = N // tp_size
+    ft_l = jax.lax.dynamic_slice_in_dim(ft, ti * shard, shard, axis=0)
+    ftv_l = jax.lax.dynamic_slice_in_dim(ftv, ti * shard, shard, axis=0)
+    fq_l = jax.lax.dynamic_slice_in_dim(fq, ti * shard, shard, axis=0)
+    fqv_l = jax.lax.dynamic_slice_in_dim(fqv, ti * shard, shard, axis=0)
+
+    idx_st, dist_st, mask_st = match_bf_tp(
+        fq, ft_l, fqv, ftv_l, 1, cfg.match_tile, cfg.bf16_matching, "tp"
+    )
+    idx_ts, _d, mask_ts = match_bf_tp(
+        ft, fq_l, ftv, fqv_l, 1, cfg.match_tile, cfg.bf16_matching, "tp"
+    )
+    j = idx_st[:, 0]
+    mutual = mask_st[:, 0] & mask_ts[j, 0] & (
+        idx_ts[j, 0] == jnp.arange(N, dtype=jnp.int32)
+    )
+
+    dens_s = fs._smoothed_density(src_xyz, src_valid, density_cell_src, cfg.neighbor_cap, cfg.query_chunk)
+    dens_t = fs._smoothed_density(tgt_xyz, tgt_valid, density_cell_tgt, cfg.neighbor_cap, cfg.query_chunk)
+    thr = jnp.minimum(jnp.maximum(dens_s, dens_t[j]), distance_thr)
+    thr = jnp.where(thr > 0, thr, distance_thr)
+
+    p = src_xyz
+    q = tgt_xyz[j]
+    cvalid = mutual
+    n_corr = jnp.sum(cvalid.astype(jnp.float32))
+    order = jnp.argsort(~cvalid)
+    nvalid_i = jnp.maximum(n_corr.astype(jnp.int32), 1)
+    B, S = cfg.hypothesis_batch, cfg.n_samples
+
+    def round_body(carry, rkey):
+        best_metric, best_R, best_t = carry
+        samp = jax.random.randint(rkey, (B, S), 0, nvalid_i)
+        rows = order[samp]
+        ok = jnp.ones((B,), bool)
+        for a in range(S):
+            for b in range(a + 1, S):
+                ok = ok & (rows[:, a] != rows[:, b])
+        p3, q3 = p[rows], q[rows]
+        for a in range(S):
+            b = (a + 1) % S
+            ds = jnp.sum((p3[:, a] - p3[:, b]) ** 2, axis=-1)
+            dt = jnp.sum((q3[:, a] - q3[:, b]) ** 2, axis=-1)
+            ok = ok & (jnp.minimum(ds, dt) >= (cfg.edge_thr**2) * jnp.maximum(ds, dt))
+            ok = ok & (jnp.maximum(ds, dt) > 0)
+        R, t = kabsch(p3, q3)
+        tp_ = jnp.einsum("bij,mj->bmi", R, p) + t[:, None, :]
+        d = jnp.sqrt(jnp.maximum(jnp.sum((tp_ - q[None]) ** 2, axis=-1), 0.0))
+        cnt = jnp.sum((d < thr[None]) & cvalid[None], axis=1)
+        metric = jnp.where(ok & (cnt >= 10), cnt.astype(jnp.float32), -1.0)
+        bi = jnp.argmax(metric)
+        better = metric[bi] > best_metric
+        return (
+            jnp.where(better, metric[bi], best_metric),
+            jnp.where(better, R[bi], best_R),
+            jnp.where(better, t[bi], best_t),
+        ), None
+
+    keys = jax.random.split(key, cfg.rounds)
+    (bm, bR, bt), _ = jax.lax.scan(
+        round_body, (jnp.float32(-1.0), jnp.eye(3), jnp.zeros(3)), keys
+    )
+    tp2 = p @ bR.T + bt
+    d2 = jnp.sqrt(jnp.maximum(jnp.sum((tp2 - q) ** 2, axis=-1), 0.0))
+    inl = (d2 < thr) & cvalid
+    w = inl.astype(jnp.float32)
+    Rf, tf = kabsch(p[None], q[None], w[None])
+    T = jnp.where(bm > 0, to_matrix4(Rf[0], tf[0]), jnp.eye(4))
+    return T, jnp.sum(inl), n_corr
+
+
+def make_register_batch(mesh: Mesh, cfg: FlagshipConfig = FlagshipConfig()):
+    """Build the jitted sharded batch-registration step.
+
+    Inputs: src/tgt [B, N, 3] + valid [B, N] sharded over dp; scalars [B, 7]
+    per-pair (normal_cell, density cells, iss radii, feature_radius,
+    distance_thr); keys [B, 2] u32.
+    Returns (T [B,4,4], inliers [B], n_corr [B])."""
+
+    def shard_fn(sx, sv, tx, tv, keys, scalars):
+        def one(args):
+            sxi, svi, txi, tvi, ki, sci = args
+            return _pair_step_tp(sxi, svi, txi, tvi, ki, tuple(sci), cfg)
+
+        return jax.lax.map(one, (sx, sv, tx, tv, keys, scalars))
+
+    spec_b = P("dp")
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(spec_b, spec_b, spec_b, spec_b, spec_b, spec_b),
+        out_specs=(spec_b, spec_b, spec_b),
+        check_vma=False,
+    )
+    return jax.jit(fn)
