@@ -229,10 +229,32 @@ def analyze_keypoints(config: Config):
     from lidar_global_registration_tpu.ops.iss import detect_keypoints
     from lidar_global_registration_tpu.utils import debug_viz
 
+    from lidar_global_registration_tpu.ops.iss import subvoxel_iss_keypoints
+    from lidar_global_registration_tpu.types import Cloud
+
     testname, src, tgt, gt, params_list = _load_common(config)
     for params in params_list:
         idx_src = detect_keypoints(src, params.keypoint_id, params.iss_radius_src)
         idx_tgt = detect_keypoints(tgt, params.keypoint_id, params.iss_radius_tgt)
+        # sub-voxel keypoint refinement dumps (main.cpp:302-306)
+        sv_src, _i1, _o1 = subvoxel_iss_keypoints(src, params.iss_radius_src)
+        sv_tgt, _i2, _o2 = subvoxel_iss_keypoints(tgt, params.iss_radius_tgt)
+        from lidar_global_registration_tpu.utils.naming import construct_path
+
+        if len(sv_src):
+            debug_viz.save_colorized_cloud(
+                Cloud.from_numpy(sv_src),
+                gt if gt is not None else np.eye(4),
+                debug_viz.COLOR_RED,
+                construct_path(params, "subvoxel_kps_src"),
+            )
+        if len(sv_tgt):
+            debug_viz.save_colorized_cloud(
+                Cloud.from_numpy(sv_tgt),
+                np.eye(4),
+                debug_viz.COLOR_RED,
+                construct_path(params, "subvoxel_kps_tgt"),
+            )
         debug_viz.save_cloud_with_correspondences(
             src, idx_src, None, None, None, params,
             gt if gt is not None else np.eye(4), True,
@@ -259,6 +281,17 @@ def measure_test_results(config: Config):
             fout.write("testname,success_rate,mae,sae,mte,ste,mrmse,srmse,mtime,stime\n")
         for params in params_list:
             params = params.replace(fix_seed=False)
+            if params.save_features and gt is not None:
+                # main.cpp:342-344: dump nearest-point id mapping of the
+                # target cloud under GT for offline feature analysis
+                from lidar_global_registration_tpu.utils.debug_viz import (
+                    save_extracted_point_ids,
+                )
+
+                save_extracted_point_ids(
+                    src, tgt, gt, params,
+                    np.asarray(tgt.xyz)[np.asarray(tgt.valid)],
+                )
             n_times = n_times_cfg if params.alignment_id == ALIGNMENT_RANSAC else 1
             r_errs, t_errs, ov_errs, times = [], [], [], []
             n_success = 0

@@ -106,3 +106,59 @@ def detect_keypoints(cloud: Cloud, keypoint_id: str, iss_radius: float, **kw):
         is_kp, _ = iss_keypoints(cloud, iss_radius, **kw)
         return np.nonzero(np.asarray(is_kp) & valid)[0].astype(np.int32)
     return np.nonzero(valid)[0].astype(np.int32)
+
+
+def subvoxel_iss_keypoints(
+    cloud: Cloud,
+    iss_radius: float,
+    max_keypoints: int = 10,
+    **kw,
+):
+    """ISS keypoints refined to sub-voxel positions via quadric saliency
+    fitting (iss_debug.cpp:171-219 + quadric.cpp; the reference refines the
+    first 10 sorted keypoints with their 6 nearest neighbors).
+
+    Returns (refined f32[n,3], indices i32[n], ok bool[n])."""
+    import jax.numpy as jnp
+
+    from lidar_global_registration_tpu.ops.quadric import subvoxel_keypoints
+
+    g = gridmod.build_grid(cloud.xyz, cloud.valid, iss_radius)
+    qidx = jnp.arange(cloud.capacity, dtype=jnp.int32)
+    idx, _dist, mask = gridmod.radius_neighbors(
+        g,
+        cloud.xyz,
+        cloud.valid,
+        iss_radius,
+        k=kw.get("k_neighbors", 64),
+        cap=kw.get("cap_per_cell", 32),
+        include_self=False,
+        query_index=qidx,
+    )
+    counts = jnp.sum(mask, axis=1).astype(jnp.int32) + 1
+    saliency, ok = _iss_saliency(cloud.xyz, cloud.valid, idx, mask, counts)
+    is_kp = _nms(saliency, ok, idx, mask)
+    kp_idx = np.nonzero(np.asarray(is_kp) & np.asarray(cloud.valid))[0]
+    kp_idx = np.sort(kp_idx)[:max_keypoints].astype(np.int32)
+    if len(kp_idx) == 0:
+        return np.zeros((0, 3), np.float32), kp_idx, np.zeros((0,), bool)
+
+    # 6 nearest neighbors (including self) for the quadric fit
+    nidx, ndist, nmask = gridmod.knn(
+        g, cloud.xyz[jnp.asarray(kp_idx)], jnp.ones((len(kp_idx),), bool), 6,
+        cap=kw.get("cap_per_cell", 32), include_self=True,
+    )
+    # normals from a small PCA over the same neighbors
+    from lidar_global_registration_tpu.ops.normals import normals_from_neighbors
+
+    kp_xyz = cloud.xyz[jnp.asarray(kp_idx)]
+    normal, _c, _o = normals_from_neighbors(kp_xyz, cloud.xyz, nidx, nmask)
+    refined, rok = subvoxel_keypoints(
+        kp_xyz,
+        normal,
+        cloud.xyz[nidx],
+        saliency[nidx],
+        nmask,
+        iss_radius,
+    )
+    return np.asarray(refined), kp_idx, np.asarray(rok)

@@ -278,3 +278,50 @@ def save_vector_csv(values, filepath):
         f.write("value\n")
         for x in values:
             f.write(f"{x:g}\n")
+
+
+def save_normals(cloud: Cloud, transformation_gt, is_source: bool,
+                 params: AlignmentParameters):
+    """saveNormals (feature_analysis.cpp:11-18): GT-aligned cloud with
+    normals as a binary PLY."""
+    moved = cloud.transformed(jnp.asarray(np.asarray(transformation_gt, np.float32)))
+    xyz, nrm, _ = _cloud_np(moved)
+    path = construct_path(params, "normals_" + ("src" if is_source else "tgt"))
+    iomod.write_ply(path, xyz, normal=nrm)
+    return path
+
+
+def save_extracted_point_ids(src: Cloud, tgt: Cloud, transformation_gt,
+                             params: AlignmentParameters, extracted_xyz):
+    """saveExtractedPointIds (feature_analysis.cpp:20-56): nearest point ids
+    of `extracted_xyz` in the GT-aligned src and in tgt, with coordinates."""
+    moved = src.transformed(jnp.asarray(np.asarray(transformation_gt, np.float32)))
+    q = jnp.asarray(np.asarray(extracted_xyz, np.float32))
+    qv = jnp.ones((len(extracted_xyz),), bool)
+
+    def nn_ids(cloud):
+        from lidar_global_registration_tpu.ops.density import _auto_cell_size
+
+        cell = _auto_cell_size(cloud, 2)
+        for _ in range(10):
+            g = gridmod.build_grid(cloud.xyz, cloud.valid, cell)
+            idx, _d, mask = gridmod.knn(g, q, qv, 1, cap=64)
+            if bool(np.asarray(mask).all()):
+                break
+            cell *= 2.0
+        return np.asarray(idx[:, 0])
+
+    src_ids = nn_ids(moved)
+    tgt_ids = nn_ids(tgt)
+    path = construct_path(params, "ids", "csv")
+    sxyz = np.asarray(moved.xyz)
+    txyz = np.asarray(tgt.xyz)
+    with open(path, "w") as f:
+        f.write("id_src,id_tgt,x_src,x_tgt,y_src,y_tgt,z_src,z_tgt\n")
+        for i in range(len(extracted_xyz)):
+            s, t = src_ids[i], tgt_ids[i]
+            f.write(
+                f"{s},{t},{sxyz[s,0]:g},{txyz[t,0]:g},{sxyz[s,1]:g},"
+                f"{txyz[t,1]:g},{sxyz[s,2]:g},{txyz[t,2]:g}\n"
+            )
+    return path

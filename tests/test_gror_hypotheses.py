@@ -1,0 +1,103 @@
+import numpy as np
+import jax.numpy as jnp
+
+from lidar_global_registration_tpu.types import AlignmentParameters, Cloud, Correspondences
+from lidar_global_registration_tpu.models.gror import align_gror
+from lidar_global_registration_tpu.models.hypotheses import (
+    choose_best_hypothesis,
+    update_hypotheses,
+)
+from lidar_global_registration_tpu.ops.transform import rotation_translation_error
+
+
+def random_rigid(rng):
+    A = rng.normal(size=(3, 3))
+    Q, _ = np.linalg.qr(A)
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] *= -1
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = Q
+    T[:3, 3] = rng.normal(size=3) * 5
+    return T
+
+
+def make_problem(rng, n_inliers=60, n_outliers=60, noise=0.01):
+    T = random_rigid(rng)
+    src_pts = rng.uniform(-5, 5, size=(n_inliers + n_outliers, 3)).astype(np.float32)
+    tgt_pts = (src_pts @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+    tgt_pts += noise * rng.normal(size=tgt_pts.shape).astype(np.float32)
+    match = np.arange(n_inliers + n_outliers)
+    match[n_inliers:] = rng.permutation(n_outliers) + n_inliers
+    src = Cloud.from_numpy(src_pts)
+    tgt = Cloud.from_numpy(tgt_pts)
+    M = 128
+    corrs = Correspondences(
+        query=jnp.asarray(np.pad(np.arange(len(match)), (0, M - len(match))).astype(np.int32)),
+        match=jnp.asarray(np.pad(match, (0, M - len(match))).astype(np.int32)),
+        distance=jnp.zeros((M,), jnp.float32),
+        threshold=jnp.full((M,), 0.1, jnp.float32),
+        valid=jnp.asarray(np.arange(M) < len(match)),
+    )
+    return T, src, tgt, corrs
+
+
+def test_gror_recovers_transform(rng):
+    T, src, tgt, corrs = make_problem(rng)
+    params = AlignmentParameters(distance_thr=0.05)
+    res = align_gror(src, tgt, corrs, params)
+    r, t = rotation_translation_error(jnp.asarray(res.transformation), jnp.asarray(T))
+    assert float(r) < 2e-2, float(r)
+    assert float(t) < 1e-1, float(t)
+    assert res.converged
+
+
+def test_update_hypotheses_pool():
+    params = AlignmentParameters(distance_thr=0.1)
+    tns, metrics = [], []
+    T0 = np.eye(4, dtype=np.float32)
+    update_hypotheses(tns, metrics, T0, 1.0, params)
+    assert len(tns) == 1
+    # similar hypothesis with lower metric is rejected
+    T1 = T0.copy()
+    T1[:3, 3] = [0.01, 0, 0]
+    update_hypotheses(tns, metrics, T1, 0.5, params)
+    assert len(tns) == 1 and metrics[0] == 1.0
+    # similar with higher metric replaces
+    update_hypotheses(tns, metrics, T1, 2.0, params)
+    assert len(tns) == 1 and metrics[0] == 2.0
+    # dissimilar hypothesis appended (rotation > 20 deg)
+    ang = 0.8
+    T2 = np.eye(4, dtype=np.float32)
+    T2[:3, :3] = np.array(
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]]
+    )
+    update_hypotheses(tns, metrics, T2, 1.0, params)
+    assert len(tns) == 2
+    # far-too-weak hypothesis is ignored
+    T3 = T2.copy()
+    T3[:3, 3] = [50, 0, 0]
+    update_hypotheses(tns, metrics, T3, 0.01, params)
+    assert len(tns) == 2
+    # a new much-better hypothesis prunes weak ones
+    T4 = np.eye(4, dtype=np.float32)
+    T4[:3, :3] = T2[:3, :3].T
+    update_hypotheses(tns, metrics, T4, 100.0, params)
+    assert all(m >= 0.1 * 100.0 for m in metrics)
+
+
+def test_choose_best_hypothesis_prefers_true_transform(rng, tmp_path):
+    T, src, tgt, corrs = make_problem(rng, n_inliers=80, n_outliers=20)
+    wrong = random_rigid(rng)
+    params = AlignmentParameters(
+        distance_thr=0.1, testname="hyp", dir_path=str(tmp_path), ground_truth=T
+    )
+    import os
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        best = choose_best_hypothesis(src, tgt, corrs, params, [wrong, T])
+    finally:
+        os.chdir(cwd)
+    r, t = rotation_translation_error(jnp.asarray(best), jnp.asarray(T))
+    assert float(r) < 1e-4 and float(t) < 1e-4
