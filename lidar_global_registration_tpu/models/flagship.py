@@ -22,9 +22,6 @@ import jax.numpy as jnp
 
 from lidar_global_registration_tpu.ops import grid as gridmod
 from lidar_global_registration_tpu.ops import matchers
-from lidar_global_registration_tpu.ops.eigen3 import eigvals_sym3
-from lidar_global_registration_tpu.ops.fpfh import DIM as FPFH_DIM
-from lidar_global_registration_tpu.ops.fpfh import _bin_idx, pair_features, spfh
 from lidar_global_registration_tpu.ops.iss import _iss_saliency, _nms
 from lidar_global_registration_tpu.ops.normals import normals_from_neighbors
 from lidar_global_registration_tpu.ops.transform import kabsch, to_matrix4
@@ -83,27 +80,22 @@ def _smoothed_density(xyz, valid, cell, cap, chunk=None):
 
 
 def _fpfh_fixed(xyz, normal, valid, kp_mask, radius, cfg: FlagshipConfig):
-    """FPFH over all points; rows where kp_mask holds are the keypoints."""
-    g = gridmod.build_grid(xyz, valid, radius)
-    qidx = jnp.arange(xyz.shape[0], dtype=jnp.int32)
-    idx, dist, mask = gridmod.radius_neighbors(
-        g, xyz, valid, radius, k=cfg.feature_neighbors, cap=cfg.feature_cap,
-        include_self=False, query_index=qidx, chunk=cfg.query_chunk,
+    """FPFH over all points; rows where kp_mask holds are the keypoints.
+    Delegates to the shared SoA/chunked implementation."""
+    from lidar_global_registration_tpu.ops.fpfh import fpfh as fpfh_full
+
+    return fpfh_full(
+        xyz,
+        valid & kp_mask,
+        xyz,
+        normal,
+        valid,
+        radius,
+        kp_normal=normal,
+        k_neighbors=cfg.feature_neighbors,
+        cap=cfg.feature_cap,
+        chunk=cfg.query_chunk,
     )
-    spfh_all = spfh(xyz, normal, idx, mask)
-    nb = spfh_all[idx]
-    w = jnp.where(mask, 1.0 / jnp.maximum(dist * dist, 1e-30), 0.0)
-    cnt = jnp.sum(mask, axis=1)
-    wsum = jnp.einsum("mk,mkd->md", w, nb) / jnp.maximum(cnt, 1)[:, None]
-    feat = spfh_all + wsum
-    out = []
-    for blk in range(3):
-        f = feat[:, blk * 11 : (blk + 1) * 11]
-        s = jnp.sum(f, axis=1, keepdims=True)
-        out.append(jnp.where(s > 0, 100.0 * f / jnp.maximum(s, 1e-30), f))
-    feat = jnp.concatenate(out, axis=1)
-    fvalid = valid & kp_mask & (cnt > 0)
-    return jnp.where(fvalid[:, None], feat, 0.0), fvalid
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -75,7 +75,7 @@ def _estimate_frames(params: AlignmentParameters, kps: Cloud, radius):
             idx, _d, mask = gridmod.radius_neighbors(
                 g, kps.xyz, kps.valid, radius, k=64, cap=32
             )
-            fb_frames, _ok = lrfmod.shot_lrf(kps.xyz, radius, kps.xyz[idx], mask)
+            fb_frames, _ok = lrfmod.shot_lrf(kps.xyz, radius, kps.xyz, idx, mask)
             frames = jnp.where(jnp.asarray(needs_fb)[:, None, None], fb_frames, frames)
         return frames
     return None  # default LRF: descriptor's own

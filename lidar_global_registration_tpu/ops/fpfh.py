@@ -12,7 +12,9 @@ radius search (include/common.h:322-332).  The PCL algorithm:
 
 TPU re-design: SPFH is computed densely for EVERY surface point (uniform
 work, one big batched kernel) and the keypoint FPFH is a masked weighted
-gather-sum — no kd-tree, no per-point dynamic neighbor sets.
+gather-sum.  All neighbor gathers are structure-of-arrays ([M,K] per
+coordinate — [M,K,3] would pad its last dim to 128 lanes), and the
+33-channel SPFH gather of the combination phase runs in lax.map chunks.
 """
 from __future__ import annotations
 
@@ -28,28 +30,53 @@ DIM = 3 * NR_BINS
 
 
 def pair_features(p1, n1, p2, n2):
-    """pcl::computePairFeatures for broadcast arrays of shape [..., 3].
+    """pcl::computePairFeatures for [..., 3] arrays (AoS reference form,
+    used by tests; the compute path uses pair_features_soa)."""
+    dp = [p2[..., c] - p1[..., c] for c in range(3)]
+    n1c = [n1[..., c] for c in range(3)]
+    n2c = [n2[..., c] for c in range(3)]
+    return pair_features_soa(dp, n1c, n2c)
 
-    Returns (f1, f2, f3, ok): alpha = atan2(w.n_t, n_s.n_t), phi = v.n_t,
-    theta' = cos(angle of n_s with the connecting line)."""
-    dp = p2 - p1
-    d = jnp.sqrt(jnp.maximum(jnp.sum(dp * dp, axis=-1), 0.0))
+
+def pair_features_soa(dp, n1, n2):
+    """Darboux pair features from per-coordinate components.
+
+    dp/n1/n2: length-3 lists of broadcastable arrays (dp = p2 - p1).
+    Returns (f1, f2, f3, ok)."""
+    d2 = dp[0] ** 2 + dp[1] ** 2 + dp[2] ** 2
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))
     dsafe = jnp.maximum(d, 1e-30)
-    a1 = jnp.sum(n1 * dp, axis=-1) / dsafe
-    a2 = jnp.sum(n2 * dp, axis=-1) / dsafe
+    a1 = (n1[0] * dp[0] + n1[1] * dp[1] + n1[2] * dp[2]) / dsafe
+    a2 = (n2[0] * dp[0] + n2[1] * dp[1] + n2[2] * dp[2]) / dsafe
     # swap so the normal with the SMALLER angle to the line is the source
-    swap = jnp.arccos(jnp.clip(jnp.abs(a1), 0, 1)) > jnp.arccos(jnp.clip(jnp.abs(a2), 0, 1))
-    ns = jnp.where(swap[..., None], n2, n1)
-    nt = jnp.where(swap[..., None], n1, n2)
-    dps = jnp.where(swap[..., None], -dp, dp)
+    swap = jnp.arccos(jnp.clip(jnp.abs(a1), 0, 1)) > jnp.arccos(
+        jnp.clip(jnp.abs(a2), 0, 1)
+    )
+    ns = [jnp.where(swap, b, a) for a, b in zip(n1, n2)]
+    nt = [jnp.where(swap, a, b) for a, b in zip(n1, n2)]
+    dps = [jnp.where(swap, -c, c) for c in dp]
     f3 = jnp.where(swap, a2, a1)
-    v = jnp.cross(dps, ns)
-    vn = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1), 0.0))
+    # v = cross(dps, ns)
+    v = [
+        dps[1] * ns[2] - dps[2] * ns[1],
+        dps[2] * ns[0] - dps[0] * ns[2],
+        dps[0] * ns[1] - dps[1] * ns[0],
+    ]
+    vn = jnp.sqrt(jnp.maximum(v[0] ** 2 + v[1] ** 2 + v[2] ** 2, 0.0))
     ok = (d > 0) & (vn > 1e-12)
-    v = v / jnp.maximum(vn, 1e-30)[..., None]
-    w = jnp.cross(ns, v)
-    f2 = jnp.sum(v * nt, axis=-1)
-    f1 = jnp.arctan2(jnp.sum(w * nt, axis=-1), jnp.sum(ns * nt, axis=-1))
+    vs = jnp.maximum(vn, 1e-30)
+    v = [c / vs for c in v]
+    # w = cross(ns, v)
+    w = [
+        ns[1] * v[2] - ns[2] * v[1],
+        ns[2] * v[0] - ns[0] * v[2],
+        ns[0] * v[1] - ns[1] * v[0],
+    ]
+    f2 = v[0] * nt[0] + v[1] * nt[1] + v[2] * nt[2]
+    f1 = jnp.arctan2(
+        w[0] * nt[0] + w[1] * nt[1] + w[2] * nt[2],
+        ns[0] * nt[0] + ns[1] * nt[1] + ns[2] * nt[2],
+    )
     return f1, f2, f3, ok
 
 
@@ -62,34 +89,68 @@ def _bin_idx(f1, f2, f3):
     return b1, b2, b3
 
 
+def _spfh_histogram(f1, f2, f3, ok):
+    """3 x 11 histograms with increment 100/#pairs -> f32[M, 33]."""
+    M = ok.shape[0]
+    b1, b2, b3 = _bin_idx(f1, f2, f3)
+    cnt = jnp.sum(ok, axis=1)
+    incr = jnp.where(cnt > 0, 100.0 / jnp.maximum(cnt, 1), 0.0)
+    rows = jnp.arange(M, dtype=jnp.int32)[:, None]
+    val = jnp.where(ok, incr[:, None], 0.0).reshape(-1)
+    h = jnp.zeros((M * DIM,), jnp.float32)
+    for b, offset in ((b1, 0), (b2, NR_BINS), (b3, 2 * NR_BINS)):
+        tgt = rows * DIM + offset + b
+        h = h + jax.ops.segment_sum(val, tgt.reshape(-1), num_segments=M * DIM)
+    return h.reshape(M, DIM)
+
+
 @partial(jax.jit, static_argnames=())
 def spfh(xyz, normal, idx, mask):
-    """Simplified point feature histograms for all points.
+    """Simplified point feature histograms for all points (SoA gathers).
 
     xyz/normal f32[N,3]; idx i32[N,K] radius neighbors (self excluded);
     mask bool[N,K].  Returns f32[N,33]."""
-    N, K = idx.shape
-    p1 = xyz[:, None, :]
-    n1 = normal[:, None, :]
-    p2 = xyz[idx]
-    n2 = normal[idx]
-    f1, f2, f3, ok = pair_features(p1, n1, p2, n2)
+    dp = [xyz[:, c][idx] - xyz[:, c][:, None] for c in range(3)]
+    n1 = [normal[:, c][:, None] for c in range(3)]
+    n2 = [normal[:, c][idx] for c in range(3)]
+    f1, f2, f3, ok = pair_features_soa(dp, n1, n2)
     ok = ok & mask
-    # also require finite normals on both sides (zero-norm marks invalid)
-    ok = ok & (jnp.sum(n1 * n1, axis=-1) > 0.5) & (jnp.sum(n2 * n2, axis=-1) > 0.5)
-    b1, b2, b3 = _bin_idx(f1, f2, f3)
-    cnt = jnp.sum(ok, axis=1)
-    incr = jnp.where(cnt > 0, 100.0 / jnp.maximum(cnt, 1), 0.0)  # [N]
+    n1_ok = (n1[0] ** 2 + n1[1] ** 2 + n1[2] ** 2) > 0.5
+    n2_ok = (n2[0] ** 2 + n2[1] ** 2 + n2[2] ** 2) > 0.5
+    ok = ok & n1_ok & n2_ok
+    return _spfh_histogram(f1, f2, f3, ok)
 
-    rows = jnp.arange(N, dtype=jnp.int32)[:, None]
-    val = jnp.where(ok, incr[:, None], 0.0).reshape(-1)
 
-    def hist(b, offset):
-        tgt = rows * DIM + offset + b
-        return jax.ops.segment_sum(val, tgt.reshape(-1), num_segments=N * DIM)
+@partial(jax.jit, static_argnames=())
+def combine_spfh(
+    kp_xyz, kp_normal, surface_xyz, surface_normal, spfh_all, kidx, kdist, kmask
+):
+    """Keypoint FPFH from neighbor SPFHs + the keypoint's own SPFH
+    (PCL weightPointSPFHSignature).  Callers chunk over keypoints: the
+    [m, K, 33] SPFH gather is the memory hot spot."""
+    nonself = kdist > 1e-12
+    m = kmask & nonself
+    nb = spfh_all[kidx]  # [m,K,33]
+    w = jnp.where(m, 1.0 / jnp.maximum(kdist * kdist, 1e-30), 0.0)
+    k_cnt = jnp.sum(m, axis=1)
+    wsum = jnp.einsum("mk,mkd->md", w, nb) / jnp.maximum(k_cnt, 1)[:, None]
 
-    h = hist(b1, 0) + hist(b2, NR_BINS) + hist(b3, 2 * NR_BINS)
-    return h.reshape(N, DIM)
+    dp = [surface_xyz[:, c][kidx] - kp_xyz[:, c][:, None] for c in range(3)]
+    n1 = [kp_normal[:, c][:, None] for c in range(3)]
+    n2 = [surface_normal[:, c][kidx] for c in range(3)]
+    f1, f2, f3, ok = pair_features_soa(dp, n1, n2)
+    ok = ok & m
+    ok = ok & ((n2[0] ** 2 + n2[1] ** 2 + n2[2] ** 2) > 0.5)
+    ok = ok & ((n1[0] ** 2 + n1[1] ** 2 + n1[2] ** 2) > 0.5)
+    own = _spfh_histogram(f1, f2, f3, ok)
+
+    feat = own + wsum
+    out = []
+    for blk in range(3):
+        f = feat[:, blk * NR_BINS : (blk + 1) * NR_BINS]
+        s = jnp.sum(f, axis=1, keepdims=True)
+        out.append(jnp.where(s > 0, 100.0 * f / jnp.maximum(s, 1e-30), f))
+    return jnp.concatenate(out, axis=1), k_cnt
 
 
 def fpfh(
@@ -110,7 +171,6 @@ def fpfh(
     g = gridmod.build_grid(surface_xyz, surface_valid, radius)
     n_surface = surface_xyz.shape[0]
     sidx = jnp.arange(n_surface, dtype=jnp.int32)
-    # SPFH for every surface point (dense, uniform work).
     idx, _dist, mask = gridmod.radius_neighbors(
         g,
         surface_xyz,
@@ -124,50 +184,40 @@ def fpfh(
     )
     spfh_all = spfh(surface_xyz, surface_normal, idx, mask)
 
-    # Keypoint neighborhoods (keypoints are usually a subset of the surface at
-    # the same scale, but the pyramid recomputes them on a downsampled
-    # surface, so query independently).
     kidx, kdist, kmask = gridmod.radius_neighbors(
         g, kp_xyz, kp_valid, radius, k=k_neighbors, cap=cap, chunk=chunk
     )
-    # Exclude exact self-matches (distance == 0) from the weighted sum.
-    nonself = kdist > 1e-12
-    m = kmask & nonself
-    nb = spfh_all[kidx]  # [M,K,33]
-    w = jnp.where(m, 1.0 / jnp.maximum(kdist * kdist, 1e-30), 0.0)
-    k_cnt = jnp.sum(m, axis=1)
-    wsum = jnp.einsum("mk,mkd->md", w, nb) / jnp.maximum(k_cnt, 1)[:, None]
-
-    # Own SPFH: PCL computes SPFH at the query itself over the same
-    # neighborhood.  Compute directly from the keypoint's neighbors.
     if kp_normal is None:
         kp_normal = _nearest_normal(kp_xyz, kidx, kdist, kmask, surface_normal)
-    f1, f2, f3, ok = pair_features(
-        kp_xyz[:, None, :], kp_normal[:, None, :], surface_xyz[kidx], surface_normal[kidx]
-    )
-    ok = ok & m & (jnp.sum(surface_normal[kidx] ** 2, axis=-1) > 0.5)
-    ok = ok & (jnp.sum(kp_normal * kp_normal, axis=-1) > 0.5)[:, None]
-    b1, b2, b3 = _bin_idx(f1, f2, f3)
-    Mq, K = kidx.shape
-    cnt = jnp.sum(ok, axis=1)
-    incr = jnp.where(cnt > 0, 100.0 / jnp.maximum(cnt, 1), 0.0)
-    rows = jnp.arange(Mq, dtype=jnp.int32)[:, None]
-    val = jnp.where(ok, incr[:, None], 0.0).reshape(-1)
 
-    def hist(b, offset):
-        tgt = rows * DIM + offset + b
-        return jax.ops.segment_sum(val, tgt.reshape(-1), num_segments=Mq * DIM)
+    M = kp_xyz.shape[0]
+    if chunk is None or chunk >= M:
+        feat, k_cnt = combine_spfh(
+            kp_xyz, kp_normal, surface_xyz, surface_normal, spfh_all, kidx, kdist, kmask
+        )
+    else:
+        pad = (-M) % chunk
 
-    own = (hist(b1, 0) + hist(b2, NR_BINS) + hist(b3, 2 * NR_BINS)).reshape(Mq, DIM)
+        def padrows(a, fill=0):
+            if pad == 0:
+                return a
+            shape = (pad,) + a.shape[1:]
+            return jnp.concatenate([a, jnp.full(shape, fill, a.dtype)], axis=0)
 
-    feat = own + wsum
-    # renormalize each block to sum 100 (PCL weightPointSPFHSignature tail)
-    out = []
-    for blk in range(3):
-        f = feat[:, blk * NR_BINS : (blk + 1) * NR_BINS]
-        s = jnp.sum(f, axis=1, keepdims=True)
-        out.append(jnp.where(s > 0, 100.0 * f / jnp.maximum(s, 1e-30), f))
-    feat = jnp.concatenate(out, axis=1)
+        kx = padrows(kp_xyz).reshape(-1, chunk, 3)
+        kn = padrows(kp_normal).reshape(-1, chunk, 3)
+        ki = padrows(kidx).reshape(-1, chunk, kidx.shape[1])
+        kd = padrows(kdist).reshape(-1, chunk, kdist.shape[1])
+        km = padrows(kmask).reshape(-1, chunk, kmask.shape[1])
+
+        def body(args):
+            x, n, i, dd, mm = args
+            return combine_spfh(x, n, surface_xyz, surface_normal, spfh_all, i, dd, mm)
+
+        feat, k_cnt = jax.lax.map(body, (kx, kn, ki, kd, km))
+        feat = feat.reshape(-1, DIM)[:M]
+        k_cnt = k_cnt.reshape(-1)[:M]
+
     feat_valid = kp_valid & (k_cnt > 0)
     feat = jnp.where(feat_valid[:, None], feat, 0.0)
     return feat, feat_valid

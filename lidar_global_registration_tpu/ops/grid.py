@@ -105,10 +105,14 @@ def _candidates_for(grid: HashGrid, q: jax.Array, cap: int):
     ok = ok.reshape(M, -1)
     # Hash collisions can alias two of the 27 offset cells onto one sorted
     # segment, duplicating candidates; require the candidate's true cell to
-    # equal the intended cell.
-    cand_cells = _cell_coords(grid.xyz[cand], grid.origin, inv)  # [M,27*cap,3]
-    want = jnp.repeat(cells, cap, axis=1)  # [M,27*cap,3]
-    ok = ok & jnp.all(cand_cells == want, axis=-1)
+    # equal the intended cell.  Gather PER COORDINATE: a [M, 27*cap, 3]
+    # intermediate would tile its 3-wide last dim to 128 lanes on TPU (42x
+    # memory blowup — a 64k-query pass compiles to a >20GB buffer).
+    for d in range(3):
+        cd = jnp.floor((grid.xyz[:, d][cand] - grid.origin[d]) * inv)
+        cd = jnp.clip(cd, -_COORD_CLIP, _COORD_CLIP).astype(jnp.int32)
+        want_d = jnp.repeat(cells[..., d], cap, axis=1)
+        ok = ok & (cd == want_d)
     return cand, ok
 
 
@@ -124,8 +128,11 @@ def _radius_neighbors_chunk(
     include_self: bool,
 ):
     cand, ok = _candidates_for(grid, q, cap)  # [m, 27*cap]
-    pts = grid.xyz[cand]  # [m, 27*cap, 3]
-    d2 = jnp.sum((pts - q[:, None, :]) ** 2, axis=-1)
+    # per-coordinate distance accumulation (see the layout note above)
+    d2 = jnp.zeros(cand.shape, jnp.float32)
+    for d in range(3):
+        dd = grid.xyz[:, d][cand] - q[:, d][:, None]
+        d2 = d2 + dd * dd
     ok = ok & (d2 <= radius * radius) & qvalid[:, None]
     if not include_self:
         ok = ok & (cand != qidx[:, None])

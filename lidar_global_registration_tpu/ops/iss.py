@@ -32,13 +32,23 @@ from lidar_global_registration_tpu.types import Cloud
 def _iss_saliency(
     xyz, valid, idx, mask, counts, gamma21=0.975, gamma32=0.975, min_neighbors=4
 ):
-    """Third-eigenvalue saliency per point given salient-radius neighbors."""
-    pts = xyz[idx]  # [N,K,3]
+    """Third-eigenvalue saliency per point given salient-radius neighbors.
+
+    Per-coordinate gathers (SoA): [N,K,3] intermediates pad their last dim
+    to 128 lanes on TPU."""
     w = jnp.where(mask, 1.0 / jnp.maximum(counts[idx].astype(jnp.float32), 1.0), 0.0)
-    d = pts - xyz[:, None, :]
-    dw = d * w[..., None]
-    cov = jnp.einsum("nki,nkj->nij", dw, d)
     wsum = jnp.sum(w, axis=1)
+    diffs = [xyz[:, d][idx] - xyz[:, d][:, None] for d in range(3)]  # [N,K] x3
+    rows = []
+    for i in range(3):
+        row = []
+        for j in range(3):
+            if j < i:
+                row.append(rows[j][i])
+            else:
+                row.append(jnp.sum(w * diffs[i] * diffs[j], axis=1))
+        rows.append(row)
+    cov = jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
     cov = cov / jnp.maximum(wsum, 1e-30)[:, None, None]
     eig = eigvals_sym3(cov)  # ascending
     l3, l2, l1 = eig[:, 0], eig[:, 1], eig[:, 2]

@@ -23,25 +23,39 @@ RF_MIN_ANGLE_RAD = 0.04  # common.cpp:21
 
 
 @partial(jax.jit, static_argnames=())
-def shot_lrf(xyz_q, radius, nb_xyz, nb_mask):
-    """SHOT LRFs for query points with gathered neighborhoods.
+def shot_lrf(xyz_q, radius, xyz_all, idx, mask):
+    """SHOT LRFs for query points over indexed neighborhoods.
 
-    xyz_q f32[M,3]; nb_xyz f32[M,K,3]; nb_mask bool[M,K]; radius scalar.
-    Returns (frames f32[M,3,3] rows = (x,y,z), ok bool[M])."""
-    d = nb_xyz - xyz_q[:, None, :]
-    dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 0.0))
-    w = jnp.where(nb_mask, jnp.maximum(radius - dist, 0.0), 0.0)
+    xyz_q f32[M,3]; xyz_all f32[N,3]; idx i32[M,K]; mask bool[M,K];
+    radius scalar.  Returns (frames f32[M,3,3] rows = (x,y,z), ok bool[M]).
+
+    Per-coordinate gathers (SoA): [M,K,3] intermediates pad the 3-wide dim
+    to 128 lanes on TPU."""
+    diffs = [xyz_all[:, c][idx] - xyz_q[:, c][:, None] for c in range(3)]  # [M,K]
+    dist2 = diffs[0] ** 2 + diffs[1] ** 2 + diffs[2] ** 2
+    dist = jnp.sqrt(jnp.maximum(dist2, 0.0))
+    w = jnp.where(mask, jnp.maximum(radius - dist, 0.0), 0.0)
     wsum = jnp.sum(w, axis=1)
-    cov = jnp.einsum("mk,mki,mkj->mij", w, d, d) / jnp.maximum(wsum, 1e-30)[
-        :, None, None
-    ]
+    rows = []
+    for i in range(3):
+        row = []
+        for j in range(3):
+            if j < i:
+                row.append(rows[j][i])
+            else:
+                row.append(jnp.sum(w * diffs[i] * diffs[j], axis=1))
+        rows.append(row)
+    cov = jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+    cov = cov / jnp.maximum(wsum, 1e-30)[:, None, None]
     eig, V = eigh_sym3(cov)  # ascending: v0 smallest
     x = V[..., :, 2]  # largest eigenvector
     z = V[..., :, 0]  # smallest eigenvector
     # Sign disambiguation: orient toward the side with more neighbors
     # (weighted by validity only, like PCL's point-count majority).
-    px = jnp.sum(jnp.where(nb_mask, jnp.sign(jnp.einsum("mki,mi->mk", d, x)), 0.0), axis=1)
-    pz = jnp.sum(jnp.where(nb_mask, jnp.sign(jnp.einsum("mki,mi->mk", d, z)), 0.0), axis=1)
+    proj_x = diffs[0] * x[:, 0:1] + diffs[1] * x[:, 1:2] + diffs[2] * x[:, 2:3]
+    proj_z = diffs[0] * z[:, 0:1] + diffs[1] * z[:, 1:2] + diffs[2] * z[:, 2:3]
+    px = jnp.sum(jnp.where(mask, jnp.sign(proj_x), 0.0), axis=1)
+    pz = jnp.sum(jnp.where(mask, jnp.sign(proj_z), 0.0), axis=1)
     x = jnp.where((px < 0)[:, None], -x, x)
     z = jnp.where((pz < 0)[:, None], -z, z)
     y = jnp.cross(z, x)

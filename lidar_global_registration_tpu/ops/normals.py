@@ -23,14 +23,33 @@ def covariance_from_neighbors(xyz_all, idx, mask):
     """Masked mean-centered covariance per query.
 
     xyz_all f32[N,3], idx i32[M,K], mask bool[M,K] ->
-      (cov f32[M,3,3], mean f32[M,3], count i32[M])"""
-    pts = xyz_all[idx]  # [M,K,3]
+      (cov f32[M,3,3], mean f32[M,3], count i32[M])
+
+    Gathers are per coordinate (structure-of-arrays): a materialized
+    [M, K, 3] array tiles its 3-wide last dim to 128 lanes on TPU, a 42x
+    memory blowup at cloud scale."""
     w = mask.astype(jnp.float32)
     cnt = jnp.sum(w, axis=1)
     safe = jnp.maximum(cnt, 1.0)
-    mean = jnp.sum(pts * w[..., None], axis=1) / safe[:, None]
-    d = (pts - mean[:, None, :]) * w[..., None]
-    cov = jnp.einsum("mki,mkj->mij", d, d) / safe[:, None, None]
+    comps = []  # centered, weighted coordinate components [M,K]
+    means = []
+    for d in range(3):
+        xd = xyz_all[:, d][idx]
+        md = jnp.sum(xd * w, axis=1) / safe
+        comps.append((xd - md[:, None]) * w)
+        means.append(md)
+    mean = jnp.stack(means, axis=-1)
+    rows = []
+    for i in range(3):
+        row = []
+        for j in range(3):
+            if j < i:
+                row.append(rows[j][i])
+            else:
+                # w is 0/1 so the two carried factors of w collapse to one
+                row.append(jnp.sum(comps[i] * comps[j], axis=1) / safe)
+        rows.append(row)
+    cov = jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
     return cov, mean, cnt.astype(jnp.int32)
 
 

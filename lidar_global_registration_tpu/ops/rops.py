@@ -5,13 +5,13 @@ Reference: the custom PCL fork accepting precomputed LRFs
 number_of_rotations (3) x 3 projection planes x 5 statistics (central
 moments m11, m12, m21, m22 and Shannon entropy of a 5x5 distribution
 matrix) = 135 values.  The reference needs a greedy-projection mesh only to
-build LRFs when none are given; our mesh-free variant always derives the
-LRF from the weighted covariance (SHOT LRF) when no frames are supplied —
-point-sampled statistics instead of triangle-area-weighted ones.
+build LRFs when none are given; our mesh-free variant derives the LRF from
+the weighted covariance (SHOT LRF) — point-sampled statistics instead of
+triangle-area-weighted ones.
 
-TPU re-design: the per-keypoint loop over rotations becomes one einsum over
-a static stack of rotation matrices; the 5x5 distribution matrices are
-segment-sum histograms over padded neighbor lists.
+TPU re-design: per-coordinate (SoA) gathers; the static 9-rotation stack
+unrolls into per-rotation [M,K] component math; each 5x5 distribution
+matrix is a segment-sum histogram.
 """
 from __future__ import annotations
 
@@ -29,9 +29,9 @@ N_ROTATIONS = 3
 DIM = 3 * N_ROTATIONS * 3 * 5  # 135
 
 
-def _rotation_stack():
-    """Static [9, 3, 3] stack: for each axis (x,y,z of the LRF frame) and
-    each of N_ROTATIONS angles, the rotation matrix about that axis."""
+def _rotation_stack() -> np.ndarray:
+    """Static [9, 3, 3]: for each LRF axis (x,y,z) and each of N_ROTATIONS
+    angles, the rotation matrix about that axis."""
     mats = []
     for axis in range(3):
         for r in range(N_ROTATIONS):
@@ -44,80 +44,73 @@ def _rotation_stack():
             else:
                 m = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
             mats.append(m)
-    return jnp.asarray(np.array(mats, np.float32))
+    return np.array(mats, np.float32)
 
 
-_ROTS = None
+_ROTS_NP = _rotation_stack()
 
 
-def _rots():
-    global _ROTS
-    if _ROTS is None:
-        _ROTS = _rotation_stack()
-    return _ROTS
+def _distribution_stats(u, v, w_mask, cnt):
+    """5x5 normalized distribution matrix stats for one projection.
+
+    u, v: [M,K] plane coordinates; returns f32[M,5]."""
+    M = u.shape[0]
+    big = jnp.float32(3.0e38)
+    umin = jnp.min(jnp.where(w_mask, u, big), axis=1, keepdims=True)
+    umax = jnp.max(jnp.where(w_mask, u, -big), axis=1, keepdims=True)
+    vmin = jnp.min(jnp.where(w_mask, v, big), axis=1, keepdims=True)
+    vmax = jnp.max(jnp.where(w_mask, v, -big), axis=1, keepdims=True)
+    ub = jnp.clip(
+        jnp.floor((u - umin) / jnp.maximum(umax - umin, 1e-30) * N_BINS), 0, N_BINS - 1
+    ).astype(jnp.int32)
+    vb = jnp.clip(
+        jnp.floor((v - vmin) / jnp.maximum(vmax - vmin, 1e-30) * N_BINS), 0, N_BINS - 1
+    ).astype(jnp.int32)
+    cell = ub * N_BINS + vb
+    rows = jnp.arange(M, dtype=jnp.int32)[:, None]
+    dm = jax.ops.segment_sum(
+        w_mask.astype(jnp.float32).reshape(-1),
+        (rows * (N_BINS * N_BINS) + cell).reshape(-1),
+        num_segments=M * N_BINS * N_BINS,
+    ).reshape(M, N_BINS, N_BINS)
+    dm = dm / cnt[:, None, None]
+
+    ii = jnp.arange(N_BINS, dtype=jnp.float32)
+    ci = jnp.sum(dm * ii[None, :, None], axis=(1, 2))
+    cj = jnp.sum(dm * ii[None, None, :], axis=(1, 2))
+    di = ii[None, :, None] - ci[:, None, None]
+    dj = ii[None, None, :] - cj[:, None, None]
+    m11 = jnp.sum(dm * di * dj, axis=(1, 2))
+    m12 = jnp.sum(dm * di * dj * dj, axis=(1, 2))
+    m21 = jnp.sum(dm * di * di * dj, axis=(1, 2))
+    m22 = jnp.sum(dm * di * di * dj * dj, axis=(1, 2))
+    ent = -jnp.sum(jnp.where(dm > 0, dm * jnp.log(jnp.maximum(dm, 1e-30)), 0.0), axis=(1, 2))
+    return jnp.stack([m11, m12, m21, m22, ent], axis=-1)
 
 
 @partial(jax.jit, static_argnames=())
-def rops_from_neighbors(kp_xyz, frames, nb_xyz, nb_mask):
-    """kp_xyz f32[M,3]; frames f32[M,3,3] rows=(x,y,z); nb f32[M,K,3]."""
-    M, K = nb_mask.shape
-    rel = nb_xyz - kp_xyz[:, None, :]
-    # into LRF coordinates: local = frames @ rel
-    local = jnp.einsum("mij,mkj->mki", frames, rel)
-    R = _rots()  # [9,3,3]
-    rot = jnp.einsum("rij,mkj->mrki", R, local)  # [M,9,K,3]
-
-    # three projections: drop axis 0 / 1 / 2
-    proj_pairs = [(1, 2), (0, 2), (0, 1)]
-    feats = []
-    w = nb_mask.astype(jnp.float32)[:, None, :]  # [M,1,K]
-    cnt = jnp.maximum(jnp.sum(w, axis=-1), 1.0)  # [M,1]
-    for a, b in proj_pairs:
-        u = rot[..., a]  # [M,9,K]
-        v = rot[..., b]
-        big = jnp.float32(3.0e38)
-        umin = jnp.min(jnp.where(nb_mask[:, None, :], u, big), axis=-1, keepdims=True)
-        umax = jnp.max(jnp.where(nb_mask[:, None, :], u, -big), axis=-1, keepdims=True)
-        vmin = jnp.min(jnp.where(nb_mask[:, None, :], v, big), axis=-1, keepdims=True)
-        vmax = jnp.max(jnp.where(nb_mask[:, None, :], v, -big), axis=-1, keepdims=True)
-        ub = jnp.clip(
-            jnp.floor((u - umin) / jnp.maximum(umax - umin, 1e-30) * N_BINS),
-            0,
-            N_BINS - 1,
-        ).astype(jnp.int32)
-        vb = jnp.clip(
-            jnp.floor((v - vmin) / jnp.maximum(vmax - vmin, 1e-30) * N_BINS),
-            0,
-            N_BINS - 1,
-        ).astype(jnp.int32)
-        cell = ub * N_BINS + vb  # [M,9,K]
-        rowid = (
-            jnp.arange(M, dtype=jnp.int32)[:, None, None] * 9
-            + jnp.arange(9, dtype=jnp.int32)[None, :, None]
-        )
-        flat = rowid * (N_BINS * N_BINS) + cell
-        dm = jax.ops.segment_sum(
-            jnp.broadcast_to(w, cell.shape).reshape(-1),
-            flat.reshape(-1),
-            num_segments=M * 9 * N_BINS * N_BINS,
-        ).reshape(M, 9, N_BINS, N_BINS)
-        dm = dm / cnt[..., None, None]  # normalized distribution matrix
-
-        ii = jnp.arange(N_BINS, dtype=jnp.float32)
-        ci = jnp.sum(dm * ii[None, None, :, None], axis=(2, 3))
-        cj = jnp.sum(dm * ii[None, None, None, :], axis=(2, 3))
-        di = ii[None, None, :, None] - ci[..., None, None]
-        dj = ii[None, None, None, :] - cj[..., None, None]
-        m11 = jnp.sum(dm * di * dj, axis=(2, 3))
-        m12 = jnp.sum(dm * di * dj * dj, axis=(2, 3))
-        m21 = jnp.sum(dm * di * di * dj, axis=(2, 3))
-        m22 = jnp.sum(dm * di * di * dj * dj, axis=(2, 3))
-        ent = -jnp.sum(
-            jnp.where(dm > 0, dm * jnp.log(jnp.maximum(dm, 1e-30)), 0.0), axis=(2, 3)
-        )
-        feats.append(jnp.stack([m11, m12, m21, m22, ent], axis=-1))  # [M,9,5]
-
-    desc = jnp.concatenate(feats, axis=-1).reshape(M, DIM)
+def rops_from_neighbors(kp_xyz, frames, surface_xyz, idx, mask):
+    """kp_xyz f32[M,3]; frames f32[M,3,3] rows=(x,y,z); idx i32[M,K]."""
+    d = [surface_xyz[:, c][idx] - kp_xyz[:, c][:, None] for c in range(3)]  # [M,K]
+    # LRF coordinates: loc_j = frames[:, j, :] . d
+    loc = [
+        d[0] * frames[:, j, 0:1] + d[1] * frames[:, j, 1:2] + d[2] * frames[:, j, 2:3]
+        for j in range(3)
+    ]
+    cnt = jnp.maximum(jnp.sum(mask.astype(jnp.float32), axis=1), 1.0)
+    feats = []  # ordered [projection][rotation] to match the AoS layout
+    per_proj = [[], [], []]
+    for r in range(9):
+        Rm = _ROTS_NP[r]
+        rot = [
+            float(Rm[i, 0]) * loc[0] + float(Rm[i, 1]) * loc[1] + float(Rm[i, 2]) * loc[2]
+            for i in range(3)
+        ]
+        for p, (a, b) in enumerate(((1, 2), (0, 2), (0, 1))):
+            per_proj[p].append(_distribution_stats(rot[a], rot[b], mask, cnt))
+    for p in range(3):
+        feats.append(jnp.stack(per_proj[p], axis=1))  # [M,9,5]
+    desc = jnp.concatenate(feats, axis=-1).reshape(kp_xyz.shape[0], DIM)
     return desc
 
 
@@ -136,10 +129,9 @@ def rops(
     idx, _d, mask = gridmod.radius_neighbors(
         g, kp_xyz, kp_valid, radius, k=k_neighbors, cap=cap, chunk=chunk
     )
-    nb_xyz = surface_xyz[idx]
     if frames is None:
-        frames, _ok = lrfmod.shot_lrf(kp_xyz, radius, nb_xyz, mask)
-    desc = rops_from_neighbors(kp_xyz, jnp.asarray(frames), nb_xyz, mask)
+        frames, _ok = lrfmod.shot_lrf(kp_xyz, radius, surface_xyz, idx, mask)
+    desc = rops_from_neighbors(kp_xyz, jnp.asarray(frames), surface_xyz, idx, mask)
     n_nb = jnp.sum(mask, axis=1)
     ok = kp_valid & (n_nb >= 5)
     return jnp.where(ok[:, None], desc, 0.0), ok

@@ -7,12 +7,14 @@ include/common.h:394-415).  Per keypoint with LRF (x,y,z rows):
     (2) into desc_index in {0..31}; descriptor has 32 * (10+1) = 352 slots;
   - each neighbor votes into its (volume, shape-bin) slot with quadrilinear
     interpolation toward the adjacent shape bin, shell, elevation, azimuth;
-  - neighborhoods smaller than 5 points produce an invalid (NaN) descriptor;
+  - neighborhoods smaller than 5 points produce an invalid descriptor;
   - final histogram is L2-normalized.
 
-TPU re-design: neighbors come as padded [M, K] lists; every vote becomes 5
-(index, value) contributions scattered with one segment-sum into the [M,352]
-output.  All the PCL branches are rewritten as masked arithmetic.
+TPU re-design: neighbors come as padded [M, K] index lists; every gathered
+quantity is a PER-COORDINATE [M, K] array (structure-of-arrays — a
+materialized [M, K, 3] gather pads its last dim to 128 lanes, a 42x memory
+blowup), and each of the 5 interpolation contributions is its own
+segment-sum into the [M, 352] output.
 """
 from __future__ import annotations
 
@@ -32,27 +34,31 @@ MIN_NEIGHBORS = 5
 
 
 @partial(jax.jit, static_argnames=())
-def shot_from_neighbors(kp_xyz, kp_frames, nb_xyz, nb_normal, nb_mask, radius):
-    """kp_xyz f32[M,3]; kp_frames f32[M,3,3] rows (x,y,z); nb_* f32[M,K,...].
+def shot_from_neighbors(kp_xyz, kp_frames, surface_xyz, surface_normal, idx, mask, radius):
+    """kp_xyz f32[M,3]; kp_frames f32[M,3,3] rows (x,y,z); idx i32[M,K] into
+    the surface arrays.  Returns (desc f32[M,352], ok bool[M])."""
+    M, K = mask.shape
+    # per-coordinate gathers (SoA)
+    d = [surface_xyz[:, c][idx] - kp_xyz[:, c][:, None] for c in range(3)]  # [M,K]
+    nn = [surface_normal[:, c][idx] for c in range(3)]
+    dist2 = d[0] ** 2 + d[1] ** 2 + d[2] ** 2
+    dist = jnp.sqrt(jnp.maximum(dist2, 0.0))
 
-    Returns (desc f32[M,352], ok bool[M])."""
-    M, K = nb_mask.shape
-    x_ax = kp_frames[:, 0, :][:, None, :]
-    y_ax = kp_frames[:, 1, :][:, None, :]
-    z_ax = kp_frames[:, 2, :][:, None, :]
+    def proj(axis_row):
+        ax = kp_frames[:, axis_row, :]
+        return d[0] * ax[:, 0:1] + d[1] * ax[:, 1:2] + d[2] * ax[:, 2:3]
 
-    delta = nb_xyz - kp_xyz[:, None, :]
-    dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, axis=-1), 0.0))
-
-    nrm_ok = jnp.sum(nb_normal * nb_normal, axis=-1) > 0.5
-    cos_desc = jnp.clip(jnp.sum(nb_normal * z_ax, axis=-1), -1.0, 1.0)
+    xr = proj(0)
+    yr = proj(1)
+    zr = proj(2)
+    zax = kp_frames[:, 2, :]
+    cos_desc = jnp.clip(
+        nn[0] * zax[:, 0:1] + nn[1] * zax[:, 1:2] + nn[2] * zax[:, 2:3], -1.0, 1.0
+    )
+    nrm_ok = (nn[0] ** 2 + nn[1] ** 2 + nn[2] ** 2) > 0.5
     bin_dist = (1.0 + cos_desc) * NR_BINS / 2.0
+    use = mask & (dist > 1e-12) & nrm_ok
 
-    use = nb_mask & (dist > 1e-12) & nrm_ok
-
-    xr = jnp.sum(delta * x_ax, axis=-1)
-    yr = jnp.sum(delta * y_ax, axis=-1)
-    zr = jnp.sum(delta * z_ax, axis=-1)
     # PCL zeroes tiny components before the sign logic
     xr = jnp.where(jnp.abs(xr) < 1e-30, 0.0, xr)
     yr = jnp.where(jnp.abs(yr) < 1e-30, 0.0, yr)
@@ -91,40 +97,32 @@ def shot_from_neighbors(kp_xyz, kp_frames, nb_xyz, nb_normal, nb_mask, radius):
     # ---- radial (shell) interpolation ----
     rd_out = (dist - radius3_4) / radius1_2
     rd_in = (dist - radius1_4) / radius1_2
-    # outer shell
     w_out = jnp.where(dist > radius3_4, 1.0 - rd_out, 1.0 + rd_out)
     r_nb_out = (desc_index - 2) * (NR_BINS + 1) + step_index
-    rv_out = -rd_out  # subtracted in reference
     r_has_nb_out = ~(dist > radius3_4)
-    # inner shell
     w_in = jnp.where(dist < radius1_4, 1.0 + rd_in, 1.0 - rd_in)
     r_nb_in = (desc_index + 2) * (NR_BINS + 1) + step_index
-    rv_in = rd_in
     r_has_nb_in = ~(dist < radius1_4)
     int_weight = int_weight + jnp.where(outer, w_out, w_in)
     rinterp_idx = jnp.where(outer, r_nb_out, r_nb_in)
-    rinterp_val = jnp.where(outer, rv_out, rv_in)
+    rinterp_val = jnp.where(outer, -rd_out, rd_in)
     rinterp_val = jnp.where(jnp.where(outer, r_has_nb_out, r_has_nb_in), rinterp_val, 0.0)
 
     # ---- elevation interpolation ----
     incl_cos = jnp.clip(zr / jnp.maximum(dist, 1e-30), -1.0, 1.0)
     incl = jnp.arccos(incl_cos)
-    lower = (incl > jnp.pi / 2) | (
-        (jnp.abs(incl - jnp.pi / 2) < 1e-30) & (zr <= 0)
-    )
+    lower = (incl > jnp.pi / 2) | ((jnp.abs(incl - jnp.pi / 2) < 1e-30) & (zr <= 0))
     id_lo = (incl - 3.0 * jnp.pi / 4.0) / (jnp.pi / 2.0)
     id_hi = (incl - jnp.pi / 4.0) / (jnp.pi / 2.0)
     w_lo = jnp.where(incl > 3.0 * jnp.pi / 4.0, 1.0 - id_lo, 1.0 + id_lo)
     w_hi = jnp.where(incl < jnp.pi / 4.0, 1.0 + id_hi, 1.0 - id_hi)
     e_nb_lo = (desc_index + 1) * (NR_BINS + 1) + step_index
     e_nb_hi = (desc_index - 1) * (NR_BINS + 1) + step_index
-    ev_lo = -id_lo
-    ev_hi = id_hi
     e_has_lo = ~(incl > 3.0 * jnp.pi / 4.0)
     e_has_hi = ~(incl < jnp.pi / 4.0)
     int_weight = int_weight + jnp.where(lower, w_lo, w_hi)
     einterp_idx = jnp.where(lower, e_nb_lo, e_nb_hi)
-    einterp_val = jnp.where(lower, ev_lo, ev_hi)
+    einterp_val = jnp.where(lower, -id_lo, id_hi)
     einterp_val = jnp.where(jnp.where(lower, e_has_lo, e_has_hi), einterp_val, 0.0)
 
     # ---- azimuth interpolation ----
@@ -147,19 +145,25 @@ def shot_from_neighbors(kp_xyz, kp_frames, nb_xyz, nb_normal, nb_mask, radius):
     ainterp_val = jnp.where(has_az, ainterp_val, 0.0)
 
     main_idx = volume_index + step_index
-    main_val = int_weight
 
-    idxs = jnp.stack([main_idx, binterp_idx, rinterp_idx, einterp_idx, ainterp_idx], -1)
-    vals = jnp.stack([main_val, binterp_val, rinterp_val, einterp_val, ainterp_val], -1)
-    vals = jnp.where(use[..., None], vals, 0.0)
-    idxs = jnp.clip(idxs, 0, DIM - 1)
-
-    rows = jnp.arange(M, dtype=jnp.int32)[:, None, None]
-    flat_idx = (rows * DIM + idxs).reshape(-1)
-    desc = jax.ops.segment_sum(vals.reshape(-1), flat_idx, num_segments=M * DIM)
+    rows = jnp.arange(M, dtype=jnp.int32)[:, None]
+    desc = jnp.zeros((M * DIM,), jnp.float32)
+    # 5 contributions, each its own [M,K] segment-sum (no [M,K,5] stack)
+    for tgt_idx, val in (
+        (main_idx, int_weight),
+        (binterp_idx, binterp_val),
+        (rinterp_idx, rinterp_val),
+        (einterp_idx, einterp_val),
+        (ainterp_idx, ainterp_val),
+    ):
+        flat = rows * DIM + jnp.clip(tgt_idx, 0, DIM - 1)
+        v = jnp.where(use, val, 0.0)
+        desc = desc + jax.ops.segment_sum(
+            v.reshape(-1), flat.reshape(-1), num_segments=M * DIM
+        )
     desc = desc.reshape(M, DIM)
 
-    n_nb = jnp.sum(nb_mask & (dist > 1e-12), axis=1)
+    n_nb = jnp.sum(mask & (dist > 1e-12), axis=1)
     ok = n_nb >= MIN_NEIGHBORS
     norm = jnp.sqrt(jnp.maximum(jnp.sum(desc * desc, axis=1, keepdims=True), 1e-30))
     desc = jnp.where(ok[:, None], desc / norm, 0.0)
@@ -186,12 +190,12 @@ def shot(
     idx, _dist, mask = gridmod.radius_neighbors(
         g, kp_xyz, kp_valid, radius, k=k_neighbors, cap=cap, chunk=chunk
     )
-    nb_xyz = surface_xyz[idx]
-    nb_nrm = surface_normal[idx]
     if frames is None:
-        frames, frames_ok = lrfmod.shot_lrf(kp_xyz, radius, nb_xyz, mask)
+        frames, frames_ok = lrfmod.shot_lrf(kp_xyz, radius, surface_xyz, idx, mask)
     else:
         frames_ok = jnp.ones((kp_xyz.shape[0],), bool)
-    desc, ok = shot_from_neighbors(kp_xyz, frames, nb_xyz, nb_nrm, mask, radius)
+    desc, ok = shot_from_neighbors(
+        kp_xyz, jnp.asarray(frames), surface_xyz, surface_normal, idx, mask, radius
+    )
     ok = ok & frames_ok & kp_valid
     return jnp.where(ok[:, None], desc, 0.0), ok

@@ -8,7 +8,8 @@ x elevation x azimuth bins in the LRF frame, each neighbor weighted by
 LRF instead of azimuth marginalization.
 
 Bin layout chosen as radial 10 x elevation 14 x azimuth 14 = 1960 to match
-the descriptor width of pcl::UniqueShapeContext1960.
+the descriptor width of pcl::UniqueShapeContext1960.  Per-coordinate (SoA)
+gathers throughout.
 """
 from __future__ import annotations
 
@@ -16,7 +17,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from lidar_global_registration_tpu.ops import grid as gridmod
 from lidar_global_registration_tpu.ops import lrf as lrfmod
@@ -28,34 +28,31 @@ DIM = N_RAD * N_ELEV * N_AZIM  # 1960
 
 
 @partial(jax.jit, static_argnames=())
-def usc_from_neighbors(kp_xyz, frames, nb_xyz, nb_mask, nb_density, radius):
-    M, K = nb_mask.shape
+def usc_from_neighbors(kp_xyz, frames, surface_xyz, idx, mask, nb_density, radius):
+    M, K = mask.shape
     r_min = radius / 10.0
-    rel = nb_xyz - kp_xyz[:, None, :]
-    local = jnp.einsum("mij,mkj->mki", frames, rel)  # LRF coords (x,y,z)
-    d = jnp.sqrt(jnp.maximum(jnp.sum(local * local, axis=-1), 0.0))
-    use = nb_mask & (d > 1e-12) & (d <= radius)
+    d = [surface_xyz[:, c][idx] - kp_xyz[:, c][:, None] for c in range(3)]  # [M,K]
+    loc = [
+        d[0] * frames[:, j, 0:1] + d[1] * frames[:, j, 1:2] + d[2] * frames[:, j, 2:3]
+        for j in range(3)
+    ]
+    dist = jnp.sqrt(jnp.maximum(loc[0] ** 2 + loc[1] ** 2 + loc[2] ** 2, 0.0))
+    use = mask & (dist > 1e-12) & (dist <= radius)
 
-    # log-spaced radial bins between r_min and radius
-    logr = jnp.log(jnp.maximum(d, 1e-30) / r_min) / jnp.log(radius / r_min)
+    logr = jnp.log(jnp.maximum(dist, 1e-30) / r_min) / jnp.log(radius / r_min)
     rb = jnp.clip(jnp.floor(logr * N_RAD), 0, N_RAD - 1).astype(jnp.int32)
-    # elevation in [0, pi] over z
-    cosel = jnp.clip(local[..., 2] / jnp.maximum(d, 1e-30), -1.0, 1.0)
-    eb = jnp.clip(
-        jnp.floor(jnp.arccos(cosel) / jnp.pi * N_ELEV), 0, N_ELEV - 1
-    ).astype(jnp.int32)
-    # azimuth in [0, 2pi)
-    az = jnp.mod(jnp.arctan2(local[..., 1], local[..., 0]) + 2 * jnp.pi, 2 * jnp.pi)
+    cosel = jnp.clip(loc[2] / jnp.maximum(dist, 1e-30), -1.0, 1.0)
+    eb = jnp.clip(jnp.floor(jnp.arccos(cosel) / jnp.pi * N_ELEV), 0, N_ELEV - 1).astype(
+        jnp.int32
+    )
+    az = jnp.mod(jnp.arctan2(loc[1], loc[0]) + 2 * jnp.pi, 2 * jnp.pi)
     ab = jnp.clip(jnp.floor(az / (2 * jnp.pi) * N_AZIM), 0, N_AZIM - 1).astype(jnp.int32)
-
     cell = (rb * N_ELEV + eb) * N_AZIM + ab
 
-    # bin volume: spherical wedge between shells
     edges = r_min * (radius / r_min) ** (jnp.arange(N_RAD + 1) / N_RAD)
-    # elevation band boundaries
     el_edges = jnp.arange(N_ELEV + 1) / N_ELEV * jnp.pi
-    shell_vol = (edges[1:] ** 3 - edges[:-1] ** 3) / 3.0  # [N_RAD]
-    band = jnp.cos(el_edges[:-1]) - jnp.cos(el_edges[1:])  # [N_ELEV]
+    shell_vol = (edges[1:] ** 3 - edges[:-1] ** 3) / 3.0
+    band = jnp.cos(el_edges[:-1]) - jnp.cos(el_edges[1:])
     vol = (
         shell_vol[:, None, None]
         * band[None, :, None]
@@ -66,9 +63,9 @@ def usc_from_neighbors(kp_xyz, frames, nb_xyz, nb_mask, nb_density, radius):
     w = jnp.where(use, w, 0.0)
 
     rows = jnp.arange(M, dtype=jnp.int32)[:, None]
-    flat = rows * DIM + cell
-    desc = jax.ops.segment_sum(w.reshape(-1), flat.reshape(-1), num_segments=M * DIM)
-    desc = desc.reshape(M, DIM)
+    desc = jax.ops.segment_sum(
+        w.reshape(-1), (rows * DIM + cell).reshape(-1), num_segments=M * DIM
+    ).reshape(M, DIM)
     norm = jnp.sqrt(jnp.maximum(jnp.sum(desc * desc, axis=1, keepdims=True), 1e-30))
     return desc / norm
 
@@ -88,22 +85,16 @@ def usc(
     idx, dist, mask = gridmod.radius_neighbors(
         g, kp_xyz, kp_valid, radius, k=k_neighbors, cap=cap, chunk=chunk
     )
-    nb_xyz = surface_xyz[idx]
     if frames is None:
-        frames, _ok = lrfmod.shot_lrf(kp_xyz, radius, nb_xyz, mask)
-    # local point density around each neighbor: count of surface points
-    # within r/5 (pcl point_density_radius), approximated by counting within
-    # the gathered neighborhood.
+        frames, _ok = lrfmod.shot_lrf(kp_xyz, radius, surface_xyz, idx, mask)
+    # local point density proxy: neighbors of the keypoint within r/5
     density_r = radius / 5.0
-    # pairwise distances neighbor-to-neighbor would be K^2; approximate local
-    # density by the number of the keypoint's neighbors within density_r of
-    # each neighbor's distance shell — cheap proxy: global count per kp.
     nb_density = jnp.sum(mask & (dist <= density_r), axis=1, keepdims=True)
     nb_density = jnp.broadcast_to(
         jnp.maximum(nb_density.astype(jnp.float32), 1.0), mask.shape
     )
     desc = usc_from_neighbors(
-        kp_xyz, jnp.asarray(frames), nb_xyz, mask, nb_density, radius
+        kp_xyz, jnp.asarray(frames), surface_xyz, idx, mask, nb_density, radius
     )
     n_nb = jnp.sum(mask, axis=1)
     ok = kp_valid & (n_nb >= 5)

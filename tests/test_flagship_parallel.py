@@ -1,0 +1,81 @@
+"""Flagship jittable step + dp/tp sharded batch (virtual 8-device mesh)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import sys, os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from __graft_entry__ import _synthetic_pair  # noqa: E402
+from lidar_global_registration_tpu.models.flagship import (  # noqa: E402
+    FlagshipConfig,
+    register_pair_step,
+)
+
+
+def _args(n, cfg_seed=566):
+    a, b = _synthetic_pair(n, seed=cfg_seed)
+    spacing = 30.0 / np.sqrt(n)
+    return (
+        jnp.asarray(a),
+        jnp.ones((n,), bool),
+        jnp.asarray(b),
+        jnp.ones((n,), bool),
+        jax.random.PRNGKey(566),
+        jnp.float32(spacing * 4.0),
+        jnp.float32(spacing * 2.0),
+        jnp.float32(spacing * 2.0),
+        jnp.float32(spacing * 3.0),
+        jnp.float32(spacing * 3.0),
+        jnp.float32(spacing * 8.0),
+        jnp.float32(spacing * 4.0),
+    )
+
+
+@pytest.mark.slow
+def test_flagship_registers_synthetic_pair():
+    n = 2048
+    cfg = FlagshipConfig(rounds=8, hypothesis_batch=512, use_iss=False)
+    out = register_pair_step(*_args(n), cfg=cfg)
+    assert bool(out["converged"])
+    T = np.asarray(out["transformation"])
+    ang = 0.4
+    # ground truth: x_b = R^T (x_a - t)
+    R = np.array(
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
+        np.float32,
+    )
+    cos_err = (np.trace(T[:3, :3] @ R) - 1.0) / 2.0  # angle of T R (T ~ R^T)
+    assert cos_err > np.cos(np.deg2rad(3.0)), T
+
+
+def test_flagship_deterministic():
+    n = 512
+    cfg = FlagshipConfig(rounds=2, hypothesis_batch=128, use_iss=False)
+    o1 = register_pair_step(*_args(n), cfg=cfg)
+    o2 = register_pair_step(*_args(n), cfg=cfg)
+    np.testing.assert_array_equal(
+        np.asarray(o1["transformation"]), np.asarray(o2["transformation"])
+    )
+
+
+def test_flagship_query_chunking_invariant():
+    n = 512
+    base = FlagshipConfig(rounds=2, hypothesis_batch=128, use_iss=True)
+    chunked = FlagshipConfig(rounds=2, hypothesis_batch=128, use_iss=True, query_chunk=128)
+    o1 = register_pair_step(*_args(n), cfg=base)
+    o2 = register_pair_step(*_args(n), cfg=chunked)
+    np.testing.assert_allclose(
+        np.asarray(o1["transformation"]), np.asarray(o2["transformation"]), atol=1e-5
+    )
+    assert int(o1["n_correspondences"]) == int(o2["n_correspondences"])
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_8dev():
+    from __graft_entry__ import dryrun_multichip
+
+    assert len(jax.devices()) >= 8
+    dryrun_multichip(8)
