@@ -50,6 +50,8 @@ from lidar_global_registration_tpu.types import (
     MATCHING_CLUSTER_THRESHOLD,
     MATCHING_LEFT_TO_RIGHT,
     MATCHING_ONE_SIDED,
+    MATCHING_RATIO,
+    MATCHING_RATIO_THRESHOLD,
     round_up,
 )
 
@@ -307,7 +309,14 @@ def _consensus_vote(cand_idx, cand_dist, cand_mask, train_xyz, iss_radius):
     key = counts - 1e-6 * cand_dist
     best = jnp.argmax(key, axis=1)
     take = lambda a: jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]
-    return take(cand_idx), take(cand_dist), take(cand_mask)
+    b_idx, b_dist, b_mask = take(cand_idx), take(cand_dist), take(cand_mask)
+    # runner-up with a DIFFERENT train index (for the ratio matcher)
+    key2 = jnp.where(cand_idx == b_idx[:, None], -jnp.inf, key)
+    second = jnp.argmax(key2, axis=1)
+    take2 = lambda a: jnp.take_along_axis(a, second[:, None], axis=1)[:, 0]
+    s_dist = take2(cand_dist)
+    s_mask = take2(cand_mask) & (take2(cand_idx) != b_idx)
+    return b_idx, b_dist, b_mask, s_dist, s_mask
 
 
 def match_multiscale(
@@ -371,18 +380,21 @@ def match_multiscale(
         cand_m.append(gm)
 
     if not cand_i:
+        big = np.full((Mq,), np.float32(3.0e38), np.float32)
         return (
             np.zeros((Mq,), np.int64),
-            np.full((Mq,), np.float32(3.0e38), np.float32),
+            big,
+            np.zeros((Mq,), bool),
+            big.copy(),
             np.zeros((Mq,), bool),
         )
     ci = jnp.asarray(np.concatenate(cand_i, axis=1))
     cd = jnp.asarray(np.concatenate(cand_d, axis=1))
     cm = jnp.asarray(np.concatenate(cand_m, axis=1))
-    bi, bd, bm = _consensus_vote(
+    bi, bd, bm, sd, sm = _consensus_vote(
         ci.astype(jnp.int32), cd, cm, side_t.kps.xyz, jnp.float32(side_t.iss_radius)
     )
-    return np.asarray(bi), np.asarray(bd), np.asarray(bm)
+    return np.asarray(bi), np.asarray(bd), np.asarray(bm), np.asarray(sd), np.asarray(sm)
 
 
 # ---------------------------------------------------------------------------
@@ -482,8 +494,28 @@ def match_sides(
     n_src = len(side_src.kp_indices)
     n_tgt = len(side_tgt.kp_indices)
 
-    mi_ij, md_ij, mm_ij = match_multiscale(side_src, side_tgt, params)
+    mi_ij, md_ij, mm_ij, sd_ij, sm_ij = match_multiscale(side_src, side_tgt, params)
     matching_id = params.matching_id
+
+    if matching_id == MATCHING_RATIO:
+        # The reference's RatioMatcher is an unimplemented stub
+        # (matching.h:460-478); we complete it: accept a match when the
+        # runner-up candidate is at least ratio_threshold (1.1) farther in
+        # descriptor space (MATCHING_RATIO_THRESHOLD, common.h:50).
+        passes = mm_ij[:n_src] & (
+            ~sm_ij[:n_src] | (sd_ij[:n_src] > MATCHING_RATIO_THRESHOLD * md_ij[:n_src])
+        )
+        rows = np.nonzero(passes)[0]
+        return _build_correspondences(
+            rows,
+            mi_ij[rows],
+            md_ij[rows],
+            thr_src,
+            thr_tgt,
+            params.distance_thr,
+            side_src.kp_indices,
+            side_tgt.kp_indices,
+        )
 
     if matching_id == MATCHING_ONE_SIDED:
         rows = np.nonzero(mm_ij[:n_src])[0]
@@ -498,7 +530,9 @@ def match_sides(
             side_tgt.kp_indices,
         )
 
-    mi_ji, md_ji, mm_ji = match_multiscale(side_tgt, side_src, params, inverse_tn=True)
+    mi_ji, md_ji, mm_ji, _sd_ji, _sm_ji = match_multiscale(
+        side_tgt, side_src, params, inverse_tn=True
+    )
 
     if matching_id == MATCHING_CLUSTER:
         kc = params.cluster_k

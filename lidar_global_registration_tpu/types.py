@@ -71,6 +71,7 @@ FEATURES_REESTIMATE_FRAMES = True
 MATCHING_CLUSTER_THRESHOLD = 0.95
 MATCHING_CLUSTER_K = 40
 MATCHING_RATIO_K = 2
+MATCHING_RATIO_THRESHOLD = 1.1  # common.h:49
 SPARSE_POINTS_FRACTION = 0.01
 FEATURE_NR_POINTS = 352
 NORMAL_NR_POINTS = 30
