@@ -34,6 +34,17 @@ def _pad_rows(x, mult):
     return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
 
 
+def _use_pallas() -> bool:
+    import os
+
+    if os.environ.get("LGR_PALLAS", "0") != "1":
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 @partial(jax.jit, static_argnames=("k", "tile", "bf16"))
 def match_bf(
     query: jax.Array,
@@ -49,7 +60,15 @@ def match_bf(
     query f32[Nq,D], train f32[Nt,D] -> (idx i32[Nq,k], dist f32[Nq,k],
     mask bool[Nq,k]); distances are euclidean (sqrt), matching the reference's
     BF (NORM_L2) and FLANN (sqrt'd) conventions (matching.h:586-588,612).
+
+    With LGR_PALLAS=1 on TPU the k=1 hot path uses the fused Pallas kernel
+    (ops/pallas/topk_l2.py): the distance tile never leaves VMEM.
     """
+    if k == 1 and not bf16 and _use_pallas():
+        from lidar_global_registration_tpu.ops.pallas.topk_l2 import nn_l2_pallas
+
+        i1, d1, m1 = nn_l2_pallas(query, train, qvalid, tvalid, tile_t=tile)
+        return i1[:, None], d1[:, None], m1[:, None]
     Nq, D = query.shape
     Nt = train.shape[0]
     trainp = _pad_rows(train, tile)
