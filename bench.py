@@ -50,7 +50,6 @@ def run_step(n: int, repeats: int) -> float:
         rounds=8,
         hypothesis_batch=1024,
         use_iss=True,
-        query_chunk=16384 if n > 16384 else None,
         match_tile=4096,
     )
     args = (

@@ -163,7 +163,7 @@ def fpfh(
     kp_normal=None,
     k_neighbors: int = 384,
     cap: int = 128,
-    chunk: int | None = 2048,
+    chunk: int | None = None,
 ):
     """Full FPFH pipeline for keypoints against a surface cloud.
 
@@ -191,32 +191,30 @@ def fpfh(
         kp_normal = _nearest_normal(kp_xyz, kidx, kdist, kmask, surface_normal)
 
     M = kp_xyz.shape[0]
+    K = kidx.shape[1]
+    if chunk is None:
+        # the [m, K, 33] SPFH gather pads 33 -> 128 lanes; budget ~1.2GB
+        slots = M * K * 128
+        if slots > 300_000_000:
+            n_chunks = -(-slots // 300_000_000)
+            chunk = max(128, ((-(-M // n_chunks) + 127) // 128) * 128)
     if chunk is None or chunk >= M:
         feat, k_cnt = combine_spfh(
             kp_xyz, kp_normal, surface_xyz, surface_normal, spfh_all, kidx, kdist, kmask
         )
     else:
-        pad = (-M) % chunk
-
-        def padrows(a, fill=0):
-            if pad == 0:
-                return a
-            shape = (pad,) + a.shape[1:]
-            return jnp.concatenate([a, jnp.full(shape, fill, a.dtype)], axis=0)
-
-        kx = padrows(kp_xyz).reshape(-1, chunk, 3)
-        kn = padrows(kp_normal).reshape(-1, chunk, 3)
-        ki = padrows(kidx).reshape(-1, chunk, kidx.shape[1])
-        kd = padrows(kdist).reshape(-1, chunk, kdist.shape[1])
-        km = padrows(kmask).reshape(-1, chunk, kmask.shape[1])
-
-        def body(args):
-            x, n, i, dd, mm = args
-            return combine_spfh(x, n, surface_xyz, surface_normal, spfh_all, i, dd, mm)
-
-        feat, k_cnt = jax.lax.map(body, (kx, kn, ki, kd, km))
-        feat = feat.reshape(-1, DIM)[:M]
-        k_cnt = k_cnt.reshape(-1)[:M]
+        # UNROLLED chunk loop (lax.map serializes and defeats fusion)
+        feats, cnts = [], []
+        for st in range(0, M, chunk):
+            en = min(st + chunk, M)
+            f, c = combine_spfh(
+                kp_xyz[st:en], kp_normal[st:en], surface_xyz, surface_normal,
+                spfh_all, kidx[st:en], kdist[st:en], kmask[st:en],
+            )
+            feats.append(f)
+            cnts.append(c)
+        feat = jnp.concatenate(feats, axis=0)
+        k_cnt = jnp.concatenate(cnts, axis=0)
 
     feat_valid = kp_valid & (k_cnt > 0)
     feat = jnp.where(feat_valid[:, None], feat, 0.0)

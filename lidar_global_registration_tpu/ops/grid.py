@@ -5,9 +5,16 @@ include/common.h, matching.h).  Recursive trees are hostile to XLA; instead
 we bucket points into a uniform grid keyed by a spatial hash, sort once, and
 answer queries by scanning the 27 neighboring cells with a *fixed* per-cell
 candidate cap and masking.  This trades exactness at the cap boundary for
-static shapes and pure gather/sort ops — the same trade the reference makes
-when it caps ISS radius searches at `max_neighbors_`
-(src/pcl/iss_debug.cpp:47-54).
+static shapes — the same trade the reference makes when it caps ISS radius
+searches at `max_neighbors_` (src/pcl/iss_debug.cpp:47-54).
+
+Memory-access design (the perf-critical part):
+  - points are physically REORDERED by cell hash at build time (coordinates
+    kept as separate sorted x/y/z arrays — structure-of-arrays, since any
+    materialized [*, 3] gather pads its last dim to 128 lanes on TPU);
+  - a query reads each of its 27 cells as ONE contiguous run of `cap` slots
+    (a slice-gather of 27 rows per query), not 27*cap scattered elements;
+  - only the final top-k indices translate back to original point ids.
 
 All functions are jit-friendly with static K / cap / chunk sizes.
 """
@@ -21,38 +28,43 @@ import jax.numpy as jnp
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
 _COORD_CLIP = 1 << 20  # cell coordinates clipped here before hashing
+_TABLE_BITS = 18  # bucket table size (2^18 buckets, ~1MB of starts)
+_H = 1 << _TABLE_BITS
 
 
 def _hash_cells(cx, cy, cz):
-    """Classic 3-prime spatial hash onto int32 (collisions only add
-    distance-filtered candidates; they never drop true neighbors of a cell
-    unless two colliding cells overflow the shared candidate budget)."""
+    """Classic 3-prime spatial hash folded into [0, 2^18) bucket ids.
+
+    Bucket collisions only add distance-filtered candidates; the
+    per-candidate cell check below removes aliased cells."""
     h = (
         cx * jnp.int32(73856093)
         ^ cy * jnp.int32(19349663)
         ^ cz * jnp.int32(83492791)
     )
-    # Reserve INT32_MAX for invalid entries.
-    return jnp.where(h == INT32_MAX, jnp.int32(INT32_MAX - 1), h)
+    return h & jnp.int32(_H - 1)
 
 
-def _cell_coords(xyz, origin, inv_cell):
-    c = jnp.floor((xyz - origin) * inv_cell)
-    c = jnp.clip(c, -_COORD_CLIP, _COORD_CLIP).astype(jnp.int32)
-    return c
+def _cell_coords_1d(x, origin_d, inv_cell):
+    c = jnp.floor((x - origin_d) * inv_cell)
+    return jnp.clip(c, -_COORD_CLIP, _COORD_CLIP).astype(jnp.int32)
 
 
 @jax.tree_util.register_dataclass
 @dataclass
 class HashGrid:
-    """Sorted spatial hash over a padded point set."""
+    """Cell-hash-sorted spatial index over a padded point set."""
 
-    xyz: jax.Array  # f32[N,3] original points (padding = huge sentinel)
+    xyz: jax.Array  # f32[N,3] ORIGINAL order (for callers)
     valid: jax.Array  # bool[N]
     origin: jax.Array  # f32[3]
     cell_size: jax.Array  # f32[]
-    keys_sorted: jax.Array  # i32[N] sorted hash keys (invalid -> INT32_MAX)
-    order: jax.Array  # i32[N] point index per sorted slot
+    keys_sorted: jax.Array  # i32[N] sorted bucket keys (invalid -> _H)
+    order: jax.Array  # i32[N] original point index per sorted slot
+    bucket_start: jax.Array  # i32[_H+1] first sorted slot of each bucket
+    xs: jax.Array  # f32[N] coordinates in sorted order (SoA)
+    ys: jax.Array
+    zs: jax.Array
 
 
 def build_grid(xyz: jax.Array, valid: jax.Array, cell_size) -> HashGrid:
@@ -62,11 +74,24 @@ def build_grid(xyz: jax.Array, valid: jax.Array, cell_size) -> HashGrid:
     origin = jnp.min(masked, axis=0)
     origin = jnp.where(jnp.isfinite(origin), origin, 0.0) - 0.5 * cell_size
     inv = 1.0 / jnp.maximum(cell_size, 1e-30)
-    c = _cell_coords(xyz, origin, inv)
-    keys = _hash_cells(c[:, 0], c[:, 1], c[:, 2])
-    keys = jnp.where(valid, keys, INT32_MAX)
+    cx = _cell_coords_1d(xyz[:, 0], origin[0], inv)
+    cy = _cell_coords_1d(xyz[:, 1], origin[1], inv)
+    cz = _cell_coords_1d(xyz[:, 2], origin[2], inv)
+    keys = _hash_cells(cx, cy, cz)
+    keys = jnp.where(valid, keys, jnp.int32(_H))  # invalid points sort last
     order = jnp.argsort(keys).astype(jnp.int32)
     keys_sorted = keys[order]
+    # O(1)-lookup bucket table: start of bucket b = #keys < b (exclusive
+    # cumsum of per-bucket counts) — replaces a 17-step binary search per
+    # (query, cell) with one element gather.
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(keys, dtype=jnp.int32),
+        jnp.minimum(keys, _H),
+        num_segments=_H + 1,
+    )
+    bucket_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
     return HashGrid(
         xyz=xyz,
         valid=valid,
@@ -74,46 +99,22 @@ def build_grid(xyz: jax.Array, valid: jax.Array, cell_size) -> HashGrid:
         cell_size=cell_size,
         keys_sorted=keys_sorted,
         order=order,
+        bucket_start=bucket_start,
+        xs=xyz[:, 0][order],
+        ys=xyz[:, 1][order],
+        zs=xyz[:, 2][order],
     )
 
 
-_OFFSETS = jnp.array(
-    [[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)],
-    jnp.int32,
-)  # [27, 3]
+_OFFSETS_LIST = [[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)]
 
 
-def _candidates_for(grid: HashGrid, q: jax.Array, cap: int):
-    """Candidate point indices from the 27 cells around each query.
+def _gather_runs(arr: jax.Array, starts: jax.Array, cap: int) -> jax.Array:
+    """arr f32/i32[N+pad]; starts i32[R] -> [R, cap] contiguous runs.
 
-    q: f32[M,3].  Returns (cand i32[M, 27*cap], ok bool[M, 27*cap]).
-    """
-    inv = 1.0 / jnp.maximum(grid.cell_size, 1e-30)
-    cq = _cell_coords(q, grid.origin, inv)  # [M,3]
-    cells = cq[:, None, :] + _OFFSETS[None, :, :]  # [M,27,3]
-    keys = _hash_cells(cells[..., 0], cells[..., 1], cells[..., 2])  # [M,27]
-    start = jnp.searchsorted(grid.keys_sorted, keys, side="left").astype(jnp.int32)
-    N = grid.keys_sorted.shape[0]
-    slots = start[..., None] + jnp.arange(cap, dtype=jnp.int32)  # [M,27,cap]
-    in_range = slots < N
-    slots_c = jnp.minimum(slots, N - 1)
-    slot_keys = grid.keys_sorted[slots_c]
-    ok = in_range & (slot_keys == keys[..., None])
-    cand = grid.order[slots_c]
-    M = q.shape[0]
-    cand = cand.reshape(M, -1)
-    ok = ok.reshape(M, -1)
-    # Hash collisions can alias two of the 27 offset cells onto one sorted
-    # segment, duplicating candidates; require the candidate's true cell to
-    # equal the intended cell.  Gather PER COORDINATE: a [M, 27*cap, 3]
-    # intermediate would tile its 3-wide last dim to 128 lanes on TPU (42x
-    # memory blowup — a 64k-query pass compiles to a >20GB buffer).
-    for d in range(3):
-        cd = jnp.floor((grid.xyz[:, d][cand] - grid.origin[d]) * inv)
-        cd = jnp.clip(cd, -_COORD_CLIP, _COORD_CLIP).astype(jnp.int32)
-        want_d = jnp.repeat(cells[..., d], cap, axis=1)
-        ok = ok & (cd == want_d)
-    return cand, ok
+    One slice-gather per run (TPU-friendly sequential reads) instead of
+    R*cap scattered element gathers."""
+    return jax.vmap(lambda s: jax.lax.dynamic_slice(arr, (s,), (cap,)))(starts)
 
 
 @partial(jax.jit, static_argnames=("k", "cap", "include_self"))
@@ -127,24 +128,55 @@ def _radius_neighbors_chunk(
     cap: int,
     include_self: bool,
 ):
-    cand, ok = _candidates_for(grid, q, cap)  # [m, 27*cap]
-    # per-coordinate distance accumulation (see the layout note above)
-    d2 = jnp.zeros(cand.shape, jnp.float32)
-    for d in range(3):
-        dd = grid.xyz[:, d][cand] - q[:, d][:, None]
-        d2 = d2 + dd * dd
-    ok = ok & (d2 <= radius * radius) & qvalid[:, None]
+    M = q.shape[0]
+    N = grid.keys_sorted.shape[0]
+    inv = 1.0 / jnp.maximum(grid.cell_size, 1e-30)
+    qc = [
+        _cell_coords_1d(q[:, d], grid.origin[d], inv) for d in range(3)
+    ]  # [M] x3
+    offsets = jnp.asarray(_OFFSETS_LIST, jnp.int32)  # [27,3]
+    cells = [qc[d][:, None] + offsets[None, :, d] for d in range(3)]  # [M,27] x3
+    keys = _hash_cells(cells[0], cells[1], cells[2])  # [M,27]
+    starts = grid.bucket_start[keys]  # O(1) lookup
+    starts_f = jnp.minimum(starts.reshape(-1), N)  # clamp into padded arrays
+
+    pad_key = jnp.full((cap,), INT32_MAX, jnp.int32)
+    keys_p = jnp.concatenate([grid.keys_sorted, pad_key])
+    ord_p = jnp.concatenate([grid.order, jnp.zeros((cap,), jnp.int32)])
+    big = jnp.float32(3.0e18)
+    xs_p = jnp.concatenate([grid.xs, jnp.full((cap,), big)])
+    ys_p = jnp.concatenate([grid.ys, jnp.full((cap,), big)])
+    zs_p = jnp.concatenate([grid.zs, jnp.full((cap,), big)])
+
+    key_runs = _gather_runs(keys_p, starts_f, cap)  # [M*27, cap]
+    ok = key_runs == keys.reshape(-1)[:, None]
+    x_runs = _gather_runs(xs_p, starts_f, cap)
+    y_runs = _gather_runs(ys_p, starts_f, cap)
+    z_runs = _gather_runs(zs_p, starts_f, cap)
+    # hash-collision guard: candidate's true cell must equal the intended one
+    for d, runs in enumerate((x_runs, y_runs, z_runs)):
+        cd = _cell_coords_1d(runs, grid.origin[d], inv)
+        ok = ok & (cd == cells[d].reshape(-1)[:, None])
+
+    qx = jnp.repeat(q[:, 0], 27).reshape(-1)[:, None]
+    qy = jnp.repeat(q[:, 1], 27).reshape(-1)[:, None]
+    qz = jnp.repeat(q[:, 2], 27).reshape(-1)[:, None]
+    d2 = (x_runs - qx) ** 2 + (y_runs - qy) ** 2 + (z_runs - qz) ** 2
+
+    ok = ok.reshape(M, 27 * cap) & qvalid[:, None]
+    d2 = d2.reshape(M, 27 * cap)
+    cand = _gather_runs(ord_p, starts_f, cap).reshape(M, 27 * cap)
+    ok = ok & (d2 <= radius * radius)
     if not include_self:
         ok = ok & (cand != qidx[:, None])
-    big = jnp.float32(3.0e38)
-    d2m = jnp.where(ok, d2, big)
-    # k nearest among candidates
-    neg, sel = jax.lax.top_k(-d2m, k)  # [m,k]
+    BIG = jnp.float32(3.0e38)
+    d2m = jnp.where(ok, d2, BIG)
+    neg, sel = jax.lax.top_k(-d2m, k)  # [M,k]
     dist = jnp.sqrt(jnp.maximum(-neg, 0.0))
     idx = jnp.take_along_axis(cand, sel, axis=1)
     mask = jnp.take_along_axis(ok, sel, axis=1)
     idx = jnp.where(mask, idx, 0)
-    dist = jnp.where(mask, dist, big)
+    dist = jnp.where(mask, dist, BIG)
     return idx, dist, mask
 
 
@@ -171,33 +203,38 @@ def radius_neighbors(
     M = queries.shape[0]
     if query_index is None:
         query_index = jnp.full((M,), -1, jnp.int32)
+    # Auto-chunk only when the candidate matrix would blow past the memory
+    # budget.  Chunks are an UNROLLED traced loop: lax.map serializes and
+    # defeats fusion (measured 400x slower than inline at 64k queries).
+    if chunk is None:
+        budget_slots = 300_000_000  # ~1.2GB f32 per live candidate array
+        slots = M * 27 * cap
+        if slots > budget_slots:
+            n_chunks = -(-slots // budget_slots)
+            chunk = -(-M // n_chunks)
+            chunk = max(128, ((chunk + 127) // 128) * 128)
     if chunk is None or chunk >= M:
         return _radius_neighbors_chunk(
             grid, queries, qvalid, query_index, radius, k, cap, include_self
         )
-    pad = (-M) % chunk
-    if pad:
-        queries = jnp.concatenate(
-            [queries, jnp.full((pad, 3), 3.0e18, queries.dtype)], axis=0
+    outs = []
+    for s in range(0, M, chunk):
+        e = min(s + chunk, M)
+        pad = chunk - (e - s)
+        qq = queries[s:e]
+        vv = qvalid[s:e]
+        ii = query_index[s:e]
+        if pad:
+            qq = jnp.concatenate([qq, jnp.full((pad, 3), 3.0e18, qq.dtype)], axis=0)
+            vv = jnp.concatenate([vv, jnp.zeros((pad,), bool)], axis=0)
+            ii = jnp.concatenate([ii, jnp.full((pad,), -1, jnp.int32)], axis=0)
+        outs.append(
+            _radius_neighbors_chunk(grid, qq, vv, ii, radius, k, cap, include_self)
         )
-        qvalid = jnp.concatenate([qvalid, jnp.zeros((pad,), bool)], axis=0)
-        query_index = jnp.concatenate(
-            [query_index, jnp.full((pad,), -1, jnp.int32)], axis=0
-        )
-    qs = queries.reshape(-1, chunk, 3)
-    vs = qvalid.reshape(-1, chunk)
-    ix = query_index.reshape(-1, chunk)
-
-    def body(args):
-        qq, vv, ii = args
-        return _radius_neighbors_chunk(grid, qq, vv, ii, radius, k, cap, include_self)
-
-    idx, dist, mask = jax.lax.map(body, (qs, vs, ix))
-    return (
-        idx.reshape(-1, k)[:M],
-        dist.reshape(-1, k)[:M],
-        mask.reshape(-1, k)[:M],
-    )
+    idx = jnp.concatenate([o[0] for o in outs], axis=0)[:M]
+    dist = jnp.concatenate([o[1] for o in outs], axis=0)[:M]
+    mask = jnp.concatenate([o[2] for o in outs], axis=0)[:M]
+    return idx, dist, mask
 
 
 def knn(

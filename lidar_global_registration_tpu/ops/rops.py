@@ -123,7 +123,7 @@ def rops(
     frames=None,
     k_neighbors: int = 384,
     cap: int = 128,
-    chunk: int | None = 2048,
+    chunk: int | None = None,
 ):
     g = gridmod.build_grid(surface_xyz, surface_valid, radius)
     idx, _d, mask = gridmod.radius_neighbors(

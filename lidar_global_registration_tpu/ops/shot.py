@@ -180,7 +180,7 @@ def shot(
     frames=None,
     k_neighbors: int = 512,
     cap: int = 128,
-    chunk: int | None = 2048,
+    chunk: int | None = None,
 ):
     """Full SHOT pipeline: neighbors + (optional external) LRFs + histogram.
 

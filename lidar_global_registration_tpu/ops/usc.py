@@ -79,7 +79,7 @@ def usc(
     frames=None,
     k_neighbors: int = 384,
     cap: int = 128,
-    chunk: int | None = 2048,
+    chunk: int | None = None,
 ):
     g = gridmod.build_grid(surface_xyz, surface_valid, radius)
     idx, dist, mask = gridmod.radius_neighbors(
