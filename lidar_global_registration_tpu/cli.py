@@ -374,17 +374,19 @@ def main(argv=None):
         sys.exit(1)
     command, config_path = argv
     config = Config.load(config_path)
+    from lidar_global_registration_tpu.utils.profiling import maybe_jax_profile
     tests = config.tests()
     from lidar_global_registration_tpu.models.pipeline import run_test
 
-    if tests is not None:
-        process_tests(tests, command)
-    elif command == ALIGNMENT:
-        run_test(config)
-    elif command == METRIC_ANALYSIS:
-        estimate_test_metric(config)
-    elif command == DEBUG:
-        generate_debug_files(config)
+    with maybe_jax_profile():
+        if tests is not None:
+            process_tests(tests, command)
+        elif command == ALIGNMENT:
+            run_test(config)
+        elif command == METRIC_ANALYSIS:
+            estimate_test_metric(config)
+        elif command == DEBUG:
+            generate_debug_files(config)
 
 
 if __name__ == "__main__":

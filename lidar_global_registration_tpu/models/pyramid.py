@@ -489,6 +489,12 @@ def match_sides(
     side_src: PyramidSide, side_tgt: PyramidSide, params: AlignmentParameters
 ) -> Correspondences:
     """Strategy dispatch: one_sided / lr (default fallback) / cluster."""
+    # timing split print (matching.h:156-157)
+    print(
+        "Downsampling and normal estimation took "
+        f"{1000.0 * (side_src.time_ds_ne + side_tgt.time_ds_ne):.1f}ms."
+    )
+    print(f"Feature estimation took {1000.0 * (side_src.time_fe + side_tgt.time_fe):.1f}ms.")
     thr_src = _kp_thresholds(side_src)
     thr_tgt = _kp_thresholds(side_tgt)
     n_src = len(side_src.kp_indices)
