@@ -41,7 +41,7 @@ def run_step(n: int, repeats: int) -> float:
 
     from lidar_global_registration_tpu.models.flagship import (
         FlagshipConfig,
-        register_pair_step,
+        register_pair_staged,
     )
 
     a, b = _pair(n)
@@ -66,14 +66,19 @@ def run_step(n: int, repeats: int) -> float:
         jnp.float32(spacing * 8.0),
         jnp.float32(spacing * 4.0),
     )
-    out = register_pair_step(*args, cfg=cfg)
+    out = register_pair_staged(*args, cfg=cfg)
     jax.block_until_ready(out)  # compile + warmup
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = register_pair_step(*args, cfg=cfg)
+        out = register_pair_staged(*args, cfg=cfg)
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
+    print(
+        f"# staged run: converged={bool(out['converged'])} "
+        f"corr={float(out['n_correspondences']):.0f} inliers={int(out['inliers'])}",
+        file=sys.stderr,
+    )
     return best
 
 

@@ -237,3 +237,155 @@ def register_pair_step(
         "converged": converged,
         "n_correspondences": n_corr,
     }
+
+
+# ---------------------------------------------------------------------------
+# Staged execution: the same pipeline as register_pair_step but split into
+# stage-level jits.  Compiling the whole 8-stage graph as one XLA program
+# works at small N but strains the compiler at cloud scale (and the axon
+# remote-compile path has failed outright on the monolithic 64k graph);
+# the staged path compiles each stage in seconds and keeps all intermediates
+# on device.  Use this for serving large pairs; register_pair_step remains
+# the single-graph unit the mesh layer shards.
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("cfg",))
+def _side_stage(xyz, valid, normal_cell, iss_radius, cfg: FlagshipConfig):
+    qidx = jnp.arange(xyz.shape[0], dtype=jnp.int32)
+    idx, dist, mask = _knn_fixed(
+        xyz, valid, xyz, valid, normal_cell, cfg.normal_k, cfg.neighbor_cap, True,
+        chunk=cfg.query_chunk,
+    )
+    normal, _curv, _ok = normals_from_neighbors(xyz, xyz, idx, mask)
+    if cfg.use_iss:
+        g = gridmod.build_grid(xyz, valid, iss_radius)
+        iidx, _idist, imask = gridmod.radius_neighbors(
+            g, xyz, valid, iss_radius, k=cfg.iss_neighbors, cap=cfg.neighbor_cap,
+            include_self=False, query_index=qidx, chunk=cfg.query_chunk,
+        )
+        counts = jnp.sum(imask, axis=1).astype(jnp.int32) + 1
+        sal, ok = _iss_saliency(xyz, valid, iidx, imask, counts)
+        kp_mask = _nms(sal, ok, iidx, imask)
+    else:
+        kp_mask = valid
+    return normal, kp_mask
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _correspondence_stage(
+    src_xyz, src_valid, tgt_xyz, tgt_valid, idx_st, mask_st, idx_ts, mask_ts,
+    density_cell_src, density_cell_tgt, distance_thr, cfg: FlagshipConfig,
+):
+    N = src_xyz.shape[0]
+    j = idx_st[:, 0]
+    mutual = (
+        mask_st[:, 0]
+        & mask_ts[j, 0]
+        & (idx_ts[j, 0] == jnp.arange(N, dtype=jnp.int32))
+    )
+    dens_s = _smoothed_density(src_xyz, src_valid, density_cell_src, cfg.neighbor_cap,
+                               cfg.query_chunk)
+    dens_t = _smoothed_density(tgt_xyz, tgt_valid, density_cell_tgt, cfg.neighbor_cap,
+                               cfg.query_chunk)
+    thr = jnp.minimum(jnp.maximum(dens_s, dens_t[j]), distance_thr)
+    thr = jnp.where(thr > 0, thr, distance_thr)
+    return j, mutual, thr
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _ransac_stage(p, q, thr, cvalid, key, cfg: FlagshipConfig):
+    n_corr = jnp.sum(cvalid.astype(jnp.float32))
+    order = jnp.argsort(~cvalid)
+    nvalid_i = jnp.maximum(n_corr.astype(jnp.int32), 1)
+    B, S = cfg.hypothesis_batch, cfg.n_samples
+
+    def round_body(carry, rkey):
+        best_metric, best_R, best_t = carry
+        samp = jax.random.randint(rkey, (B, S), 0, nvalid_i)
+        rows = order[samp]
+        ok = jnp.ones((B,), bool)
+        for a in range(S):
+            for b in range(a + 1, S):
+                ok = ok & (rows[:, a] != rows[:, b])
+        p3, q3 = p[rows], q[rows]
+        for a in range(S):
+            b = (a + 1) % S
+            ds = jnp.sum((p3[:, a] - p3[:, b]) ** 2, axis=-1)
+            dt = jnp.sum((q3[:, a] - q3[:, b]) ** 2, axis=-1)
+            ok = ok & (jnp.minimum(ds, dt) >= (cfg.edge_thr**2) * jnp.maximum(ds, dt))
+            ok = ok & (jnp.maximum(ds, dt) > 0)
+        R, t = kabsch(p3, q3)
+        tp = jnp.einsum("bij,mj->bmi", R, p) + t[:, None, :]
+        d = jnp.sqrt(jnp.maximum(jnp.sum((tp - q[None]) ** 2, axis=-1), 0.0))
+        inl = (d < thr[None]) & cvalid[None]
+        cnt = jnp.sum(inl, axis=1)
+        metric = cnt.astype(jnp.float32) / jnp.maximum(n_corr, 1.0)
+        metric = jnp.where(ok & (cnt >= MIN_NR_INLIERS), metric, -1.0)
+        bi = jnp.argmax(metric)
+        better = metric[bi] > best_metric
+        return (
+            jnp.where(better, metric[bi], best_metric),
+            jnp.where(better, R[bi], best_R),
+            jnp.where(better, t[bi], best_t),
+        ), None
+
+    keys = jax.random.split(key, cfg.rounds)
+    (best_metric, best_R, best_t), _ = jax.lax.scan(
+        round_body, (jnp.float32(-1.0), jnp.eye(3), jnp.zeros(3)), keys
+    )
+    tp = p @ best_R.T + best_t
+    d = jnp.sqrt(jnp.maximum(jnp.sum((tp - q) ** 2, axis=-1), 0.0))
+    inl = (d < thr) & cvalid
+    n_inl = jnp.sum(inl)
+    w = inl.astype(jnp.float32)
+    Rf, tf = kabsch(p[None], q[None], w[None])
+    T = to_matrix4(Rf[0], tf[0])
+    tp2 = p @ Rf[0].T + tf[0]
+    d2 = jnp.sqrt(jnp.maximum(jnp.sum((tp2 - q) ** 2, axis=-1), 0.0))
+    inl2 = jnp.sum((d2 < thr) & cvalid)
+    metric = inl2.astype(jnp.float32) / jnp.maximum(n_corr, 1.0)
+    converged = (
+        (n_inl > MIN_NR_FINAL_INLIERS)
+        | (n_inl.astype(jnp.float32) > MIN_INLIER_RATE * n_corr)
+    ) & (best_metric > 0)
+    T = jnp.where(best_metric > 0, T, jnp.eye(4))
+    return {
+        "transformation": T,
+        "metric": metric,
+        "inliers": inl2,
+        "converged": converged,
+        "n_correspondences": n_corr,
+    }
+
+
+def register_pair_staged(
+    src_xyz, src_valid, tgt_xyz, tgt_valid, key,
+    normal_cell, density_cell_src, density_cell_tgt,
+    iss_radius_src, iss_radius_tgt, feature_radius, distance_thr,
+    cfg: FlagshipConfig = FlagshipConfig(),
+):
+    """Stage-jitted variant of register_pair_step (identical semantics)."""
+    from lidar_global_registration_tpu.ops.fpfh import fpfh as fpfh_full
+
+    src_normal, src_kp = _side_stage(src_xyz, src_valid, normal_cell, iss_radius_src, cfg)
+    tgt_normal, tgt_kp = _side_stage(tgt_xyz, tgt_valid, normal_cell, iss_radius_tgt, cfg)
+    fq, fq_valid = fpfh_full(
+        src_xyz, src_valid & src_kp, src_xyz, src_normal, src_valid, feature_radius,
+        kp_normal=src_normal, k_neighbors=cfg.feature_neighbors, cap=cfg.feature_cap,
+        chunk=cfg.query_chunk,
+    )
+    ft, ft_valid = fpfh_full(
+        tgt_xyz, tgt_valid & tgt_kp, tgt_xyz, tgt_normal, tgt_valid, feature_radius,
+        kp_normal=tgt_normal, k_neighbors=cfg.feature_neighbors, cap=cfg.feature_cap,
+        chunk=cfg.query_chunk,
+    )
+    idx_st, _d1, mask_st = matchers.match_bf(
+        fq, ft, fq_valid, ft_valid, k=1, tile=cfg.match_tile, bf16=cfg.bf16_matching
+    )
+    idx_ts, _d2, mask_ts = matchers.match_bf(
+        ft, fq, ft_valid, fq_valid, k=1, tile=cfg.match_tile, bf16=cfg.bf16_matching
+    )
+    j, mutual, thr = _correspondence_stage(
+        src_xyz, src_valid, tgt_xyz, tgt_valid, idx_st, mask_st, idx_ts, mask_ts,
+        density_cell_src, density_cell_tgt, distance_thr, cfg,
+    )
+    return _ransac_stage(src_xyz, tgt_xyz[j], thr, mutual, key, cfg)
