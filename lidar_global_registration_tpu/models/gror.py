@@ -337,3 +337,74 @@ def align_gror(
         time_te=time.time() - t0,
         metric=float(inl.sum()),
     )
+
+
+def gror_preparation(
+    src: Cloud,
+    tgt: Cloud,
+    resolution: float,
+    n_optimal: int = K_OPTIMAL,
+):
+    """GROR's own preprocessing pipeline (reference: src/gror/gror_pre.cpp
+    grorPreparation — voxel downsample, ISS keypoints, FPFH, mutual-kNN
+    correspondences with the canonical radii: normals 3x resolution, FPFH
+    8x resolution).  The main alignment path feeds GROR from the framework's
+    matcher instead (alignment.cpp:21-35), exactly like the reference; this
+    helper exists for standalone GROR use.
+
+    Returns (corrs, kp_idx_src, kp_idx_tgt)."""
+    import jax.numpy as jnp
+
+    from lidar_global_registration_tpu.ops.downsample import voxel_downsample
+    from lidar_global_registration_tpu.ops.fpfh import fpfh
+    from lidar_global_registration_tpu.ops.iss import detect_keypoints
+    from lidar_global_registration_tpu.ops.matchers import match_bf
+    from lidar_global_registration_tpu.ops.normals import estimate_normals_knn
+
+    def side(cloud):
+        down = voxel_downsample(cloud, resolution).compact()
+        down = estimate_normals_knn(down, k=30)
+        kp = detect_keypoints(down, "iss", 2.0 * resolution)
+        return down, kp
+
+    src_d, kp_s = side(src)
+    tgt_d, kp_t = side(tgt)
+
+    def feats(cloud, kp):
+        kx = cloud.xyz[jnp.asarray(kp.astype(np.int64))]
+        kv = jnp.ones((len(kp),), bool)
+        kn = cloud.normal[jnp.asarray(kp.astype(np.int64))]
+        return fpfh(
+            kx, kv, cloud.xyz, cloud.normal, cloud.valid, 8.0 * resolution,
+            kp_normal=kn,
+        )
+
+    fs, vs = feats(src_d, kp_s)
+    ft, vt = feats(tgt_d, kp_t)
+    i_st, d_st, m_st = match_bf(fs, ft, vs, vt, k=1)
+    i_ts, _d, m_ts = match_bf(ft, fs, vt, vs, k=1)
+    j = np.asarray(i_st[:, 0])
+    mutual = (
+        np.asarray(m_st[:, 0])
+        & np.asarray(m_ts[:, 0])[j]
+        & (np.asarray(i_ts[:, 0])[j] == np.arange(len(kp_s)))
+    )
+    rows = np.nonzero(mutual)[0]
+    from lidar_global_registration_tpu.types import round_up
+    import jax.numpy as jnp2
+
+    cap = round_up(max(len(rows), 1))
+    q = np.zeros(cap, np.int32)
+    m = np.zeros(cap, np.int32)
+    dd = np.zeros(cap, np.float32)
+    th = np.full(cap, 2.0 * resolution, np.float32)
+    vv = np.zeros(cap, bool)
+    q[: len(rows)] = kp_s[rows]
+    m[: len(rows)] = kp_t[j[rows]]
+    dd[: len(rows)] = np.asarray(d_st[:, 0])[rows]
+    vv[: len(rows)] = True
+    corrs = Correspondences(
+        query=jnp2.asarray(q), match=jnp2.asarray(m), distance=jnp2.asarray(dd),
+        threshold=jnp2.asarray(th), valid=jnp2.asarray(vv),
+    )
+    return (src_d, tgt_d, corrs)

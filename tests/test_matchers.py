@@ -72,3 +72,19 @@ def test_match_local_identity_equals_bf(rng):
     assert np.asarray(lo_mask).all()
     np.testing.assert_array_equal(np.asarray(bf_idx), np.asarray(lo_idx))
     np.testing.assert_allclose(np.asarray(bf_dist), np.asarray(lo_dist), atol=1e-4)
+
+
+def test_knn_merge_semantics(rng):
+    """Port of tests/knn_result.cpp: the bounded k-list keeps the k smallest
+    distances in ascending order as candidates stream in tile by tile."""
+    t = np.array([[float(i)] for i in [9, 3, 7, 1, 8, 2, 5, 6, 0, 4]], np.float32)
+    q = np.zeros((1, 1), np.float32)
+    v1 = jnp.ones(1, bool)
+    vt = jnp.ones(len(t), bool)
+    for k in (1, 3, 5):
+        idx, dist, mask = match_bf(jnp.asarray(q), jnp.asarray(t), v1, vt, k=k, tile=4)
+        d = np.asarray(dist)[0]
+        assert np.all(np.diff(d) >= 0)  # ascending
+        np.testing.assert_allclose(d, np.arange(k, dtype=np.float32), atol=1e-6)
+        # returned indices point at the points with values 0..k-1
+        np.testing.assert_allclose(np.sort(t[np.asarray(idx)[0], 0]), np.arange(k))
