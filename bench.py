@@ -25,6 +25,7 @@ N = int(os.environ.get("LGR_BENCH_N", 131072))
 REPEATS = int(os.environ.get("LGR_BENCH_REPEATS", 5))
 CPU_N = int(os.environ.get("LGR_BENCH_CPU_N", N))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_cache.json")
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 
 
 def _pair(n):
@@ -34,10 +35,23 @@ def _pair(n):
     return _synthetic_pair(n)
 
 
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
+
 def run_step(n: int, repeats: int) -> float:
     """Returns seconds per pair (min over repeats)."""
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from lidar_global_registration_tpu.models.flagship import (
         FlagshipConfig,
@@ -69,11 +83,13 @@ def run_step(n: int, repeats: int) -> float:
     out = register_pair_staged(*args, cfg=cfg)
     jax.block_until_ready(out)  # compile + warmup
     best = float("inf")
-    for _ in range(repeats):
+    for r in range(repeats):
         t0 = time.perf_counter()
         out = register_pair_staged(*args, cfg=cfg)
         jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        print(f"# repeat {r}: {dt:.3f}s", file=sys.stderr)
+        best = min(best, dt)
     print(
         f"# staged run: converged={bool(out['converged'])} "
         f"corr={float(out['n_correspondences']):.0f} inliers={int(out['inliers'])}",

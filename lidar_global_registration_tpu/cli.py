@@ -358,13 +358,23 @@ def main(argv=None):
     # backend after reading the env (e.g. images that pin a TPU platform in
     # sitecustomize): re-assert the user's choice on the live config.
     plat = os.environ.get("JAX_PLATFORMS")
-    if plat:
-        import jax
+    import jax
 
+    if plat:
         try:
             jax.config.update("jax_platforms", plat)
         except Exception:
             pass
+    try:
+        # persistent compile cache: first TPU compile of each kernel is slow
+        # (remote-compiled); later runs of the CLI reuse the executables
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("LGR_COMPILE_CACHE", os.path.expanduser("~/.lgr_jax_cache")),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) != 2 or argv[0] not in (ALIGNMENT, METRIC_ANALYSIS, DEBUG):
         print(

@@ -355,9 +355,11 @@ def match_multiscale(
                 k=k,
             )
         else:
-            # BF and FLANN collapse to the same exact kernel on TPU
+            # BF and FLANN collapse to the same exact kernel on TPU; the
+            # reference's bf block_size knob maps onto the train tile
+            tile = max(512, min(8192, 1 << (params.bf_block_size - 1).bit_length()))
             idx, dist, mask = matchers.match_bf(
-                fq, ft, vq, vt, k=k, bf16=params.bf16_matching
+                fq, ft, vq, vt, k=k, tile=tile, bf16=params.bf16_matching
             )
         # map level-local rows to global kp rows, scatter into [Mq, k]
         rows_q = side_q.level_kp_rows[iq]
