@@ -39,6 +39,8 @@ def _enable_compile_cache():
     import jax
 
     try:
+        if jax.default_backend() not in ("tpu", "axon"):
+            return  # CPU AOT cache entries are machine-feature specific
         jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -367,12 +367,17 @@ def main(argv=None):
             pass
     try:
         # persistent compile cache: first TPU compile of each kernel is slow
-        # (remote-compiled); later runs of the CLI reuse the executables
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("LGR_COMPILE_CACHE", os.path.expanduser("~/.lgr_jax_cache")),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # (remote-compiled); later runs of the CLI reuse the executables.
+        # TPU-only: CPU AOT entries are machine-feature specific and loading
+        # them on a different host risks SIGILL.
+        if jax.default_backend() in ("tpu", "axon"):
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get(
+                    "LGR_COMPILE_CACHE", os.path.expanduser("~/.lgr_jax_cache")
+                ),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
     argv = argv if argv is not None else sys.argv[1:]

@@ -363,29 +363,51 @@ def register_pair_staged(
     iss_radius_src, iss_radius_tgt, feature_radius, distance_thr,
     cfg: FlagshipConfig = FlagshipConfig(),
 ):
-    """Stage-jitted variant of register_pair_step (identical semantics)."""
+    """Stage-jitted variant of register_pair_step (identical semantics).
+
+    Set LGR_STAGE_TIMING=1 to print per-stage wall times (adds blocking
+    between stages)."""
+    import os
+    import time as _time
+
     from lidar_global_registration_tpu.ops.fpfh import fpfh as fpfh_full
 
-    src_normal, src_kp = _side_stage(src_xyz, src_valid, normal_cell, iss_radius_src, cfg)
-    tgt_normal, tgt_kp = _side_stage(tgt_xyz, tgt_valid, normal_cell, iss_radius_tgt, cfg)
-    fq, fq_valid = fpfh_full(
+    timing = os.environ.get("LGR_STAGE_TIMING") == "1"
+
+    def _t(label, out):
+        if timing:
+            jax.block_until_ready(out)
+            now = _time.perf_counter()
+            print(f"#   stage {label}: {now - _t.last:.3f}s", flush=True)
+            _t.last = now
+        return out
+
+    _t.last = _time.perf_counter()
+
+    src_normal, src_kp = _t(
+        "side_src", _side_stage(src_xyz, src_valid, normal_cell, iss_radius_src, cfg)
+    )
+    tgt_normal, tgt_kp = _t(
+        "side_tgt", _side_stage(tgt_xyz, tgt_valid, normal_cell, iss_radius_tgt, cfg)
+    )
+    fq, fq_valid = _t("fpfh_src", fpfh_full(
         src_xyz, src_valid & src_kp, src_xyz, src_normal, src_valid, feature_radius,
         kp_normal=src_normal, k_neighbors=cfg.feature_neighbors, cap=cfg.feature_cap,
         chunk=cfg.query_chunk,
-    )
-    ft, ft_valid = fpfh_full(
+    ))
+    ft, ft_valid = _t("fpfh_tgt", fpfh_full(
         tgt_xyz, tgt_valid & tgt_kp, tgt_xyz, tgt_normal, tgt_valid, feature_radius,
         kp_normal=tgt_normal, k_neighbors=cfg.feature_neighbors, cap=cfg.feature_cap,
         chunk=cfg.query_chunk,
-    )
-    idx_st, _d1, mask_st = matchers.match_bf(
+    ))
+    idx_st, _d1, mask_st = _t("match_st", matchers.match_bf(
         fq, ft, fq_valid, ft_valid, k=1, tile=cfg.match_tile, bf16=cfg.bf16_matching
-    )
-    idx_ts, _d2, mask_ts = matchers.match_bf(
+    ))
+    idx_ts, _d2, mask_ts = _t("match_ts", matchers.match_bf(
         ft, fq, ft_valid, fq_valid, k=1, tile=cfg.match_tile, bf16=cfg.bf16_matching
-    )
-    j, mutual, thr = _correspondence_stage(
+    ))
+    j, mutual, thr = _t("corr", _correspondence_stage(
         src_xyz, src_valid, tgt_xyz, tgt_valid, idx_st, mask_st, idx_ts, mask_ts,
         density_cell_src, density_cell_tgt, distance_thr, cfg,
-    )
-    return _ransac_stage(src_xyz, tgt_xyz[j], thr, mutual, key, cfg)
+    ))
+    return _t("ransac", _ransac_stage(src_xyz, tgt_xyz[j], thr, mutual, key, cfg))
