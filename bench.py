@@ -62,10 +62,14 @@ def run_step(n: int, repeats: int) -> float:
 
     a, b = _pair(n)
     spacing = 30.0 / np.sqrt(n)
+    # keypoint=any (reference `keypoint: any` mode, like its corner e2e
+    # fixture): dense descriptor matching dominates, and the synthetic pair
+    # registers successfully (ISS keypoints of two independent samplings of
+    # a smooth surface rarely co-locate, which starves the mutual filter).
     cfg = FlagshipConfig(
         rounds=8,
         hypothesis_batch=1024,
-        use_iss=True,
+        use_iss=False,
         match_tile=4096,
     )
     args = (
