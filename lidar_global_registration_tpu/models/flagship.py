@@ -411,3 +411,61 @@ def register_pair_staged(
         density_cell_src, density_cell_tgt, distance_thr, cfg,
     ))
     return _t("ransac", _ransac_stage(src_xyz, tgt_xyz[j], thr, mutual, key, cfg))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _front_stage(
+    src_xyz, src_valid, tgt_xyz, tgt_valid,
+    normal_cell, density_cell_src, density_cell_tgt,
+    iss_radius_src, iss_radius_tgt, feature_radius, distance_thr,
+    cfg: FlagshipConfig,
+):
+    """Everything up to correspondences as ONE program (normals, ISS, FPFH,
+    matching, thresholds).  Two-program execution (front + RANSAC) minimizes
+    executable swaps, which cost ~30s each on tunneled TPU runtimes, while
+    staying below the compile ceiling that the full monolithic graph hits at
+    cloud scale."""
+    from lidar_global_registration_tpu.ops.fpfh import fpfh as fpfh_full
+
+    src_normal, src_kp = _side_stage.__wrapped__(
+        src_xyz, src_valid, normal_cell, iss_radius_src, cfg
+    )
+    tgt_normal, tgt_kp = _side_stage.__wrapped__(
+        tgt_xyz, tgt_valid, normal_cell, iss_radius_tgt, cfg
+    )
+    fq, fq_valid = fpfh_full(
+        src_xyz, src_valid & src_kp, src_xyz, src_normal, src_valid, feature_radius,
+        kp_normal=src_normal, k_neighbors=cfg.feature_neighbors, cap=cfg.feature_cap,
+        chunk=cfg.query_chunk,
+    )
+    ft, ft_valid = fpfh_full(
+        tgt_xyz, tgt_valid & tgt_kp, tgt_xyz, tgt_normal, tgt_valid, feature_radius,
+        kp_normal=tgt_normal, k_neighbors=cfg.feature_neighbors, cap=cfg.feature_cap,
+        chunk=cfg.query_chunk,
+    )
+    idx_st, _d1, mask_st = matchers.match_bf(
+        fq, ft, fq_valid, ft_valid, k=1, tile=cfg.match_tile, bf16=cfg.bf16_matching
+    )
+    idx_ts, _d2, mask_ts = matchers.match_bf(
+        ft, fq, ft_valid, fq_valid, k=1, tile=cfg.match_tile, bf16=cfg.bf16_matching
+    )
+    j, mutual, thr = _correspondence_stage.__wrapped__(
+        src_xyz, src_valid, tgt_xyz, tgt_valid, idx_st, mask_st, idx_ts, mask_ts,
+        density_cell_src, density_cell_tgt, distance_thr, cfg,
+    )
+    return j, mutual, thr
+
+
+def register_pair_two_stage(
+    src_xyz, src_valid, tgt_xyz, tgt_valid, key,
+    normal_cell, density_cell_src, density_cell_tgt,
+    iss_radius_src, iss_radius_tgt, feature_radius, distance_thr,
+    cfg: FlagshipConfig = FlagshipConfig(),
+):
+    """Two-program variant: front (features+matching) then RANSAC."""
+    j, mutual, thr = _front_stage(
+        src_xyz, src_valid, tgt_xyz, tgt_valid,
+        normal_cell, density_cell_src, density_cell_tgt,
+        iss_radius_src, iss_radius_tgt, feature_radius, distance_thr, cfg,
+    )
+    return _ransac_stage(src_xyz, tgt_xyz[j], thr, mutual, key, cfg)

@@ -171,7 +171,7 @@ def fpfh(
     g = gridmod.build_grid(surface_xyz, surface_valid, radius)
     n_surface = surface_xyz.shape[0]
     sidx = jnp.arange(n_surface, dtype=jnp.int32)
-    idx, _dist, mask = gridmod.radius_neighbors(
+    idx, sdist, mask = gridmod.radius_neighbors(
         g,
         surface_xyz,
         surface_valid,
@@ -184,9 +184,15 @@ def fpfh(
     )
     spfh_all = spfh(surface_xyz, surface_normal, idx, mask)
 
-    kidx, kdist, kmask = gridmod.radius_neighbors(
-        g, kp_xyz, kp_valid, radius, k=k_neighbors, cap=cap, chunk=chunk
-    )
+    if kp_xyz is surface_xyz:
+        # keypoints ARE the surface (keypoint=any / flagship path): reuse the
+        # surface neighbor pass instead of a second full radius query.  The
+        # surface pass excluded self, matching the nonself filter below.
+        kidx, kdist, kmask = idx, sdist, mask
+    else:
+        kidx, kdist, kmask = gridmod.radius_neighbors(
+            g, kp_xyz, kp_valid, radius, k=k_neighbors, cap=cap, chunk=chunk
+        )
     if kp_normal is None:
         kp_normal = _nearest_normal(kp_xyz, kidx, kdist, kmask, surface_normal)
 

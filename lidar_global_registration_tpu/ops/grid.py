@@ -138,42 +138,44 @@ def _radius_neighbors_chunk(
     cells = [qc[d][:, None] + offsets[None, :, d] for d in range(3)]  # [M,27] x3
     keys = _hash_cells(cells[0], cells[1], cells[2])  # [M,27]
     starts = grid.bucket_start[keys]  # O(1) lookup
-    starts_f = jnp.minimum(starts.reshape(-1), N)  # clamp into padded arrays
+    # slot ids of every candidate: runs expressed as ELEMENT indices
+    # (starts + iota) — XLA's element gather is ~6x faster than the
+    # dynamic-slice row gather on TPU
+    slots = jnp.minimum(
+        starts[:, :, None] + jnp.arange(cap, dtype=jnp.int32)[None, None, :], N
+    ).reshape(M, 27 * cap)
 
-    pad_key = jnp.full((cap,), INT32_MAX, jnp.int32)
-    keys_p = jnp.concatenate([grid.keys_sorted, pad_key])
-    ord_p = jnp.concatenate([grid.order, jnp.zeros((cap,), jnp.int32)])
     big = jnp.float32(3.0e18)
-    xs_p = jnp.concatenate([grid.xs, jnp.full((cap,), big)])
-    ys_p = jnp.concatenate([grid.ys, jnp.full((cap,), big)])
-    zs_p = jnp.concatenate([grid.zs, jnp.full((cap,), big)])
+    xs_p = jnp.concatenate([grid.xs, jnp.full((1,), big)])
+    ys_p = jnp.concatenate([grid.ys, jnp.full((1,), big)])
+    zs_p = jnp.concatenate([grid.zs, jnp.full((1,), big)])
 
-    key_runs = _gather_runs(keys_p, starts_f, cap)  # [M*27, cap]
-    ok = key_runs == keys.reshape(-1)[:, None]
-    x_runs = _gather_runs(xs_p, starts_f, cap)
-    y_runs = _gather_runs(ys_p, starts_f, cap)
-    z_runs = _gather_runs(zs_p, starts_f, cap)
-    # hash-collision guard: candidate's true cell must equal the intended one
-    for d, runs in enumerate((x_runs, y_runs, z_runs)):
-        cd = _cell_coords_1d(runs, grid.origin[d], inv)
-        ok = ok & (cd == cells[d].reshape(-1)[:, None])
+    # candidate filter: the candidate's true cell must equal the intended
+    # cell.  This is strictly stronger than a bucket-key check (it also
+    # rejects run overflow into the next bucket and hash-aliased cells), so
+    # only the 3 coordinate gathers are needed.
+    ok = jnp.ones((M, 27 * cap), bool)
+    d2 = jnp.zeros((M, 27 * cap), jnp.float32)
+    want = [jnp.repeat(cells[d], cap, axis=1) for d in range(3)]  # [M,27*cap]
+    for d, arr in enumerate((xs_p, ys_p, zs_p)):
+        cvals = arr[slots]
+        ok = ok & (_cell_coords_1d(cvals, grid.origin[d], inv) == want[d])
+        dd = cvals - q[:, d][:, None]
+        d2 = d2 + dd * dd
 
-    qx = jnp.repeat(q[:, 0], 27).reshape(-1)[:, None]
-    qy = jnp.repeat(q[:, 1], 27).reshape(-1)[:, None]
-    qz = jnp.repeat(q[:, 2], 27).reshape(-1)[:, None]
-    d2 = (x_runs - qx) ** 2 + (y_runs - qy) ** 2 + (z_runs - qz) ** 2
-
-    ok = ok.reshape(M, 27 * cap) & qvalid[:, None]
-    d2 = d2.reshape(M, 27 * cap)
-    cand = _gather_runs(ord_p, starts_f, cap).reshape(M, 27 * cap)
-    ok = ok & (d2 <= radius * radius)
-    if not include_self:
-        ok = ok & (cand != qidx[:, None])
+    ok = ok & qvalid[:, None] & (d2 <= radius * radius)
     BIG = jnp.float32(3.0e38)
+    if not include_self:
+        # self-exclusion by zero distance: exact duplicates are removed at
+        # load time (common.cpp:417-427), so only the query itself sits at 0
+        ok = ok & (d2 > 0.0)
     d2m = jnp.where(ok, d2, BIG)
     neg, sel = jax.lax.top_k(-d2m, k)  # [M,k]
     dist = jnp.sqrt(jnp.maximum(-neg, 0.0))
-    idx = jnp.take_along_axis(cand, sel, axis=1)
+    # gather original ids ONLY for the k winners (tiny gather)
+    sel_slots = jnp.take_along_axis(slots, sel, axis=1)
+    ord_p = jnp.concatenate([grid.order, jnp.zeros((1,), jnp.int32)])
+    idx = ord_p[sel_slots]
     mask = jnp.take_along_axis(ok, sel, axis=1)
     idx = jnp.where(mask, idx, 0)
     dist = jnp.where(mask, dist, BIG)
