@@ -376,7 +376,12 @@ def register_pair_staged(
 
     def _t(label, out):
         if timing:
-            jax.block_until_ready(out)
+            # force a host transfer: block_until_ready returns early on some
+            # tunneled runtimes
+            import numpy as _np
+
+            for leaf in jax.tree_util.tree_leaves(out):
+                _np.asarray(leaf[..., :1])
             now = _time.perf_counter()
             print(f"#   stage {label}: {now - _t.last:.3f}s", flush=True)
             _t.last = now

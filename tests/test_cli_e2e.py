@@ -83,3 +83,49 @@ def test_cli_alignment_and_metric(tmp_path, monkeypatch):
     assert metrics.exists()
     gt = get_transformation_gt("ground_truth.csv", "scanA.ply", "scanB.ply")
     assert gt is not None
+
+
+@pytest.mark.slow
+def test_cli_debug_keypoint_compare_measure(tmp_path, monkeypatch):
+    """Exercise the remaining command surface: debug artifacts from caches,
+    keypoint analysis, hypothesis comparison, and the measure harness."""
+    from lidar_global_registration_tpu.cli import main
+
+    make_scan_pair(str(tmp_path), n=5000)
+    base = (
+        "source: scanA.ply\n"
+        "target: scanB.ply\n"
+        "ground_truth: ground_truth.csv\n"
+        "descriptor: fpfh\n"
+        "keypoint: any\n"
+        "matching: cluster\n"
+        "metric: correspondences\n"
+        "iteration: 30000\n"
+    )
+    (tmp_path / "config.yaml").write_text(base)
+    monkeypatch.chdir(tmp_path)
+    main(["alignment", "config.yaml"])  # populate caches
+
+    main(["debug", "config.yaml"])
+    debug_dir = tmp_path / "data" / "debug" / "scanA_scanB"
+    plys = list(debug_dir.glob("*.ply"))
+    assert any("downsampled_src" in p.name for p in plys)
+    assert any("temperature_dists" in p.name for p in plys)
+
+    (tmp_path / "multi.yaml").write_text(
+        "tests:\n"
+        + "    - keypoint:\n"
+        + "".join(f"        {line}\n" for line in base.strip().splitlines())
+        + "    - compare:\n"
+        + "".join(f"        {line}\n" for line in base.strip().splitlines())
+        + "    - measure:\n"
+        + "".join(f"        {line}\n" for line in base.strip().splitlines())
+        + "        n_times: 2\n"
+    )
+    main(["alignment", "multi.yaml"])
+    meas = tmp_path / "data" / "debug" / "test_measurements.csv"
+    assert meas.exists()
+    lines = meas.read_text().strip().splitlines()
+    assert len(lines) == 2
+    row = lines[1].split(",")
+    assert float(row[1]) > 0.49  # success_rate with 2 reseeded runs
