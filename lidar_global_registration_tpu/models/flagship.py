@@ -381,7 +381,7 @@ def register_pair_staged(
             import numpy as _np
 
             for leaf in jax.tree_util.tree_leaves(out):
-                _np.asarray(leaf[..., :1])
+                _np.asarray(leaf if leaf.ndim == 0 else leaf[..., :1])
             now = _time.perf_counter()
             print(f"#   stage {label}: {now - _t.last:.3f}s", flush=True)
             _t.last = now
