@@ -49,6 +49,7 @@ class FlagshipConfig:
     bf16_matching: bool = False
     match_tile: int = 2048
     query_chunk: int | None = None  # chunk large neighbor queries (memory)
+    density_cap: int = 8  # per-cell cap for the k=1 density search
 
 
 def _knn_fixed(xyz, valid, queries, qvalid, cell, k, cap, include_self, qidx=None,
@@ -158,8 +159,8 @@ def register_pair_step(
         & (idx_ts[j, 0] == jnp.arange(N, dtype=jnp.int32))
     )
 
-    dens_s = _smoothed_density(src_xyz, src_valid, density_cell_src, cfg.neighbor_cap, cfg.query_chunk)
-    dens_t = _smoothed_density(tgt_xyz, tgt_valid, density_cell_tgt, cfg.neighbor_cap, cfg.query_chunk)
+    dens_s = _smoothed_density(src_xyz, src_valid, density_cell_src, cfg.density_cap, cfg.query_chunk)
+    dens_t = _smoothed_density(tgt_xyz, tgt_valid, density_cell_tgt, cfg.density_cap, cfg.query_chunk)
     thr = jnp.minimum(jnp.maximum(dens_s, dens_t[j]), distance_thr)
     thr = jnp.where(thr > 0, thr, distance_thr)
 
@@ -282,9 +283,9 @@ def _correspondence_stage(
         & mask_ts[j, 0]
         & (idx_ts[j, 0] == jnp.arange(N, dtype=jnp.int32))
     )
-    dens_s = _smoothed_density(src_xyz, src_valid, density_cell_src, cfg.neighbor_cap,
+    dens_s = _smoothed_density(src_xyz, src_valid, density_cell_src, cfg.density_cap,
                                cfg.query_chunk)
-    dens_t = _smoothed_density(tgt_xyz, tgt_valid, density_cell_tgt, cfg.neighbor_cap,
+    dens_t = _smoothed_density(tgt_xyz, tgt_valid, density_cell_tgt, cfg.density_cap,
                                cfg.query_chunk)
     thr = jnp.minimum(jnp.maximum(dens_s, dens_t[j]), distance_thr)
     thr = jnp.where(thr > 0, thr, distance_thr)

@@ -126,14 +126,17 @@ def combine_spfh(
     kp_xyz, kp_normal, surface_xyz, surface_normal, spfh_all, kidx, kdist, kmask
 ):
     """Keypoint FPFH from neighbor SPFHs + the keypoint's own SPFH
-    (PCL weightPointSPFHSignature).  Callers chunk over keypoints: the
-    [m, K, 33] SPFH gather is the memory hot spot."""
+    (PCL weightPointSPFHSignature)."""
     nonself = kdist > 1e-12
     m = kmask & nonself
-    nb = spfh_all[kidx]  # [m,K,33]
     w = jnp.where(m, 1.0 / jnp.maximum(kdist * kdist, 1e-30), 0.0)
     k_cnt = jnp.sum(m, axis=1)
-    wsum = jnp.einsum("mk,mkd->md", w, nb) / jnp.maximum(k_cnt, 1)[:, None]
+    # per-channel gathers over a transposed SPFH table: a [m, K, 33] gather
+    # pads its 33-wide last dim to 128 lanes (3.9x traffic); 33 separate
+    # [m, K] gathers with immediate weighted reduction avoid the padding
+    spfh_t = spfh_all.T  # [33, N]
+    cols = [jnp.sum(w * spfh_t[d][kidx], axis=1) for d in range(DIM)]
+    wsum = jnp.stack(cols, axis=1) / jnp.maximum(k_cnt, 1)[:, None]
 
     dp = [surface_xyz[:, c][kidx] - kp_xyz[:, c][:, None] for c in range(3)]
     n1 = [kp_normal[:, c][:, None] for c in range(3)]

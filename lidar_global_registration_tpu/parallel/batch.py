@@ -115,8 +115,8 @@ def _pair_step_tp(src_xyz, src_valid, tgt_xyz, tgt_valid, key, scalars, cfg):
         idx_ts[j, 0] == jnp.arange(N, dtype=jnp.int32)
     )
 
-    dens_s = fs._smoothed_density(src_xyz, src_valid, density_cell_src, cfg.neighbor_cap, cfg.query_chunk)
-    dens_t = fs._smoothed_density(tgt_xyz, tgt_valid, density_cell_tgt, cfg.neighbor_cap, cfg.query_chunk)
+    dens_s = fs._smoothed_density(src_xyz, src_valid, density_cell_src, cfg.density_cap, cfg.query_chunk)
+    dens_t = fs._smoothed_density(tgt_xyz, tgt_valid, density_cell_tgt, cfg.density_cap, cfg.query_chunk)
     thr = jnp.minimum(jnp.maximum(dens_s, dens_t[j]), distance_thr)
     thr = jnp.where(thr > 0, thr, distance_thr)
 
