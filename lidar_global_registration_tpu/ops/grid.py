@@ -9,18 +9,20 @@ static shapes — the same trade the reference makes when it caps ISS radius
 searches at `max_neighbors_` (src/pcl/iss_debug.cpp:47-54).
 
 Memory-access design (the perf-critical part):
-  - points are physically REORDERED by cell hash at build time (coordinates
-    kept as separate sorted x/y/z arrays — structure-of-arrays, since any
-    materialized [*, 3] gather pads its last dim to 128 lanes on TPU);
-  - a query reads each of its 27 cells as ONE contiguous run of `cap` slots
-    (a slice-gather of 27 rows per query), not 27*cap scattered elements;
-  - only the final top-k indices translate back to original point ids.
+  - at build time points are scattered into a dense CELL-LIST layout
+    [rows, cell_cap] per coordinate (structure-of-arrays — a [*, 3] gather
+    would pad its 3-wide last dim to 128 lanes on TPU), where `rows` ranks
+    the occupied buckets;
+  - a query reads each of its 27 cells as ONE ROW gather (XLA lowers row
+    gathers with contiguous slices efficiently; per-element gathers measured
+    ~100x slower);
+  - only the final top-k winners translate back to original point ids.
 
 All functions are jit-friendly with static K / cap / chunk sizes.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import partial
 
 import jax
@@ -53,21 +55,30 @@ def _cell_coords_1d(x, origin_d, inv_cell):
 @jax.tree_util.register_dataclass
 @dataclass
 class HashGrid:
-    """Cell-hash-sorted spatial index over a padded point set."""
+    """Cell-list spatial index over a padded point set.
+
+    cell_x/y/z/ord are flat [(rows+1) * cell_cap] arrays: row r holds the
+    points of the r-th occupied bucket (overflow beyond cell_cap dropped,
+    like the reference's max_neighbors_ cap); the final row is a spill
+    target whose entries never pass the coordinate check."""
 
     xyz: jax.Array  # f32[N,3] ORIGINAL order (for callers)
     valid: jax.Array  # bool[N]
     origin: jax.Array  # f32[3]
     cell_size: jax.Array  # f32[]
-    keys_sorted: jax.Array  # i32[N] sorted bucket keys (invalid -> _H)
-    order: jax.Array  # i32[N] original point index per sorted slot
-    bucket_start: jax.Array  # i32[_H+1] first sorted slot of each bucket
-    xs: jax.Array  # f32[N] coordinates in sorted order (SoA)
-    ys: jax.Array
-    zs: jax.Array
+    rank_table: jax.Array  # i32[_H+1] occupied-bucket rank per bucket
+    cell_x: jax.Array  # f32[(rows+1)*cap]
+    cell_y: jax.Array
+    cell_z: jax.Array
+    cell_ord: jax.Array  # i32[(rows+1)*cap] original point ids
+    cell_cap: int = field(metadata=dict(static=True))  # static
 
 
-def build_grid(xyz: jax.Array, valid: jax.Array, cell_size) -> HashGrid:
+def build_grid(
+    xyz: jax.Array, valid: jax.Array, cell_size, cell_cap: int = 128
+) -> HashGrid:
+    """Build the cell-list index.  cell_cap bounds points kept per cell."""
+    N = xyz.shape[0]
     cell_size = jnp.asarray(cell_size, jnp.float32)
     big = jnp.float32(3.0e37)
     masked = jnp.where(valid[:, None], xyz, big)
@@ -81,9 +92,6 @@ def build_grid(xyz: jax.Array, valid: jax.Array, cell_size) -> HashGrid:
     keys = jnp.where(valid, keys, jnp.int32(_H))  # invalid points sort last
     order = jnp.argsort(keys).astype(jnp.int32)
     keys_sorted = keys[order]
-    # O(1)-lookup bucket table: start of bucket b = #keys < b (exclusive
-    # cumsum of per-bucket counts) — replaces a 17-step binary search per
-    # (query, cell) with one element gather.
     counts = jax.ops.segment_sum(
         jnp.ones_like(keys, dtype=jnp.int32),
         jnp.minimum(keys, _H),
@@ -92,29 +100,43 @@ def build_grid(xyz: jax.Array, valid: jax.Array, cell_size) -> HashGrid:
     bucket_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
     )
+    # rank occupied buckets; empty buckets inherit a neighboring rank whose
+    # row fails the coordinate check at query time
+    occupied = (counts[:_H] > 0).astype(jnp.int32)
+    rank_of_bucket = jnp.cumsum(occupied) - 1
+    rank_table = jnp.concatenate(
+        [jnp.maximum(rank_of_bucket, 0), jnp.full((1,), N, jnp.int32)]
+    ).astype(jnp.int32)
+
+    # scatter sorted points into [rows+1, cap] flat cell lists
+    slot = jnp.arange(N, dtype=jnp.int32)
+    b = keys_sorted
+    pos = slot - bucket_start[jnp.minimum(b, _H)]
+    row = jnp.where(b < _H, rank_table[jnp.minimum(b, _H)], N)
+    ok = (b < _H) & (pos < cell_cap)
+    flat = jnp.where(ok, row * cell_cap + pos, N * cell_cap)
+    size = (N + 1) * cell_cap
+    pad = jnp.float32(3.0e18)
+    xs, ys, zs = xyz[:, 0][order], xyz[:, 1][order], xyz[:, 2][order]
+    cell_x = jnp.full((size,), pad).at[flat].set(xs, mode="drop")
+    cell_y = jnp.full((size,), pad).at[flat].set(ys, mode="drop")
+    cell_z = jnp.full((size,), pad).at[flat].set(zs, mode="drop")
+    cell_ord = jnp.zeros((size,), jnp.int32).at[flat].set(order, mode="drop")
     return HashGrid(
         xyz=xyz,
         valid=valid,
         origin=origin,
         cell_size=cell_size,
-        keys_sorted=keys_sorted,
-        order=order,
-        bucket_start=bucket_start,
-        xs=xyz[:, 0][order],
-        ys=xyz[:, 1][order],
-        zs=xyz[:, 2][order],
+        rank_table=rank_table,
+        cell_x=cell_x,
+        cell_y=cell_y,
+        cell_z=cell_z,
+        cell_ord=cell_ord,
+        cell_cap=cell_cap,
     )
 
 
 _OFFSETS_LIST = [[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)]
-
-
-def _gather_runs(arr: jax.Array, starts: jax.Array, cap: int) -> jax.Array:
-    """arr f32/i32[N+pad]; starts i32[R] -> [R, cap] contiguous runs.
-
-    One slice-gather per run (TPU-friendly sequential reads) instead of
-    R*cap scattered element gathers."""
-    return jax.vmap(lambda s: jax.lax.dynamic_slice(arr, (s,), (cap,)))(starts)
 
 
 @partial(jax.jit, static_argnames=("k", "cap", "include_self"))
@@ -129,37 +151,21 @@ def _radius_neighbors_chunk(
     include_self: bool,
 ):
     M = q.shape[0]
-    N = grid.keys_sorted.shape[0]
+    ccap = min(cap, grid.cell_cap)
     inv = 1.0 / jnp.maximum(grid.cell_size, 1e-30)
-    qc = [
-        _cell_coords_1d(q[:, d], grid.origin[d], inv) for d in range(3)
-    ]  # [M] x3
+    qc = [_cell_coords_1d(q[:, d], grid.origin[d], inv) for d in range(3)]  # [M] x3
     offsets = jnp.asarray(_OFFSETS_LIST, jnp.int32)  # [27,3]
     cells = [qc[d][:, None] + offsets[None, :, d] for d in range(3)]  # [M,27] x3
     keys = _hash_cells(cells[0], cells[1], cells[2])  # [M,27]
-    starts = grid.bucket_start[keys]  # O(1) lookup
-    # slot ids of every candidate: runs expressed as ELEMENT indices
-    # (starts + iota) — XLA's element gather is ~6x faster than the
-    # dynamic-slice row gather on TPU
-    slots = jnp.minimum(
-        starts[:, :, None] + jnp.arange(cap, dtype=jnp.int32)[None, None, :], N
-    ).reshape(M, 27 * cap)
+    rows = grid.rank_table[keys]  # [M,27] cell-list row per neighbor cell
 
-    big = jnp.float32(3.0e18)
-    xs_p = jnp.concatenate([grid.xs, jnp.full((1,), big)])
-    ys_p = jnp.concatenate([grid.ys, jnp.full((1,), big)])
-    zs_p = jnp.concatenate([grid.zs, jnp.full((1,), big)])
-
-    # candidate filter: the candidate's true cell must equal the intended
-    # cell.  This is strictly stronger than a bucket-key check (it also
-    # rejects run overflow into the next bucket and hash-aliased cells), so
-    # only the 3 coordinate gathers are needed.
-    ok = jnp.ones((M, 27 * cap), bool)
-    d2 = jnp.zeros((M, 27 * cap), jnp.float32)
-    want = [jnp.repeat(cells[d], cap, axis=1) for d in range(3)]  # [M,27*cap]
-    for d, arr in enumerate((xs_p, ys_p, zs_p)):
-        cvals = arr[slots]
-        ok = ok & (_cell_coords_1d(cvals, grid.origin[d], inv) == want[d])
+    view = lambda a: a.reshape(-1, grid.cell_cap)[:, :ccap]
+    ok = jnp.ones((M, 27 * ccap), bool)
+    d2 = jnp.zeros((M, 27 * ccap), jnp.float32)
+    for d, flat in enumerate((grid.cell_x, grid.cell_y, grid.cell_z)):
+        cvals = view(flat)[rows].reshape(M, 27 * ccap)  # ROW gather
+        want = jnp.repeat(cells[d], ccap, axis=1)
+        ok = ok & (_cell_coords_1d(cvals, grid.origin[d], inv) == want)
         dd = cvals - q[:, d][:, None]
         d2 = d2 + dd * dd
 
@@ -172,10 +178,12 @@ def _radius_neighbors_chunk(
     d2m = jnp.where(ok, d2, BIG)
     neg, sel = jax.lax.top_k(-d2m, k)  # [M,k]
     dist = jnp.sqrt(jnp.maximum(-neg, 0.0))
-    # gather original ids ONLY for the k winners (tiny gather)
-    sel_slots = jnp.take_along_axis(slots, sel, axis=1)
-    ord_p = jnp.concatenate([grid.order, jnp.zeros((1,), jnp.int32)])
-    idx = ord_p[sel_slots]
+    # original ids only for the k winners (tiny gather)
+    win_row = jnp.take_along_axis(
+        jnp.repeat(rows, ccap, axis=1), sel, axis=1
+    )
+    win_pos = sel % ccap
+    idx = grid.cell_ord[win_row * grid.cell_cap + win_pos]
     mask = jnp.take_along_axis(ok, sel, axis=1)
     idx = jnp.where(mask, idx, 0)
     dist = jnp.where(mask, dist, BIG)
