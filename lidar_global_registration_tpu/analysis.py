@@ -63,7 +63,7 @@ def overlap_rmse(src: Cloud, tgt: Cloud, T, T_gt, inlier_threshold: float) -> fl
     aligned = transform_cloud_xyz(src.xyz, src.valid, Tj)
     aligned_gt = transform_cloud_xyz(src.xyz, src.valid, Tg)
     radius = DIST_TO_PLANE_COEFFICIENT * inlier_threshold
-    g = gridmod.build_grid(tgt.xyz, tgt.valid, max(radius, 1e-12))
+    g = gridmod.build_grid(tgt.xyz, tgt.valid, max(radius, 1e-12), cell_cap=64)
     idx, dist, mask = gridmod.radius_neighbors(g, aligned_gt, src.valid, radius, k=1, cap=64)
     nn = idx[:, 0]
     found = mask[:, 0]
@@ -89,7 +89,7 @@ def normal_difference(src: Cloud, tgt: Cloud, distance_thr: float, T_gt) -> floa
     aligned = transform_cloud_xyz(src.xyz, src.valid, jnp.asarray(Tg))
     Rn = jnp.asarray(Tg[:3, :3])
     srcn = src.normal @ Rn.T
-    g = gridmod.build_grid(tgt.xyz, tgt.valid, max(distance_thr, 1e-12))
+    g = gridmod.build_grid(tgt.xyz, tgt.valid, max(distance_thr, 1e-12), cell_cap=64)
     idx, dist, mask = gridmod.radius_neighbors(
         g, aligned, src.valid, distance_thr, k=1, cap=64
     )
@@ -113,7 +113,7 @@ def merge_overlaps(pcd1: Cloud, pcd2: Cloud, distance_thr: float):
     out = []
     radius = DIST_TO_PLANE_COEFFICIENT * distance_thr
     for compared, reference in ((pcd1, pcd2), (pcd2, pcd1)):
-        g = gridmod.build_grid(reference.xyz, reference.valid, max(radius, 1e-12))
+        g = gridmod.build_grid(reference.xyz, reference.valid, max(radius, 1e-12), cell_cap=64)
         idx, dist, mask = gridmod.radius_neighbors(
             g, compared.xyz, compared.valid, radius, k=1, cap=64
         )

@@ -54,7 +54,7 @@ class FlagshipConfig:
 
 def _knn_fixed(xyz, valid, queries, qvalid, cell, k, cap, include_self, qidx=None,
                chunk=None):
-    g = gridmod.build_grid(xyz, valid, cell)
+    g = gridmod.build_grid(xyz, valid, cell, cell_cap=cap)
     return gridmod.radius_neighbors(
         g,
         queries,

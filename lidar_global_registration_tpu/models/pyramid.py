@@ -73,7 +73,7 @@ def _estimate_frames(params: AlignmentParameters, kps: Cloud, radius):
         frames, needs_fb = lrfmod.gravity_lrf(kps.normal)
         needs_fb = np.asarray(needs_fb) & np.asarray(kps.valid)
         if needs_fb.any():
-            g = gridmod.build_grid(kps.xyz, kps.valid, radius)
+            g = gridmod.build_grid(kps.xyz, kps.valid, radius, cell_cap=32)
             idx, _d, mask = gridmod.radius_neighbors(
                 g, kps.xyz, kps.valid, radius, k=64, cap=32
             )
@@ -442,7 +442,7 @@ def _kps_knn(side: PyramidSide, k: int):
     n_valid = max(int(np.asarray(side.kps.count())), 1)
     k_eff = min(k, max(n_valid - 1, 1))
     for _ in range(8):
-        g = gridmod.build_grid(side.kps.xyz, side.kps.valid, cell)
+        g = gridmod.build_grid(side.kps.xyz, side.kps.valid, cell, cell_cap=64)
         idx, d, mask = gridmod.knn(g, side.kps.xyz, side.kps.valid, k, cap=64)
         big = jnp.float32(1.0e38)
         kth = jnp.where(mask[:, k_eff - 1], d[:, k_eff - 1], big)

@@ -92,7 +92,7 @@ def build_metric_context(
         cp_thr = cloud_density(tgt)
         ctx.cp_threshold = cp_thr
         radius = DIST_TO_PLANE_COEFFICIENT * cp_thr
-        ctx.tgt_grid = gridmod.build_grid(tgt.xyz, tgt.valid, max(radius, 1e-12))
+        ctx.tgt_grid = gridmod.build_grid(tgt.xyz, tgt.valid, max(radius, 1e-12), cell_cap=32)
         ctx.tgt_normal = tgt.normal
         n_src = int(np.asarray(src.count()))
         valid_idx = np.nonzero(np.asarray(src.valid))[0]

@@ -51,7 +51,7 @@ def knn_distances(
     qidx = jnp.arange(cloud.capacity, dtype=jnp.int32)
     n_valid = max(int(np.asarray(cloud.count())), 1)
     for _ in range(max_doublings):
-        g = gridmod.build_grid(cloud.xyz, cloud.valid, cell)
+        g = gridmod.build_grid(cloud.xyz, cloud.valid, cell, cell_cap=cap)
         idx, dist, mask = gridmod.knn(
             g,
             cloud.xyz,

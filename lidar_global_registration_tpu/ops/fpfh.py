@@ -172,7 +172,7 @@ def fpfh(
     """Full FPFH pipeline for keypoints against a surface cloud.
 
     Returns (features f32[M,33], feat_valid bool[M])."""
-    g = gridmod.build_grid(surface_xyz, surface_valid, radius)
+    g = gridmod.build_grid(surface_xyz, surface_valid, radius, cell_cap=cap)
     n_surface = surface_xyz.shape[0]
     sidx = jnp.arange(n_surface, dtype=jnp.int32)
     idx, sdist, mask = gridmod.radius_neighbors(

@@ -86,7 +86,7 @@ def iss_keypoints(
 
     Keypoint *indices* (sorted, as the reference does under fix_seed,
     common.cpp:674-676) are recovered host-side by np.nonzero."""
-    g = gridmod.build_grid(cloud.xyz, cloud.valid, iss_radius)
+    g = gridmod.build_grid(cloud.xyz, cloud.valid, iss_radius, cell_cap=cap_per_cell)
     qidx = jnp.arange(cloud.capacity, dtype=jnp.int32)
     idx, _dist, mask = gridmod.radius_neighbors(
         g,
@@ -133,7 +133,9 @@ def subvoxel_iss_keypoints(
 
     from lidar_global_registration_tpu.ops.quadric import subvoxel_keypoints
 
-    g = gridmod.build_grid(cloud.xyz, cloud.valid, iss_radius)
+    g = gridmod.build_grid(
+        cloud.xyz, cloud.valid, iss_radius, cell_cap=kw.get("cap_per_cell", 32)
+    )
     qidx = jnp.arange(cloud.capacity, dtype=jnp.int32)
     idx, _dist, mask = gridmod.radius_neighbors(
         g,

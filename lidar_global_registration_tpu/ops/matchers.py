@@ -123,7 +123,7 @@ def match_local(
     descriptor L2.  Returns (idx, dist, mask) like match_bf."""
     R, t = guess[:3, :3], guess[:3, 3]
     tq = query_xyz @ R.T + t
-    g = gridmod.build_grid(train_xyz, tvalid, jnp.maximum(search_radius, 1e-12))
+    g = gridmod.build_grid(train_xyz, tvalid, jnp.maximum(search_radius, 1e-12), cell_cap=cap)
     cidx, _cdist, cmask = gridmod.radius_neighbors(
         g, tq, qvalid, search_radius, k=cand, cap=cap
     )

@@ -116,7 +116,7 @@ def estimate_normals_knn(
     cell = cell_size if cell_size is not None else _auto_cell_size(surf, k)
     n_valid = max(int(np.asarray(cloud.count())), 1)
     for _ in range(8):
-        g = gridmod.build_grid(surf.xyz, surf.valid, cell)
+        g = gridmod.build_grid(surf.xyz, surf.valid, cell, cell_cap=cap)
         idx, dist, mask = gridmod.knn(
             g, cloud.xyz, cloud.valid, k, cap=cap, include_self=True, chunk=chunk
         )

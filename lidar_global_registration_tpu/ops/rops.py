@@ -125,7 +125,7 @@ def rops(
     cap: int = 128,
     chunk: int | None = None,
 ):
-    g = gridmod.build_grid(surface_xyz, surface_valid, radius)
+    g = gridmod.build_grid(surface_xyz, surface_valid, radius, cell_cap=cap)
     idx, _d, mask = gridmod.radius_neighbors(
         g, kp_xyz, kp_valid, radius, k=k_neighbors, cap=cap, chunk=chunk
     )

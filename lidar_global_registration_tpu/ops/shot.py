@@ -186,7 +186,7 @@ def shot(
 
     frames: optional f32[M,3,3] precomputed LRFs (gravity / gt modes,
     common.h:394-415 setInputReferenceFrames); default = SHOT LRF."""
-    g = gridmod.build_grid(surface_xyz, surface_valid, radius)
+    g = gridmod.build_grid(surface_xyz, surface_valid, radius, cell_cap=cap)
     idx, _dist, mask = gridmod.radius_neighbors(
         g, kp_xyz, kp_valid, radius, k=k_neighbors, cap=cap, chunk=chunk
     )

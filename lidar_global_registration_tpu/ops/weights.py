@@ -40,7 +40,7 @@ def _knn(cloud: Cloud, k: int):
     cell = _auto_cell_size(cloud, k)
     n_valid = max(int(np.asarray(cloud.count())), 1)
     for _ in range(8):
-        g = gridmod.build_grid(cloud.xyz, cloud.valid, cell)
+        g = gridmod.build_grid(cloud.xyz, cloud.valid, cell, cell_cap=64)
         idx, dist, mask = gridmod.knn(g, cloud.xyz, cloud.valid, k, cap=64)
         big = jnp.float32(1.0e38)
         kth = jnp.where(mask[:, k - 1], dist[:, k - 1], big)

@@ -78,7 +78,7 @@ def _pair_step_tp(src_xyz, src_valid, tgt_xyz, tgt_valid, key, scalars, cfg):
         normal, _c, _o = normals_from_neighbors(xyz, xyz, idx, mask)
         if cfg.use_iss:
             qidx = jnp.arange(xyz.shape[0], dtype=jnp.int32)
-            g = gridmod.build_grid(xyz, valid, iss_radius)
+            g = gridmod.build_grid(xyz, valid, iss_radius, cell_cap=cfg.neighbor_cap)
             iidx, _d, imask = gridmod.radius_neighbors(
                 g, xyz, valid, iss_radius, k=cfg.iss_neighbors, cap=cfg.neighbor_cap,
                 include_self=False, query_index=qidx,

@@ -200,7 +200,7 @@ def save_temperature_maps(
     outputs = []
     radius = DIST_TO_PLANE_COEFFICIENT * distance_thr
     for tag, compared, reference in (("src", moved, tgt), ("tgt", tgt, moved)):
-        g = gridmod.build_grid(reference.xyz, reference.valid, max(radius, 1e-12))
+        g = gridmod.build_grid(reference.xyz, reference.valid, max(radius, 1e-12), cell_cap=64)
         idx, dist, mask = gridmod.radius_neighbors(
             g, compared.xyz, compared.valid, radius, k=1, cap=64
         )
@@ -304,7 +304,7 @@ def save_extracted_point_ids(src: Cloud, tgt: Cloud, transformation_gt,
 
         cell = _auto_cell_size(cloud, 2)
         for _ in range(10):
-            g = gridmod.build_grid(cloud.xyz, cloud.valid, cell)
+            g = gridmod.build_grid(cloud.xyz, cloud.valid, cell, cell_cap=64)
             idx, _d, mask = gridmod.knn(g, q, qv, 1, cap=64)
             if bool(np.asarray(mask).all()):
                 break

@@ -215,7 +215,7 @@ def cmd_overlap(args):
         clouds.append(Cloud.from_numpy(xyz))
 
     def frac_within(a: Cloud, b: Cloud):
-        g = gridmod.build_grid(b.xyz, b.valid, radius)
+        g = gridmod.build_grid(b.xyz, b.valid, radius, cell_cap=64)
         _i, _d, mask = gridmod.radius_neighbors(g, a.xyz, a.valid, radius, k=1, cap=64)
         return float(np.asarray(jnp.sum(mask[:, 0]))) / float(np.asarray(a.count()))
 
