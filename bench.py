@@ -21,7 +21,7 @@ import time
 
 import numpy as np
 
-N = int(os.environ.get("LGR_BENCH_N", 131072))
+N = int(os.environ.get("LGR_BENCH_N", 65536))
 REPEATS = int(os.environ.get("LGR_BENCH_REPEATS", 5))
 CPU_N = int(os.environ.get("LGR_BENCH_CPU_N", N))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_cache.json")

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from lidar_global_registration_tpu.ops import grid as gridmod
 
-BIG = jnp.float32(3.0e38)
+BIG = 3.0e38  # plain float: module import must not initialize a backend
 
 
 def _pad_rows(x, mult):

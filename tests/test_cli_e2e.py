@@ -45,6 +45,14 @@ def make_scan_pair(dirpath, n=8000, seed=7):
     gt_csv = os.path.join(dirpath, "ground_truth.csv")
     save_transformation(gt_csv, "scanA.ply", pose_a)
     save_transformation(gt_csv, "scanB.ply", pose_b)
+    # scanner viewpoints (consistent normal orientation across frames, like
+    # the reference's viewpoints.csv)
+    vp_a = np.array([27.5, 20.0, 150.0])
+    vp_b = R.T @ (vp_a - t)
+    with open(os.path.join(dirpath, "viewpoints.csv"), "w") as f:
+        f.write("reading,x,y,z\n")
+        f.write(f"scanA.ply,{vp_a[0]},{vp_a[1]},{vp_a[2]}\n")
+        f.write(f"scanB.ply,{vp_b[0]},{vp_b[1]},{vp_b[2]}\n")
     return gt_csv
 
 
@@ -58,6 +66,7 @@ def test_cli_alignment_and_metric(tmp_path, monkeypatch):
         "source: scanA.ply\n"
         "target: scanB.ply\n"
         "ground_truth: ground_truth.csv\n"
+        "viewpoints: viewpoints.csv\n"
         "descriptor: fpfh\n"
         "keypoint: any\n"
         "matching: cluster\n"
@@ -96,6 +105,7 @@ def test_cli_debug_keypoint_compare_measure(tmp_path, monkeypatch):
         "source: scanA.ply\n"
         "target: scanB.ply\n"
         "ground_truth: ground_truth.csv\n"
+        "viewpoints: viewpoints.csv\n"
         "descriptor: fpfh\n"
         "keypoint: any\n"
         "matching: cluster\n"
@@ -129,3 +139,31 @@ def test_cli_debug_keypoint_compare_measure(tmp_path, monkeypatch):
     assert len(lines) == 2
     row = lines[1].split(",")
     assert float(row[1]) > 0.49  # success_rate with 2 reseeded runs
+
+
+@pytest.mark.slow
+def test_cli_gror_alignment(tmp_path, monkeypatch):
+    from lidar_global_registration_tpu.cli import main
+
+    make_scan_pair(str(tmp_path), n=5000)
+    (tmp_path / "config.yaml").write_text(
+        "source: scanA.ply\n"
+        "target: scanB.ply\n"
+        "ground_truth: ground_truth.csv\n"
+        "viewpoints: viewpoints.csv\n"
+        "descriptor: fpfh\n"
+        "keypoint: any\n"
+        "matching: cluster\n"
+        "alignment: gror\n"
+        "distance_thr: 1.0\n"  # GROR resolution; the auto value (4x density
+                                # ~ 5.4) makes the 2x-resolution consistency
+                                # band swamp this 40-unit scene
+    )
+    monkeypatch.chdir(tmp_path)
+    main(["alignment", "config.yaml"])
+    results = tmp_path / "data" / "debug" / "test_results.csv"
+    lines = results.read_text().strip().splitlines()
+    row = dict(zip(lines[0].split(","), lines[1].split(",")))
+    assert row["alignment_type"] == "gror"
+    assert float(row["r_err"]) < np.deg2rad(3.0)
+    assert float(row["t_err"]) < 1.0
