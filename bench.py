@@ -86,12 +86,22 @@ def run_step(n: int, repeats: int) -> float:
         jnp.float32(spacing * 8.0),
         jnp.float32(spacing * 4.0),
     )
-    out = register_pair_staged(*args, cfg=cfg)
+    # world-consistent scanner viewpoints (frame-consistent normals)
+    ang = 0.4
+    Rb = np.array(
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
+        np.float32,
+    )
+    tb = np.array([2.0, -1.0, 0.5], np.float32)
+    vp_a = np.array([15.0, 15.0, 120.0], np.float32)
+    vp_b = Rb.T @ (vp_a - tb)
+    kwargs = dict(vp_src=jnp.asarray(vp_a), vp_tgt=jnp.asarray(vp_b))
+    out = register_pair_staged(*args, cfg=cfg, **kwargs)
     jax.block_until_ready(out)  # compile + warmup
     best = float("inf")
     for r in range(repeats):
         t0 = time.perf_counter()
-        out = register_pair_staged(*args, cfg=cfg)
+        out = register_pair_staged(*args, cfg=cfg, **kwargs)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         print(f"# repeat {r}: {dt:.3f}s", file=sys.stderr)

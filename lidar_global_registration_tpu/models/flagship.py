@@ -113,19 +113,23 @@ def register_pair_step(
     iss_radius_tgt,
     feature_radius,
     distance_thr,
+    vp_src=None,
+    vp_tgt=None,
     cfg: FlagshipConfig = FlagshipConfig(),
 ):
     """Register one padded pair.  Returns dict with transformation [4,4],
-    metric, inliers, converged, n_correspondences."""
+    metric, inliers, converged, n_correspondences.  vp_src/vp_tgt: scanner
+    viewpoints for frame-consistent normal orientation (viewpoints.csv in
+    the reference; defaults to the origin like PCL)."""
     N = src_xyz.shape[0]
 
-    def side(xyz, valid, iss_radius):
+    def side(xyz, valid, iss_radius, viewpoint):
         qidx = jnp.arange(xyz.shape[0], dtype=jnp.int32)
         idx, dist, mask = _knn_fixed(
             xyz, valid, xyz, valid, normal_cell, cfg.normal_k, cfg.neighbor_cap, True,
             chunk=cfg.query_chunk,
         )
-        normal, _curv, _ok = normals_from_neighbors(xyz, xyz, idx, mask)
+        normal, _curv, _ok = normals_from_neighbors(xyz, xyz, idx, mask, viewpoint)
         if cfg.use_iss:
             g = gridmod.build_grid(xyz, valid, iss_radius)
             iidx, _idist, imask = gridmod.radius_neighbors(
@@ -139,8 +143,8 @@ def register_pair_step(
             kp_mask = valid
         return normal, kp_mask
 
-    src_normal, src_kp = side(src_xyz, src_valid, iss_radius_src)
-    tgt_normal, tgt_kp = side(tgt_xyz, tgt_valid, iss_radius_tgt)
+    src_normal, src_kp = side(src_xyz, src_valid, iss_radius_src, vp_src)
+    tgt_normal, tgt_kp = side(tgt_xyz, tgt_valid, iss_radius_tgt, vp_tgt)
 
     fq, fq_valid = _fpfh_fixed(src_xyz, src_normal, src_valid, src_kp, feature_radius, cfg)
     ft, ft_valid = _fpfh_fixed(tgt_xyz, tgt_normal, tgt_valid, tgt_kp, feature_radius, cfg)
@@ -250,13 +254,13 @@ def register_pair_step(
 # the single-graph unit the mesh layer shards.
 # ---------------------------------------------------------------------------
 @partial(jax.jit, static_argnames=("cfg",))
-def _side_stage(xyz, valid, normal_cell, iss_radius, cfg: FlagshipConfig):
+def _side_stage(xyz, valid, normal_cell, iss_radius, cfg: FlagshipConfig, viewpoint=None):
     qidx = jnp.arange(xyz.shape[0], dtype=jnp.int32)
     idx, dist, mask = _knn_fixed(
         xyz, valid, xyz, valid, normal_cell, cfg.normal_k, cfg.neighbor_cap, True,
         chunk=cfg.query_chunk,
     )
-    normal, _curv, _ok = normals_from_neighbors(xyz, xyz, idx, mask)
+    normal, _curv, _ok = normals_from_neighbors(xyz, xyz, idx, mask, viewpoint)
     if cfg.use_iss:
         g = gridmod.build_grid(xyz, valid, iss_radius)
         iidx, _idist, imask = gridmod.radius_neighbors(
@@ -362,6 +366,8 @@ def register_pair_staged(
     src_xyz, src_valid, tgt_xyz, tgt_valid, key,
     normal_cell, density_cell_src, density_cell_tgt,
     iss_radius_src, iss_radius_tgt, feature_radius, distance_thr,
+    vp_src=None,
+    vp_tgt=None,
     cfg: FlagshipConfig = FlagshipConfig(),
 ):
     """Stage-jitted variant of register_pair_step (identical semantics).
@@ -391,10 +397,12 @@ def register_pair_staged(
     _t.last = _time.perf_counter()
 
     src_normal, src_kp = _t(
-        "side_src", _side_stage(src_xyz, src_valid, normal_cell, iss_radius_src, cfg)
+        "side_src",
+        _side_stage(src_xyz, src_valid, normal_cell, iss_radius_src, cfg, vp_src),
     )
     tgt_normal, tgt_kp = _t(
-        "side_tgt", _side_stage(tgt_xyz, tgt_valid, normal_cell, iss_radius_tgt, cfg)
+        "side_tgt",
+        _side_stage(tgt_xyz, tgt_valid, normal_cell, iss_radius_tgt, cfg, vp_tgt),
     )
     fq, fq_valid = _t("fpfh_src", fpfh_full(
         src_xyz, src_valid & src_kp, src_xyz, src_normal, src_valid, feature_radius,
