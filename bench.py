@@ -98,10 +98,16 @@ def run_step(n: int, repeats: int) -> float:
     kwargs = dict(vp_src=jnp.asarray(vp_a), vp_tgt=jnp.asarray(vp_b))
     out = register_pair_staged(*args, cfg=cfg, **kwargs)
     jax.block_until_ready(out)  # compile + warmup
+    # vary inputs per repeat: some runtimes replay-cache identical
+    # (program, args) executions, which would fake sub-real timings
+    variants = []
+    for r in range(repeats):
+        eps = jnp.float32(1e-5 * (r + 1))
+        variants.append((args[0] + eps,) + args[1:])
     best = float("inf")
     for r in range(repeats):
         t0 = time.perf_counter()
-        out = register_pair_staged(*args, cfg=cfg, **kwargs)
+        out = register_pair_staged(*variants[r], cfg=cfg, **kwargs)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         print(f"# repeat {r}: {dt:.3f}s", file=sys.stderr)
