@@ -108,7 +108,9 @@ def run_step(n: int, repeats: int) -> float:
     for r in range(repeats):
         t0 = time.perf_counter()
         out = register_pair_staged(*variants[r], cfg=cfg, **kwargs)
-        jax.block_until_ready(out)
+        # force a host transfer: block_until_ready returns before device
+        # completion on some tunneled runtimes
+        np.asarray(out["transformation"])
         dt = time.perf_counter() - t0
         print(f"# repeat {r}: {dt:.3f}s", file=sys.stderr)
         best = min(best, dt)
