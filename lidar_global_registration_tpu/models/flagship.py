@@ -199,7 +199,7 @@ def register_pair_step(
             hi = jnp.maximum(ds, dt)
             ok = ok & (lo >= (cfg.edge_thr**2) * hi) & (hi > 0)
         R, t = kabsch(p3, q3)
-        tp = jnp.einsum("bij,mj->bmi", R, p) + t[:, None, :]
+        tp = jnp.einsum("bij,mj->bmi", R, p, precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
         d = jnp.sqrt(jnp.maximum(jnp.sum((tp - q[None]) ** 2, axis=-1), 0.0))
         inl = (d < thr[None]) & cvalid[None]
         cnt = jnp.sum(inl, axis=1)
@@ -319,7 +319,7 @@ def _ransac_stage(p, q, thr, cvalid, key, cfg: FlagshipConfig):
             ok = ok & (jnp.minimum(ds, dt) >= (cfg.edge_thr**2) * jnp.maximum(ds, dt))
             ok = ok & (jnp.maximum(ds, dt) > 0)
         R, t = kabsch(p3, q3)
-        tp = jnp.einsum("bij,mj->bmi", R, p) + t[:, None, :]
+        tp = jnp.einsum("bij,mj->bmi", R, p, precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
         d = jnp.sqrt(jnp.maximum(jnp.sum((tp - q[None]) ** 2, axis=-1), 0.0))
         inl = (d < thr[None]) & cvalid[None]
         cnt = jnp.sum(inl, axis=1)

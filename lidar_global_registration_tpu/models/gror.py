@@ -97,7 +97,7 @@ def _two_point_align(p1, q1, p2, q2):
     R_pi = 2.0 * perp[..., :, None] * perp[..., None, :] - eye
     R = jnp.where((c < -1.0 + 1e-6)[..., None, None], R_pi, R)
 
-    t = 0.5 * ((q1 - jnp.einsum("eij,ej->ei", R, p1)) + (q2 - jnp.einsum("eij,ej->ei", R, p2)))
+    t = 0.5 * ((q1 - jnp.einsum("eij,ej->ei", R, p1, precision=jax.lax.Precision.HIGHEST)) + (q2 - jnp.einsum("eij,ej->ei", R, p2, precision=jax.lax.Precision.HIGHEST)))
     return R, t, vt, q1
 
 
@@ -109,8 +109,8 @@ def _rcfs_counts(R, t, axis, origin, p, q, valid, resolution):
     diff_t = q[None, :, :] - origin[:, None, :]  # [E,M,3]
     # source-side anchor = R^-1 applied? reference: diff_to_s = s_p - first_corr_s;
     # axis_s = R^T axis_t; we reconstruct first_corr_s = R^T (origin - t).
-    first_s = jnp.einsum("eji,ej->ei", R, origin - t)
-    axis_s = jnp.einsum("eji,ej->ei", R, axis)
+    first_s = jnp.einsum("eji,ej->ei", R, origin - t, precision=jax.lax.Precision.HIGHEST)
+    axis_s = jnp.einsum("eji,ej->ei", R, axis, precision=jax.lax.Precision.HIGHEST)
     diff_s = p[None, :, :] - first_s[:, None, :]
     dist_t = jnp.linalg.norm(diff_t, axis=-1)
     dist_s = jnp.linalg.norm(diff_s, axis=-1)
@@ -157,9 +157,9 @@ def _tcfs_stab(R, t, axis, origin, p, q, valid, resolution):
     W = jnp.where((c < -1.0 + 1e-6)[..., None, None], flipz, W)
 
     # local target coords: W (q - origin); local source: W (R p + t - origin)
-    tq = jnp.einsum("eij,emj->emi", W, q[None, :, :] - origin[:, None, :])
-    sp = jnp.einsum("eij,mj->emi", R, p) + t[:, None, :] - origin[:, None, :]
-    sp = jnp.einsum("eij,emj->emi", W, sp)
+    tq = jnp.einsum("eij,emj->emi", W, q[None, :, :] - origin[:, None, :], precision=jax.lax.Precision.HIGHEST)
+    sp = jnp.einsum("eij,mj->emi", R, p, precision=jax.lax.Precision.HIGHEST) + t[:, None, :] - origin[:, None, :]
+    sp = jnp.einsum("eij,emj->emi", W, sp, precision=jax.lax.Precision.HIGHEST)
 
     def cyl(x):
         length = jnp.sqrt(jnp.maximum(x[..., 0] ** 2 + x[..., 1] ** 2, 0.0))

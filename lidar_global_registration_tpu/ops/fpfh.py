@@ -137,7 +137,7 @@ def combine_spfh(
     # (measured faster than 33 per-channel element gathers despite the
     # 33 -> 128 lane padding)
     nb = spfh_all[kidx]
-    wsum = jnp.einsum("mk,mkd->md", w, nb) / jnp.maximum(k_cnt, 1)[:, None]
+    wsum = jnp.einsum("mk,mkd->md", w, nb, precision=jax.lax.Precision.HIGHEST) / jnp.maximum(k_cnt, 1)[:, None]
 
     dp = [surface_xyz[:, c][kidx] - kp_xyz[:, c][:, None] for c in range(3)]
     n1 = [kp_normal[:, c][:, None] for c in range(3)]
@@ -168,10 +168,13 @@ def fpfh(
     k_neighbors: int = 384,
     cap: int = 128,
     chunk: int | None = None,
+    approx: bool | None = None,
 ):
     """Full FPFH pipeline for keypoints against a surface cloud.
 
     Returns (features f32[M,33], feat_valid bool[M])."""
+    if approx is None:
+        approx = gridmod.approx_topk_default()
     g = gridmod.build_grid(surface_xyz, surface_valid, radius, cell_cap=cap)
     n_surface = surface_xyz.shape[0]
     sidx = jnp.arange(n_surface, dtype=jnp.int32)
@@ -185,6 +188,7 @@ def fpfh(
         include_self=False,
         query_index=sidx,
         chunk=chunk,
+        approx=approx,
     )
     spfh_all = spfh(surface_xyz, surface_normal, idx, mask)
 
@@ -195,7 +199,8 @@ def fpfh(
         kidx, kdist, kmask = idx, sdist, mask
     else:
         kidx, kdist, kmask = gridmod.radius_neighbors(
-            g, kp_xyz, kp_valid, radius, k=k_neighbors, cap=cap, chunk=chunk
+            g, kp_xyz, kp_valid, radius, k=k_neighbors, cap=cap, chunk=chunk,
+            approx=approx,
         )
     if kp_normal is None:
         kp_normal = _nearest_normal(kp_xyz, kidx, kdist, kmask, surface_normal)

@@ -57,7 +57,7 @@ def score_values(dist, thr, score_id: str):
 # ---------------------------------------------------------------------------
 def corr_inlier_mask(R, t, p, q, thr, cvalid):
     """R,t batched [B,...]; p,q f32[M,3]; -> (mask bool[B,M], dist f32[B,M])."""
-    tp = jnp.einsum("bij,mj->bmi", R, p) + t[:, None, :]
+    tp = jnp.einsum("bij,mj->bmi", R, p, precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
     dist = jnp.sqrt(jnp.maximum(jnp.sum((tp - q[None]) ** 2, axis=-1), 0.0))
     mask = (dist < thr[None]) & cvalid[None]
     return mask, dist
@@ -145,7 +145,7 @@ def closest_plane_metric(
     """
     B = R.shape[0]
     S = sample_xyz.shape[0]
-    tp = jnp.einsum("bij,sj->bsi", R, sample_xyz) + t[:, None, :]  # [B,S,3]
+    tp = jnp.einsum("bij,sj->bsi", R, sample_xyz, precision=jax.lax.Precision.HIGHEST) + t[:, None, :]  # [B,S,3]
     flat = tp.reshape(B * S, 3)
     fvalid = jnp.broadcast_to(sample_valid[None], (B, S)).reshape(-1)
     radius = DIST_TO_PLANE_COEFFICIENT * inlier_threshold

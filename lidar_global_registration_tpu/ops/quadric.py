@@ -62,8 +62,8 @@ def fit_quadric_2d(xs, ys, values, mask):
     A = jnp.stack([xs * xs, xs * ys, ys * ys, xs, ys, one], axis=-1)  # [...,K,6]
     w = mask.astype(xs.dtype)[..., None]
     Aw = A * w
-    AtA = jnp.einsum("...ki,...kj->...ij", Aw, A)
-    Atb = jnp.einsum("...ki,...k->...i", Aw, values)
+    AtA = jnp.einsum("...ki,...kj->...ij", Aw, A, precision=jax.lax.Precision.HIGHEST)
+    Atb = jnp.einsum("...ki,...k->...i", Aw, values, precision=jax.lax.Precision.HIGHEST)
     AtA = AtA + 1e-8 * jnp.eye(6, dtype=xs.dtype)
     return jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
 
@@ -94,7 +94,7 @@ def subvoxel_keypoints(
     ok=False where the refinement left the salient radius (the reference
     then keeps/flags the original point)."""
     R = rotation_to_align_z(kp_normal)  # [M,3,3]
-    rot = jnp.einsum("mij,mkj->mki", R, nb_xyz)
+    rot = jnp.einsum("mij,mkj->mki", R, nb_xyz, precision=jax.lax.Precision.HIGHEST)
     xs, ys, zs = rot[..., 0], rot[..., 1], rot[..., 2]
     coefs = fit_quadric_2d(xs, ys, nb_saliency, nb_mask)
     mx, ok2 = quadric_maximum(coefs)

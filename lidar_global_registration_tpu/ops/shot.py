@@ -181,14 +181,17 @@ def shot(
     k_neighbors: int = 512,
     cap: int = 128,
     chunk: int | None = None,
+    approx: bool | None = None,
 ):
     """Full SHOT pipeline: neighbors + (optional external) LRFs + histogram.
 
     frames: optional f32[M,3,3] precomputed LRFs (gravity / gt modes,
     common.h:394-415 setInputReferenceFrames); default = SHOT LRF."""
+    if approx is None:
+        approx = gridmod.approx_topk_default()
     g = gridmod.build_grid(surface_xyz, surface_valid, radius, cell_cap=cap)
     idx, _dist, mask = gridmod.radius_neighbors(
-        g, kp_xyz, kp_valid, radius, k=k_neighbors, cap=cap, chunk=chunk
+        g, kp_xyz, kp_valid, radius, k=k_neighbors, cap=cap, chunk=chunk, approx=approx
     )
     if frames is None:
         frames, frames_ok = lrfmod.shot_lrf(kp_xyz, radius, surface_xyz, idx, mask)

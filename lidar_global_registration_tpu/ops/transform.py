@@ -75,7 +75,7 @@ def kabsch(p: jax.Array, q: jax.Array, w: jax.Array | None = None):
     eigval, eigvec = jnp.linalg.eigh(K)
     quat = eigvec[..., :, -1]  # largest eigenvalue
     R = quat_to_rotmat(quat)
-    t = cq - jnp.einsum("...ij,...j->...i", R, cp)
+    t = cq - jnp.einsum("...ij,...j->...i", R, cp, precision=jax.lax.Precision.HIGHEST)
     return R, t
 
 

@@ -80,10 +80,13 @@ def usc(
     k_neighbors: int = 384,
     cap: int = 128,
     chunk: int | None = None,
+    approx: bool | None = None,
 ):
+    if approx is None:
+        approx = gridmod.approx_topk_default()
     g = gridmod.build_grid(surface_xyz, surface_valid, radius, cell_cap=cap)
     idx, dist, mask = gridmod.radius_neighbors(
-        g, kp_xyz, kp_valid, radius, k=k_neighbors, cap=cap, chunk=chunk
+        g, kp_xyz, kp_valid, radius, k=k_neighbors, cap=cap, chunk=chunk, approx=approx
     )
     if frames is None:
         frames, _ok = lrfmod.shot_lrf(kp_xyz, radius, surface_xyz, idx, mask)

@@ -66,7 +66,7 @@ def principal_curvatures(cloud: Cloud, k: int):
     cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
     mean = jnp.sum(proj * w[..., None], axis=1) / cnt[:, None]
     d = (proj - mean[:, None, :]) * w[..., None]
-    cov = jnp.einsum("nki,nkj->nij", d, d) / cnt[:, None, None]
+    cov = jnp.einsum("nki,nkj->nij", d, d, precision=jax.lax.Precision.HIGHEST) / cnt[:, None, None]
     eig = eigvals_sym3(cov)  # ascending
     pc1 = eig[:, 2]
     pc2 = eig[:, 1]
@@ -79,7 +79,7 @@ def _normal_covariance_eigs(cloud: Cloud, k: int):
     ok = mask & (jnp.sum(nj * nj, axis=-1) > 0.5)
     w = ok.astype(jnp.float32)
     cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
-    cov = jnp.einsum("nk,nki,nkj->nij", w, nj, nj) / cnt[:, None, None]
+    cov = jnp.einsum("nk,nki,nkj->nij", w, nj, nj, precision=jax.lax.Precision.HIGHEST) / cnt[:, None, None]
     return cov, eigvals_sym3(cov)
 
 

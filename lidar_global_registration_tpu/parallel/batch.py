@@ -144,7 +144,7 @@ def _pair_step_tp(src_xyz, src_valid, tgt_xyz, tgt_valid, key, scalars, cfg):
             ok = ok & (jnp.minimum(ds, dt) >= (cfg.edge_thr**2) * jnp.maximum(ds, dt))
             ok = ok & (jnp.maximum(ds, dt) > 0)
         R, t = kabsch(p3, q3)
-        tp_ = jnp.einsum("bij,mj->bmi", R, p) + t[:, None, :]
+        tp_ = jnp.einsum("bij,mj->bmi", R, p, precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
         d = jnp.sqrt(jnp.maximum(jnp.sum((tp_ - q[None]) ** 2, axis=-1), 0.0))
         cnt = jnp.sum((d < thr[None]) & cvalid[None], axis=1)
         metric = jnp.where(ok & (cnt >= 10), cnt.astype(jnp.float32), -1.0)
