@@ -20,6 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from lidar_global_registration_tpu.ops.metrics import transform_points_soa
 from lidar_global_registration_tpu.ops import grid as gridmod
 from lidar_global_registration_tpu.ops import matchers
 from lidar_global_registration_tpu.ops.iss import _iss_saliency, _nms
@@ -199,8 +200,13 @@ def register_pair_step(
             hi = jnp.maximum(ds, dt)
             ok = ok & (lo >= (cfg.edge_thr**2) * hi) & (hi > 0)
         R, t = kabsch(p3, q3)
-        tp = jnp.einsum("bij,mj->bmi", R, p, precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
-        d = jnp.sqrt(jnp.maximum(jnp.sum((tp - q[None]) ** 2, axis=-1), 0.0))
+        tx, ty, tz = transform_points_soa(R, t, p)
+        d2 = (
+            (tx - q[:, 0][None]) ** 2
+            + (ty - q[:, 1][None]) ** 2
+            + (tz - q[:, 2][None]) ** 2
+        )
+        d = jnp.sqrt(jnp.maximum(d2, 0.0))
         inl = (d < thr[None]) & cvalid[None]
         cnt = jnp.sum(inl, axis=1)
         metric = cnt.astype(jnp.float32) / jnp.maximum(n_corr, 1.0)
@@ -319,8 +325,13 @@ def _ransac_stage(p, q, thr, cvalid, key, cfg: FlagshipConfig):
             ok = ok & (jnp.minimum(ds, dt) >= (cfg.edge_thr**2) * jnp.maximum(ds, dt))
             ok = ok & (jnp.maximum(ds, dt) > 0)
         R, t = kabsch(p3, q3)
-        tp = jnp.einsum("bij,mj->bmi", R, p, precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
-        d = jnp.sqrt(jnp.maximum(jnp.sum((tp - q[None]) ** 2, axis=-1), 0.0))
+        tx, ty, tz = transform_points_soa(R, t, p)
+        d2 = (
+            (tx - q[:, 0][None]) ** 2
+            + (ty - q[:, 1][None]) ** 2
+            + (tz - q[:, 2][None]) ** 2
+        )
+        d = jnp.sqrt(jnp.maximum(d2, 0.0))
         inl = (d < thr[None]) & cvalid[None]
         cnt = jnp.sum(inl, axis=1)
         metric = cnt.astype(jnp.float32) / jnp.maximum(n_corr, 1.0)

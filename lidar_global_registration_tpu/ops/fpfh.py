@@ -135,9 +135,15 @@ def combine_spfh(
     k_cnt = jnp.sum(m, axis=1)
     # [m, K, 33] ROW gather: each row fetches 33 contiguous channel values
     # (measured faster than 33 per-channel element gathers despite the
-    # 33 -> 128 lane padding)
-    nb = spfh_all[kidx]
-    wsum = jnp.einsum("mk,mkd->md", w, nb, precision=jax.lax.Precision.HIGHEST) / jnp.maximum(k_cnt, 1)[:, None]
+    # 33 -> 128 lane padding).  The table is gathered in bf16 — SPFH bins
+    # are 0..100 histograms, the 1/d^2 weighted mean tolerates 0.4% mantissa
+    # noise, and halving the gather bytes matters more (the einsum itself
+    # runs at default bf16-input precision for the same reason)
+    nb = spfh_all.astype(jnp.bfloat16)[kidx]
+    wsum = jnp.einsum(
+        "mk,mkd->md", w.astype(jnp.bfloat16), nb,
+        preferred_element_type=jnp.float32,
+    ) / jnp.maximum(k_cnt, 1)[:, None]
 
     dp = [surface_xyz[:, c][kidx] - kp_xyz[:, c][:, None] for c in range(3)]
     n1 = [kp_normal[:, c][:, None] for c in range(3)]

@@ -52,9 +52,13 @@ def approx_topk_default() -> bool:
 
     TPU lowers jax.lax.approx_min_k to the native aggregated partial-reduce;
     the CPU fallback is a slower sort variant (measured ~7x slower), so
-    approximate neighbor selection is only enabled on TPU backends."""
+    approximate neighbor selection is only enabled on TPU backends.
+    LGR_APPROX=0 forces exact top-k everywhere (A/B hook)."""
     import jax
+    import os
 
+    if os.environ.get("LGR_APPROX", "1") == "0":
+        return False
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:

@@ -55,10 +55,34 @@ def score_values(dist, thr, score_id: str):
 # ---------------------------------------------------------------------------
 # Correspondence-based inliers (CorrespondencesMetricEstimator, metric.cpp:125)
 # ---------------------------------------------------------------------------
+def transform_points_soa(R, t, p):
+    """Apply batched rigid transforms to points in SoA form.
+
+    R f32[B,3,3], t f32[B,3], p f32[M,3] -> 3 arrays f32[B,M].
+    Explicit VPU arithmetic: exact f32 without the 6-pass MXU cost a
+    HIGHEST-precision dim-3 einsum pays, and no [B,M,3] materialization
+    (whose 3-wide minor dim pads to 128 lanes)."""
+    px, py, pz = p[:, 0][None, :], p[:, 1][None, :], p[:, 2][None, :]
+    out = []
+    for i in range(3):
+        out.append(
+            R[:, i, 0][:, None] * px
+            + R[:, i, 1][:, None] * py
+            + R[:, i, 2][:, None] * pz
+            + t[:, i][:, None]
+        )
+    return out[0], out[1], out[2]
+
+
 def corr_inlier_mask(R, t, p, q, thr, cvalid):
     """R,t batched [B,...]; p,q f32[M,3]; -> (mask bool[B,M], dist f32[B,M])."""
-    tp = jnp.einsum("bij,mj->bmi", R, p, precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
-    dist = jnp.sqrt(jnp.maximum(jnp.sum((tp - q[None]) ** 2, axis=-1), 0.0))
+    tx, ty, tz = transform_points_soa(R, t, p)
+    d2 = (
+        (tx - q[:, 0][None]) ** 2
+        + (ty - q[:, 1][None]) ** 2
+        + (tz - q[:, 2][None]) ** 2
+    )
+    dist = jnp.sqrt(jnp.maximum(d2, 0.0))
     mask = (dist < thr[None]) & cvalid[None]
     return mask, dist
 
@@ -145,7 +169,8 @@ def closest_plane_metric(
     """
     B = R.shape[0]
     S = sample_xyz.shape[0]
-    tp = jnp.einsum("bij,sj->bsi", R, sample_xyz, precision=jax.lax.Precision.HIGHEST) + t[:, None, :]  # [B,S,3]
+    tx, ty, tz = transform_points_soa(R, t, sample_xyz)  # [B,S] x3
+    tp = jnp.stack([tx, ty, tz], axis=-1)  # [B,S,3] (consumed by grid query)
     flat = tp.reshape(B * S, 3)
     fvalid = jnp.broadcast_to(sample_valid[None], (B, S)).reshape(-1)
     radius = DIST_TO_PLANE_COEFFICIENT * inlier_threshold

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from lidar_global_registration_tpu.ops.metrics import transform_points_soa
 from lidar_global_registration_tpu.models.flagship import FlagshipConfig
 from lidar_global_registration_tpu.ops import matchers
 
@@ -144,8 +145,13 @@ def _pair_step_tp(src_xyz, src_valid, tgt_xyz, tgt_valid, key, scalars, cfg):
             ok = ok & (jnp.minimum(ds, dt) >= (cfg.edge_thr**2) * jnp.maximum(ds, dt))
             ok = ok & (jnp.maximum(ds, dt) > 0)
         R, t = kabsch(p3, q3)
-        tp_ = jnp.einsum("bij,mj->bmi", R, p, precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
-        d = jnp.sqrt(jnp.maximum(jnp.sum((tp_ - q[None]) ** 2, axis=-1), 0.0))
+        tx, ty, tz = transform_points_soa(R, t, p)
+        d2_ = (
+            (tx - q[:, 0][None]) ** 2
+            + (ty - q[:, 1][None]) ** 2
+            + (tz - q[:, 2][None]) ** 2
+        )
+        d = jnp.sqrt(jnp.maximum(d2_, 0.0))
         cnt = jnp.sum((d < thr[None]) & cvalid[None], axis=1)
         metric = jnp.where(ok & (cnt >= 10), cnt.astype(jnp.float32), -1.0)
         bi = jnp.argmax(metric)
