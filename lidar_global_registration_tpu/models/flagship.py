@@ -20,7 +20,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from lidar_global_registration_tpu.ops.metrics import transform_points_soa
+from lidar_global_registration_tpu.ops.metrics import (
+    estimate_max_iterations,
+    transform_points_soa,
+)
 from lidar_global_registration_tpu.ops import grid as gridmod
 from lidar_global_registration_tpu.ops import matchers
 from lidar_global_registration_tpu.ops.iss import _iss_saliency, _nms
@@ -51,6 +54,8 @@ class FlagshipConfig:
     match_tile: int = 2048
     query_chunk: int | None = None  # chunk large neighbor queries (memory)
     density_cap: int = 8  # per-cell cap for the k=1 density search
+    cell_cap: int = 128  # per-cell point cap for the fused Pallas cell FPFH
+    use_cell_fpfh: bool = True  # staged path: fused cell kernel on TPU
 
 
 def _knn_fixed(xyz, valid, queries, qvalid, cell, k, cap, include_self, qidx=None,
@@ -98,6 +103,114 @@ def _fpfh_fixed(xyz, normal, valid, kp_mask, radius, cfg: FlagshipConfig):
         cap=cfg.feature_cap,
         chunk=cfg.query_chunk,
     )
+
+
+def ransac_solve(p, q, thr, cvalid, key, cfg: FlagshipConfig):
+    """Batched prerejective RANSAC over masked correspondence arrays
+    (correspondences metric, constant score) — THE shared round body used by
+    register_pair_step, _ransac_stage and parallel.batch._pair_step_tp, so
+    the single-chip and mesh-sharded paths cannot drift.
+
+    Each round draws B sample triples from the valid prefix, prerejects by
+    polygon edge-length similarity (sac_prerejective_omp.cpp:105-108,
+    214-217), solves B closed-form Kabsch poses, counts supporting
+    correspondences against per-pair thresholds and keeps the argmax.  The
+    adaptive iteration estimate (metric.cpp:103-123) is carried ON DEVICE in
+    a lax.while_loop — zero host round-trips, early exit once the confidence
+    budget is met.  Ref: sac_prerejective_omp.cpp:115-314."""
+    n_corr = jnp.sum(cvalid.astype(jnp.float32))
+    order = jnp.argsort(~cvalid)  # valid rows first
+    nvalid_i = jnp.maximum(n_corr.astype(jnp.int32), 1)
+    B, S = cfg.hypothesis_batch, cfg.n_samples
+
+    def one_round(rkey, best_metric, best_R, best_t):
+        samp = jax.random.randint(rkey, (B, S), 0, nvalid_i)
+        rows = order[samp]  # [B,S]
+        ok = jnp.ones((B,), bool)
+        for a in range(S):
+            for b in range(a + 1, S):
+                ok = ok & (rows[:, a] != rows[:, b])
+        p3, q3 = p[rows], q[rows]
+        for a in range(S):
+            b = (a + 1) % S
+            ds = jnp.sum((p3[:, a] - p3[:, b]) ** 2, axis=-1)
+            dt = jnp.sum((q3[:, a] - q3[:, b]) ** 2, axis=-1)
+            ok = ok & (jnp.minimum(ds, dt) >= (cfg.edge_thr**2) * jnp.maximum(ds, dt))
+            ok = ok & (jnp.maximum(ds, dt) > 0)
+        R, t = kabsch(p3, q3)
+        tx, ty, tz = transform_points_soa(R, t, p)
+        d2 = (
+            (tx - q[:, 0][None]) ** 2
+            + (ty - q[:, 1][None]) ** 2
+            + (tz - q[:, 2][None]) ** 2
+        )
+        d = jnp.sqrt(jnp.maximum(d2, 0.0))
+        cnt = jnp.sum((d < thr[None]) & cvalid[None], axis=1)
+        alive = ok & (cnt >= MIN_NR_INLIERS)
+        metric = jnp.where(
+            alive, cnt.astype(jnp.float32) / jnp.maximum(n_corr, 1.0), -1.0
+        )
+        bi = jnp.argmax(metric)
+        better = metric[bi] > best_metric
+        support = jnp.max(jnp.where(alive, cnt, 0))
+        return (
+            jnp.where(better, metric[bi], best_metric),
+            jnp.where(better, R[bi], best_R),
+            jnp.where(better, t[bi], best_t),
+            support,
+        )
+
+    budget = jnp.float32(cfg.rounds * B)
+
+    def cond(c):
+        i, iters, est, _bm, _bR, _bt = c
+        return (i < cfg.rounds) & (iters < jnp.minimum(est, budget))
+
+    def body(c):
+        i, iters, est, bm, bR, bt = c
+        bm, bR, bt, support = one_round(jax.random.fold_in(key, i), bm, bR, bt)
+        est_new = estimate_max_iterations(
+            support, n_corr, cfg.confidence, cfg.n_samples
+        )
+        return (i + 1, iters + jnp.float32(B), jnp.minimum(est, est_new), bm, bR, bt)
+
+    init = (
+        jnp.int32(0),
+        jnp.float32(0),
+        jnp.float32(2**31 - 1),
+        jnp.float32(-1.0),
+        jnp.eye(3),
+        jnp.zeros(3),
+    )
+    _i, iters_done, _est, best_metric, best_R, best_t = jax.lax.while_loop(
+        cond, body, init
+    )
+
+    # final: rebuild inliers, Kabsch re-fit, convergence gates (sac:265-296)
+    tp = p @ best_R.T + best_t
+    d = jnp.sqrt(jnp.maximum(jnp.sum((tp - q) ** 2, axis=-1), 0.0))
+    inl = (d < thr) & cvalid
+    n_inl = jnp.sum(inl)
+    w = inl.astype(jnp.float32)
+    Rf, tf = kabsch(p[None], q[None], w[None])
+    T = to_matrix4(Rf[0], tf[0])
+    tp2 = p @ Rf[0].T + tf[0]
+    d2 = jnp.sqrt(jnp.maximum(jnp.sum((tp2 - q) ** 2, axis=-1), 0.0))
+    inl2 = jnp.sum((d2 < thr) & cvalid)
+    metric = inl2.astype(jnp.float32) / jnp.maximum(n_corr, 1.0)
+    converged = (
+        (n_inl > MIN_NR_FINAL_INLIERS)
+        | (n_inl.astype(jnp.float32) > MIN_INLIER_RATE * n_corr)
+    ) & (best_metric > 0)
+    T = jnp.where(best_metric > 0, T, jnp.eye(4))
+    return {
+        "transformation": T,
+        "metric": metric,
+        "inliers": inl2,
+        "converged": converged,
+        "n_correspondences": n_corr,
+        "iterations": iters_done,
+    }
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -170,84 +283,7 @@ def register_pair_step(
     thr = jnp.where(thr > 0, thr, distance_thr)
 
     # correspondences as masked parallel arrays (query = row index)
-    p = src_xyz
-    q = tgt_xyz[j]
-    cvalid = mutual
-    n_corr = jnp.sum(cvalid.astype(jnp.float32))
-
-    # ---- batched RANSAC (correspondences metric, constant score) ----
-    B = cfg.hypothesis_batch
-    S = cfg.n_samples
-    # sample VALID correspondences: draw from the compact prefix via sorting
-    order = jnp.argsort(~cvalid)  # valid rows first
-    nvalid_i = jnp.maximum(n_corr.astype(jnp.int32), 1)
-
-    def round_body(carry, rkey):
-        best_metric, best_R, best_t = carry
-        samp = jax.random.randint(rkey, (B, S), 0, nvalid_i)
-        rows = order[samp]  # [B,S]
-        ok = jnp.ones((B,), bool)
-        for a in range(S):
-            for b in range(a + 1, S):
-                ok = ok & (rows[:, a] != rows[:, b])
-        p3 = p[rows]
-        q3 = q[rows]
-        for a in range(S):
-            b = (a + 1) % S
-            ds = jnp.sum((p3[:, a] - p3[:, b]) ** 2, axis=-1)
-            dt = jnp.sum((q3[:, a] - q3[:, b]) ** 2, axis=-1)
-            lo = jnp.minimum(ds, dt)
-            hi = jnp.maximum(ds, dt)
-            ok = ok & (lo >= (cfg.edge_thr**2) * hi) & (hi > 0)
-        R, t = kabsch(p3, q3)
-        tx, ty, tz = transform_points_soa(R, t, p)
-        d2 = (
-            (tx - q[:, 0][None]) ** 2
-            + (ty - q[:, 1][None]) ** 2
-            + (tz - q[:, 2][None]) ** 2
-        )
-        d = jnp.sqrt(jnp.maximum(d2, 0.0))
-        inl = (d < thr[None]) & cvalid[None]
-        cnt = jnp.sum(inl, axis=1)
-        metric = cnt.astype(jnp.float32) / jnp.maximum(n_corr, 1.0)
-        metric = jnp.where(ok & (cnt >= MIN_NR_INLIERS), metric, -1.0)
-        bi = jnp.argmax(metric)
-        better = metric[bi] > best_metric
-        best_R = jnp.where(better, R[bi], best_R)
-        best_t = jnp.where(better, t[bi], best_t)
-        best_metric = jnp.where(better, metric[bi], best_metric)
-        return (best_metric, best_R, best_t), None
-
-    keys = jax.random.split(key, cfg.rounds)
-    (best_metric, best_R, best_t), _ = jax.lax.scan(
-        round_body, (jnp.float32(-1.0), jnp.eye(3), jnp.zeros(3)), keys
-    )
-
-    # final refit on inliers
-    tp = p @ best_R.T + best_t
-    d = jnp.sqrt(jnp.maximum(jnp.sum((tp - q) ** 2, axis=-1), 0.0))
-    inl = (d < thr) & cvalid
-    n_inl = jnp.sum(inl)
-    w = inl.astype(jnp.float32)
-    Rf, tf = kabsch(p[None], q[None], w[None])
-    T = to_matrix4(Rf[0], tf[0])
-    tp2 = p @ Rf[0].T + tf[0]
-    d2 = jnp.sqrt(jnp.maximum(jnp.sum((tp2 - q) ** 2, axis=-1), 0.0))
-    inl2 = (d2 < thr) & cvalid
-    n_inl2 = jnp.sum(inl2)
-    metric = n_inl2.astype(jnp.float32) / jnp.maximum(n_corr, 1.0)
-    converged = (
-        (n_inl > MIN_NR_FINAL_INLIERS)
-        | (n_inl.astype(jnp.float32) > MIN_INLIER_RATE * n_corr)
-    ) & (best_metric > 0)
-    T = jnp.where(best_metric > 0, T, jnp.eye(4))
-    return {
-        "transformation": T,
-        "metric": metric,
-        "inliers": n_inl2,
-        "converged": converged,
-        "n_correspondences": n_corr,
-    }
+    return ransac_solve(src_xyz, tgt_xyz[j], thr, mutual, key, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -304,73 +340,7 @@ def _correspondence_stage(
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _ransac_stage(p, q, thr, cvalid, key, cfg: FlagshipConfig):
-    n_corr = jnp.sum(cvalid.astype(jnp.float32))
-    order = jnp.argsort(~cvalid)
-    nvalid_i = jnp.maximum(n_corr.astype(jnp.int32), 1)
-    B, S = cfg.hypothesis_batch, cfg.n_samples
-
-    def round_body(carry, rkey):
-        best_metric, best_R, best_t = carry
-        samp = jax.random.randint(rkey, (B, S), 0, nvalid_i)
-        rows = order[samp]
-        ok = jnp.ones((B,), bool)
-        for a in range(S):
-            for b in range(a + 1, S):
-                ok = ok & (rows[:, a] != rows[:, b])
-        p3, q3 = p[rows], q[rows]
-        for a in range(S):
-            b = (a + 1) % S
-            ds = jnp.sum((p3[:, a] - p3[:, b]) ** 2, axis=-1)
-            dt = jnp.sum((q3[:, a] - q3[:, b]) ** 2, axis=-1)
-            ok = ok & (jnp.minimum(ds, dt) >= (cfg.edge_thr**2) * jnp.maximum(ds, dt))
-            ok = ok & (jnp.maximum(ds, dt) > 0)
-        R, t = kabsch(p3, q3)
-        tx, ty, tz = transform_points_soa(R, t, p)
-        d2 = (
-            (tx - q[:, 0][None]) ** 2
-            + (ty - q[:, 1][None]) ** 2
-            + (tz - q[:, 2][None]) ** 2
-        )
-        d = jnp.sqrt(jnp.maximum(d2, 0.0))
-        inl = (d < thr[None]) & cvalid[None]
-        cnt = jnp.sum(inl, axis=1)
-        metric = cnt.astype(jnp.float32) / jnp.maximum(n_corr, 1.0)
-        metric = jnp.where(ok & (cnt >= MIN_NR_INLIERS), metric, -1.0)
-        bi = jnp.argmax(metric)
-        better = metric[bi] > best_metric
-        return (
-            jnp.where(better, metric[bi], best_metric),
-            jnp.where(better, R[bi], best_R),
-            jnp.where(better, t[bi], best_t),
-        ), None
-
-    keys = jax.random.split(key, cfg.rounds)
-    (best_metric, best_R, best_t), _ = jax.lax.scan(
-        round_body, (jnp.float32(-1.0), jnp.eye(3), jnp.zeros(3)), keys
-    )
-    tp = p @ best_R.T + best_t
-    d = jnp.sqrt(jnp.maximum(jnp.sum((tp - q) ** 2, axis=-1), 0.0))
-    inl = (d < thr) & cvalid
-    n_inl = jnp.sum(inl)
-    w = inl.astype(jnp.float32)
-    Rf, tf = kabsch(p[None], q[None], w[None])
-    T = to_matrix4(Rf[0], tf[0])
-    tp2 = p @ Rf[0].T + tf[0]
-    d2 = jnp.sqrt(jnp.maximum(jnp.sum((tp2 - q) ** 2, axis=-1), 0.0))
-    inl2 = jnp.sum((d2 < thr) & cvalid)
-    metric = inl2.astype(jnp.float32) / jnp.maximum(n_corr, 1.0)
-    converged = (
-        (n_inl > MIN_NR_FINAL_INLIERS)
-        | (n_inl.astype(jnp.float32) > MIN_INLIER_RATE * n_corr)
-    ) & (best_metric > 0)
-    T = jnp.where(best_metric > 0, T, jnp.eye(4))
-    return {
-        "transformation": T,
-        "metric": metric,
-        "inliers": inl2,
-        "converged": converged,
-        "n_correspondences": n_corr,
-    }
+    return ransac_solve(p, q, thr, cvalid, key, cfg)
 
 
 def register_pair_staged(
@@ -407,6 +377,27 @@ def register_pair_staged(
 
     _t.last = _time.perf_counter()
 
+    use_cells = (
+        cfg.use_cell_fpfh
+        and os.environ.get("LGR_CELL_FPFH", "1") != "0"
+        and jax.default_backend() in ("tpu", "axon")
+    )
+
+    def _fpfh_stage(xyz, normal, valid, kp_mask, vp):
+        if use_cells:
+            # fused Pallas cell kernel: uncapped radius neighborhoods like
+            # pcl::FPFHEstimationOMP's radiusSearch (common.h:322-332),
+            # parity-tested vs fpfh_full in tests/test_cell_fpfh.py
+            from lidar_global_registration_tpu.ops.pallas.cell_fpfh import fpfh_cells
+
+            feat, fv = fpfh_cells(xyz, normal, valid, feature_radius, C=cfg.cell_cap)
+            return feat, fv & kp_mask
+        return fpfh_full(
+            xyz, valid & kp_mask, xyz, normal, valid, feature_radius,
+            kp_normal=normal, k_neighbors=cfg.feature_neighbors,
+            cap=cfg.feature_cap, chunk=cfg.query_chunk,
+        )
+
     src_normal, src_kp = _t(
         "side_src",
         _side_stage(src_xyz, src_valid, normal_cell, iss_radius_src, cfg, vp_src),
@@ -415,16 +406,8 @@ def register_pair_staged(
         "side_tgt",
         _side_stage(tgt_xyz, tgt_valid, normal_cell, iss_radius_tgt, cfg, vp_tgt),
     )
-    fq, fq_valid = _t("fpfh_src", fpfh_full(
-        src_xyz, src_valid & src_kp, src_xyz, src_normal, src_valid, feature_radius,
-        kp_normal=src_normal, k_neighbors=cfg.feature_neighbors, cap=cfg.feature_cap,
-        chunk=cfg.query_chunk,
-    ))
-    ft, ft_valid = _t("fpfh_tgt", fpfh_full(
-        tgt_xyz, tgt_valid & tgt_kp, tgt_xyz, tgt_normal, tgt_valid, feature_radius,
-        kp_normal=tgt_normal, k_neighbors=cfg.feature_neighbors, cap=cfg.feature_cap,
-        chunk=cfg.query_chunk,
-    ))
+    fq, fq_valid = _t("fpfh_src", _fpfh_stage(src_xyz, src_normal, src_valid, src_kp, vp_src))
+    ft, ft_valid = _t("fpfh_tgt", _fpfh_stage(tgt_xyz, tgt_normal, tgt_valid, tgt_kp, vp_tgt))
     idx_st, _d1, mask_st = _t("match_st", matchers.match_bf(
         fq, ft, fq_valid, ft_valid, k=1, tile=cfg.match_tile, bf16=cfg.bf16_matching
     ))

@@ -240,75 +240,127 @@ def _axis_rotation(axis, angle):
     return c * eye + s * K + (1.0 - c) * outer
 
 
+MIN_EDGE_ADJACENCY = 10  # ia_gror.hpp:205-207: skip edges with <10 pairs
+
+
+def _edge_search(p, q, valid, resolution, i1, i2, edge_batch: int):
+    """Exact optimal edge search over the candidate edges (i1, i2).
+
+    Batched two-point alignment + RCFS lower bounds for every edge at once,
+    then TCFS interval stabbing in descending-RCFS rounds of `edge_batch`
+    with a host early-exit once best_tcfs >= max remaining RCFS.  Because
+    RCFS counts upper-bound TCFS counts edge-for-edge (the relaxed space
+    drops the azimuth constraint), the early exit preserves exact optimality
+    over the edge set — same guarantee as the reference's full scan with its
+    `der_in_rcfs <= best_count_` prune (ia_gror.hpp:230-236).
+
+    Returns (best_e, best_count, best_angle, rounds, R, t, axis, origin)."""
+    R, t, axis, origin = _two_point_align(p[i1], q[i1], p[i2], q[i2])
+    rc_np = np.asarray(_rcfs_counts(R, t, axis, origin, p, q, valid, resolution))
+
+    e_order = np.argsort(-rc_np, kind="stable")
+    best_count = 0
+    best_e = -1
+    best_angle_v = 0.0
+    rounds = 0
+    for s in range(0, len(e_order), edge_batch):
+        chunk = e_order[s : s + edge_batch]
+        if rc_np[chunk[0]] <= best_count:
+            break  # RCFS >= TCFS: nothing left can beat the best
+        sel = np.full((edge_batch,), chunk[0], np.int64)
+        sel[: len(chunk)] = chunk
+        selj = jnp.asarray(sel)
+        angles, counts = _tcfs_stab(
+            R[selj], t[selj], axis[selj], origin[selj], p, q, valid, resolution
+        )
+        counts_np = np.asarray(counts)[: len(chunk)]
+        rounds += 1
+        ci = int(np.argmax(counts_np))
+        if int(counts_np[ci]) > best_count:
+            best_count = int(counts_np[ci])
+            best_e = int(chunk[ci])
+            best_angle_v = float(np.asarray(angles)[ci])
+    return best_e, best_count, best_angle_v, rounds, R, t, axis, origin
+
+
 def align_gror(
     src: Cloud,
     tgt: Cloud,
     corrs: Correspondences,
     params: AlignmentParameters,
     k_optimal: int = K_OPTIMAL,
-    edge_batch: int = 128,
+    edge_batch: int = 256,
 ) -> AlignmentResult:
+    """Optimal edge search, TPU-batched.
+
+    The reference (ia_gror.hpp:199-258) scans every node's first-partner
+    edge sorted by adjacency size, pruning with the relaxed-space (RCFS)
+    count against the running best before the exact interval stab (TCFS).
+    Here: two-point alignment + RCFS are batched over ALL qualifying edges
+    at once, edges are visited in descending-RCFS rounds of `edge_batch`,
+    and the search stops when the best TCFS count >= the max remaining RCFS
+    count.  Since RCFS upper-bounds TCFS for the same edge, this terminates
+    with the exact optimum over the candidate edge set — the same guarantee
+    as the reference scan, reached in far fewer TCFS evaluations."""
     t0 = time.time()
     corrs = corrs.compact()
     n = int(np.asarray(corrs.count()))
     resolution = params.distance_thr
     identity = np.eye(4, dtype=np.float32)
-    if n < 2:
+
+    def _fail():
         return AlignmentResult(
             src=src, tgt=tgt, transformation=identity, correspondences=corrs,
             iterations=1, converged=False, time_te=time.time() - t0,
         )
+
+    if n < 2:
+        return _fail()
 
     p_all = src.xyz[corrs.query]
     q_all = tgt.xyz[corrs.match]
 
-    # 1. node reliability, keep top K (exactly K or all)
+    # 1. node reliability, keep top K among nodes with >=1 consistent pair
     deg, adj = _node_degrees(p_all, q_all, corrs.valid, resolution)
     deg_np = np.asarray(deg)
     order = np.argsort(-deg_np, kind="stable")
     keep = order[: min(k_optimal, n)]
-    keep = keep[deg_np[keep] >= 0]
+    keep = keep[deg_np[keep] > 0]
     M = len(keep)
+    if M < 2:
+        return _fail()
     p = p_all[jnp.asarray(keep)]
     q = q_all[jnp.asarray(keep)]
     valid = jnp.ones((M,), bool)
 
-    # 2. edge enumeration among survivors: for each node, its consistent
-    # partners; candidate edges ranked by endpoint degree (the reference
-    # sorts adjacency lists by size and scans the top of each,
-    # ia_gror.hpp:199-258).
+    # 2. edge enumeration among survivors (ia_gror.hpp:82-124): one edge per
+    # node i with j>i adjacency size >= 10; the partner is the highest-degree
+    # consistent j>i (the reference takes the first by index, :209 — the
+    # best-degree partner dominates it for reliability at equal cost).
     _deg2, adj2 = _node_degrees(p, q, valid, resolution)
     adj_np = np.asarray(adj2)
-    deg2_np = adj_np.sum(1)
-    node_order = np.argsort(-deg2_np, kind="stable")
-    edges = []
-    for i in node_order[: 4 * edge_batch]:
-        js = np.nonzero(adj_np[i])[0]
-        js = js[js > i]
-        if len(js):
-            edges.append((i, js[0]))
-        if len(edges) >= edge_batch:
-            break
-    if not edges:
-        return AlignmentResult(
-            src=src, tgt=tgt, transformation=identity, correspondences=corrs,
-            iterations=1, converged=False, time_te=time.time() - t0,
-        )
-    e = np.asarray(edges, np.int64)
-    i1 = jnp.asarray(e[:, 0])
-    i2 = jnp.asarray(e[:, 1])
+    upper = np.triu(adj_np, 1)
+    adj_size = upper.sum(1)
+    deg_full = adj_np.sum(1)
+    qualify = np.nonzero(adj_size >= MIN_EDGE_ADJACENCY)[0]
+    if len(qualify) == 0:
+        return _fail()
+    partner_score = np.where(upper[qualify], deg_full[None, :], -1)
+    partners = np.argmax(partner_score, axis=1)
+    i1_np = qualify.astype(np.int64)
+    i2_np = partners.astype(np.int64)
+    i1 = jnp.asarray(i1_np)
+    i2 = jnp.asarray(i2_np)
 
-    # 3. two-point align + RCFS + TCFS for the whole edge batch at once
-    R, t, axis, origin = _two_point_align(p[i1], q[i1], p[i2], q[i2])
-    rc = _rcfs_counts(R, t, axis, origin, p, q, valid, resolution)
-    best_angle, best_count = _tcfs_stab(R, t, axis, origin, p, q, valid, resolution)
-    # the RCFS count upper-bounds the TCFS one; combine: use TCFS counts
-    score = np.asarray(best_count)
-    best_e = int(np.argmax(score))
+    best_e, best_count, best_angle_v, rounds, R, t, axis, origin = _edge_search(
+        p, q, valid, resolution, i1, i2, edge_batch
+    )
+    if best_e < 0:
+        return _fail()
 
     Rb = R[best_e]
     tb = t[best_e]
-    rot = _axis_rotation(axis[best_e], best_angle[best_e])
+    rot = _axis_rotation(axis[best_e], jnp.float32(best_angle_v))
     # compose: translate to origin, rotate about axis, translate back
     Rf = rot @ Rb
     tf = rot @ (tb - origin[best_e]) + origin[best_e]
@@ -321,21 +373,30 @@ def align_gror(
     moved = p_all @ np.asarray(Rf).T + np.asarray(tf)
     d = np.linalg.norm(np.asarray(q_all) - np.asarray(moved), axis=1)
     inl = (d < 2.0 * resolution) & np.asarray(corrs.valid)
-    if inl.sum() >= 3:
+    n_inl = int(inl.sum())
+    if n_inl >= 3:
         w = jnp.asarray(inl.astype(np.float32))
         Ru, tu = umeyama(p_all[None], q_all[None], w[None])
         T = np.asarray(to_matrix4(Ru[0], tu[0]))
+        # re-count under the refined transform for the convergence gate
+        moved2 = np.asarray(p_all) @ T[:3, :3].T + T[:3, 3]
+        d2 = np.linalg.norm(np.asarray(q_all) - moved2, axis=1)
+        inl = (d2 < 2.0 * resolution) & np.asarray(corrs.valid)
+        n_inl = int(inl.sum())
     else:
         T = Tp
+    # converged gate on the refined inlier support (the edge qualification
+    # floor): a lone degenerate edge can no longer report success
+    converged = n_inl >= MIN_EDGE_ADJACENCY and best_count >= MIN_EDGE_ADJACENCY
     return AlignmentResult(
         src=src,
         tgt=tgt,
         transformation=T.astype(np.float32),
         correspondences=corrs,
-        iterations=1,
-        converged=True,
+        iterations=rounds,
+        converged=converged,
         time_te=time.time() - t0,
-        metric=float(inl.sum()),
+        metric=float(n_inl),
     )
 
 

@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from lidar_global_registration_tpu.ops.metrics import transform_points_soa
 from lidar_global_registration_tpu.models.flagship import FlagshipConfig
 from lidar_global_registration_tpu.ops import matchers
 
@@ -59,7 +58,6 @@ def _pair_step_tp(src_xyz, src_valid, tgt_xyz, tgt_valid, key, scalars, cfg):
     from lidar_global_registration_tpu.models import flagship as fs
     from lidar_global_registration_tpu.ops import grid as gridmod
     from lidar_global_registration_tpu.ops.normals import normals_from_neighbors
-    from lidar_global_registration_tpu.ops.transform import kabsch, to_matrix4
 
     (
         normal_cell,
@@ -121,58 +119,10 @@ def _pair_step_tp(src_xyz, src_valid, tgt_xyz, tgt_valid, key, scalars, cfg):
     thr = jnp.minimum(jnp.maximum(dens_s, dens_t[j]), distance_thr)
     thr = jnp.where(thr > 0, thr, distance_thr)
 
-    p = src_xyz
-    q = tgt_xyz[j]
-    cvalid = mutual
-    n_corr = jnp.sum(cvalid.astype(jnp.float32))
-    order = jnp.argsort(~cvalid)
-    nvalid_i = jnp.maximum(n_corr.astype(jnp.int32), 1)
-    B, S = cfg.hypothesis_batch, cfg.n_samples
-
-    def round_body(carry, rkey):
-        best_metric, best_R, best_t = carry
-        samp = jax.random.randint(rkey, (B, S), 0, nvalid_i)
-        rows = order[samp]
-        ok = jnp.ones((B,), bool)
-        for a in range(S):
-            for b in range(a + 1, S):
-                ok = ok & (rows[:, a] != rows[:, b])
-        p3, q3 = p[rows], q[rows]
-        for a in range(S):
-            b = (a + 1) % S
-            ds = jnp.sum((p3[:, a] - p3[:, b]) ** 2, axis=-1)
-            dt = jnp.sum((q3[:, a] - q3[:, b]) ** 2, axis=-1)
-            ok = ok & (jnp.minimum(ds, dt) >= (cfg.edge_thr**2) * jnp.maximum(ds, dt))
-            ok = ok & (jnp.maximum(ds, dt) > 0)
-        R, t = kabsch(p3, q3)
-        tx, ty, tz = transform_points_soa(R, t, p)
-        d2_ = (
-            (tx - q[:, 0][None]) ** 2
-            + (ty - q[:, 1][None]) ** 2
-            + (tz - q[:, 2][None]) ** 2
-        )
-        d = jnp.sqrt(jnp.maximum(d2_, 0.0))
-        cnt = jnp.sum((d < thr[None]) & cvalid[None], axis=1)
-        metric = jnp.where(ok & (cnt >= 10), cnt.astype(jnp.float32), -1.0)
-        bi = jnp.argmax(metric)
-        better = metric[bi] > best_metric
-        return (
-            jnp.where(better, metric[bi], best_metric),
-            jnp.where(better, R[bi], best_R),
-            jnp.where(better, t[bi], best_t),
-        ), None
-
-    keys = jax.random.split(key, cfg.rounds)
-    (bm, bR, bt), _ = jax.lax.scan(
-        round_body, (jnp.float32(-1.0), jnp.eye(3), jnp.zeros(3)), keys
-    )
-    tp2 = p @ bR.T + bt
-    d2 = jnp.sqrt(jnp.maximum(jnp.sum((tp2 - q) ** 2, axis=-1), 0.0))
-    inl = (d2 < thr) & cvalid
-    w = inl.astype(jnp.float32)
-    Rf, tf = kabsch(p[None], q[None], w[None])
-    T = jnp.where(bm > 0, to_matrix4(Rf[0], tf[0]), jnp.eye(4))
-    return T, jnp.sum(inl), n_corr
+    # shared solver: identical round body + normalized metric as the
+    # single-chip paths (models/flagship.py:ransac_solve)
+    out = fs.ransac_solve(src_xyz, tgt_xyz[j], thr, mutual, key, cfg)
+    return out["transformation"], out["inliers"], out["n_correspondences"]
 
 
 def make_register_batch(mesh: Mesh, cfg: FlagshipConfig = FlagshipConfig()):

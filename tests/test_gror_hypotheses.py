@@ -101,3 +101,66 @@ def test_choose_best_hypothesis_prefers_true_transform(rng, tmp_path):
         os.chdir(cwd)
     r, t = rotation_translation_error(jnp.asarray(best), jnp.asarray(T))
     assert float(r) < 1e-4 and float(t) < 1e-4
+
+
+def test_gror_edge_search_matches_brute_force(rng):
+    """The RCFS-pruned round search must return the same optimum (TCFS
+    count) as exhaustive TCFS over every candidate edge — the 'optimal'
+    guarantee of GROR (ia_gror.hpp:199-258)."""
+    import jax.numpy as jnp
+    from lidar_global_registration_tpu.models.gror import (
+        _edge_search,
+        _node_degrees,
+        _tcfs_stab,
+        _two_point_align,
+    )
+
+    T, src, tgt, corrs = make_problem(rng, n_inliers=40, n_outliers=80, noise=0.02)
+    corrs = corrs.compact()
+    p = src.xyz[corrs.query]
+    q = tgt.xyz[corrs.match]
+    valid = corrs.valid
+    resolution = 0.05
+
+    _deg, adj = _node_degrees(p, q, valid, resolution)
+    adj_np = np.asarray(adj)
+    upper = np.triu(adj_np, 1)
+    qualify = np.nonzero(upper.sum(1) >= 10)[0]
+    assert len(qualify) > 16
+    partners = np.argmax(
+        np.where(upper[qualify], adj_np.sum(1)[None, :], -1), axis=1
+    )
+    i1 = jnp.asarray(qualify.astype(np.int64))
+    i2 = jnp.asarray(partners.astype(np.int64))
+
+    # pruned search with small rounds
+    _be, best_pruned, _ba, rounds, R, t, axis, origin = _edge_search(
+        p, q, valid, resolution, i1, i2, edge_batch=16
+    )
+    # exhaustive: TCFS over every edge in one batch
+    _angles, counts = _tcfs_stab(R, t, axis, origin, p, q, valid, resolution)
+    best_exhaustive = int(np.asarray(counts).max())
+
+    assert best_pruned == best_exhaustive
+    # the prune must actually skip work on this fixture (inliers dominate)
+    assert rounds < -(-len(qualify) // 16)
+
+
+def test_gror_all_outliers_does_not_converge(rng):
+    """Pure-noise correspondences must not report success: the converged
+    gate requires refined inlier support >= the edge qualification floor."""
+    src_pts = rng.uniform(-5, 5, size=(120, 3)).astype(np.float32)
+    tgt_pts = rng.uniform(-5, 5, size=(120, 3)).astype(np.float32)
+    src = Cloud.from_numpy(src_pts)
+    tgt = Cloud.from_numpy(tgt_pts)
+    M = 128
+    corrs = Correspondences(
+        query=jnp.asarray(np.pad(np.arange(120), (0, M - 120)).astype(np.int32)),
+        match=jnp.asarray(np.pad(rng.permutation(120), (0, M - 120)).astype(np.int32)),
+        distance=jnp.zeros((M,), jnp.float32),
+        threshold=jnp.full((M,), 0.1, jnp.float32),
+        valid=jnp.asarray(np.arange(M) < 120),
+    )
+    params = AlignmentParameters(distance_thr=0.02)
+    res = align_gror(src, tgt, corrs, params)
+    assert not res.converged
