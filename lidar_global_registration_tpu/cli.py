@@ -163,6 +163,22 @@ def generate_debug_files(config: Config):
         )
         idx_src = detect_keypoints(src, params.keypoint_id, params.iss_radius_src)
         idx_tgt = detect_keypoints(tgt, params.keypoint_id, params.iss_radius_tgt)
+        if params.keypoint_id == "iss":
+            # ISS third-eigenvalue saliency dump (ISSKeypoint3DDebug::
+            # saveEigenValues, src/pcl/iss_debug.cpp:4-12; triggered from
+            # detectKeyPoints under debug, common.cpp:678).  Named
+            # iss_saliency rather than the reference's "weights" tag so it
+            # cannot collide with the weight-function dump below.
+            from lidar_global_registration_tpu.ops.iss import iss_keypoints
+
+            _kp, sal_src = iss_keypoints(src, params.iss_radius_src)
+            _kp2, sal_tgt = iss_keypoints(tgt, params.iss_radius_tgt)
+            debug_viz.save_colorized_weights(
+                src, np.asarray(sal_src), "iss_saliency_src", params, np.eye(4)
+            )
+            debug_viz.save_colorized_weights(
+                tgt, np.asarray(sal_tgt), "iss_saliency_tgt", params, np.eye(4)
+            )
         ctx = build_metric_context(src, tgt, corrs, params, sparse=False)
         _m, _i, _r, inlier_mask, _s = _evaluate_one(ctx, jnp.asarray(np.asarray(tn, np.float32)))
         inlier_np = np.asarray(inlier_mask)[np.asarray(corrs.valid)]

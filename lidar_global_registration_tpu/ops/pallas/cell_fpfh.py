@@ -42,6 +42,7 @@ DIM = 33
 _COORD_CLIP = 1023  # 10 bits per axis -> 30-bit unique lexicographic key
 PAD = 3.0e18
 _BIG_KEY = np.int32(1 << 30)
+TAB_LANES = 128  # per-cell run table row: starts @0:27, lens @32:59, rows @64:91
 
 
 def _lex_keys(xyz, valid, origin, inv_cell):
@@ -57,10 +58,12 @@ def prep_cell_runs(xyz, normal, valid, cell_size, C: int, R_pad: int | None = No
     """Sort points by cell key and compute per-cell neighbor run tables.
 
     Returns (packed f32[N+C, 128], order i32[N], rank i32[N], pos i32[N],
-    vs bool[N], run_starts i32[R+2], nbr_row i32[R,27], n_rows i32[]) with
-    R = R_pad (default N).  Only the first n_rows rows are meaningful.
-    run_starts[r] is the sorted offset of row r's run; missing neighbors use
-    the sentinel row R_pad whose run has zero length.  Restricting the
+    vs bool[N], tab i32[R, TAB_LANES], n_rows i32[]) with R = R_pad
+    (default N).  tab row r holds 27 (start, len, nbr_row) triples — the
+    sorted offset, run length, and row id of each neighbor cell (len 0 for
+    missing neighbors).  The kernels DMA ONE tab row per grid step into
+    SMEM scratch, so SMEM residency is O(1) in R (scalar-prefetching the
+    whole table capped scaling at ~9k cells: 1MB SMEM).  Restricting the
     tables to R_pad rows keeps the searchsorted fan-out at R_pad*27 instead
     of N*27 (element-gather bound, measured 0.5s at 64k otherwise)."""
     N = xyz.shape[0]
@@ -117,15 +120,20 @@ def prep_cell_runs(xyz, normal, valid, cell_size, C: int, R_pad: int | None = No
     nrow = jnp.searchsorted(row_key, nkey.reshape(-1), side="left")
     nrow = jnp.minimum(nrow, R_pad - 1).astype(jnp.int32).reshape(R_pad, 27)
     found = (row_key[nrow] == nkey) & in_box & (rows[:, None] < n_rows)
-    # missing neighbors -> sentinel row R_pad (zero-length run in the PAD
-    # tail); occupied runs are consecutive in sorted order, so row_end[r] ==
-    # row_start[r+1] and ONE starts table serves both (SMEM budget)
-    nbr_row = jnp.where(found, nrow, R_pad).astype(jnp.int32)
     n_valid = jnp.sum(vs.astype(jnp.int32))
     row_start = jnp.where(rows < n_rows, row_start, n_valid)
-    run_starts = jnp.concatenate(
-        [row_start, jnp.full((2,), n_valid, jnp.int32)]
-    )  # [R_pad+2]; rows >= n_rows and the sentinel map to the PAD tail
+    # run length: occupied runs are consecutive in sorted order, so
+    # row_end[r] == row_start[r+1] (last row ends at n_valid)
+    row_end = jnp.concatenate([row_start[1:], n_valid[None]])
+    row_len = row_end - row_start
+    nb_start = jnp.where(found, row_start[nrow], n_valid)  # PAD tail
+    nb_len = jnp.where(found, row_len[nrow], 0)
+    # (start, len, nbr_row) triples, one row per cell, DMA'd per grid step:
+    # lanes 0:27 = starts, 32:59 = lengths, 64:91 = neighbor row ids
+    tab = jnp.zeros((R_pad, TAB_LANES), jnp.int32)
+    tab = tab.at[:, 0:27].set(nb_start)
+    tab = tab.at[:, 32:59].set(nb_len)
+    tab = tab.at[:, 64:91].set(nrow)
 
     vflag = vs.astype(jnp.float32)
     packed = jnp.stack(
@@ -139,7 +147,7 @@ def prep_cell_runs(xyz, normal, valid, cell_size, C: int, R_pad: int | None = No
     packed = jnp.concatenate(
         [packed, jnp.full((C, 128), jnp.float32(PAD))], axis=0
     )  # tail pad so pl.ds(start, C) never overruns
-    return packed, order, rank, pos, vs, run_starts, nbr_row, n_rows
+    return packed, order, rank, pos, vs, tab, n_rows
 
 
 def _atan2_poly(y, x):
@@ -219,7 +227,7 @@ def _pair_feature_bins(qx, qy, qz, qnx, qny, qnz, cand, r2):
     return b1, b2, b3, ok
 
 
-def _spfh_kernel(rs_ref, nr_ref, r2_ref, packed_ref, out_ref, cand, acc, sems):
+def _spfh_kernel(r2_ref, tab_ref, packed_ref, out_ref, cand, acc, tabs, sems, tsem):
     r = pl.program_id(0)
     C = cand.shape[1]
     n_rows = r2_ref[1].astype(jnp.int32)
@@ -230,9 +238,13 @@ def _spfh_kernel(rs_ref, nr_ref, r2_ref, packed_ref, out_ref, cand, acc, sems):
 
     @pl.when(r < n_rows)
     def _():
+        tcopy = pltpu.make_async_copy(tab_ref.at[pl.ds(r, 1)], tabs, tsem)
+        tcopy.start()
+        tcopy.wait()
+
         def start(c, _):
             pltpu.make_async_copy(
-                packed_ref.at[pl.ds(rs_ref[nr_ref[r, c]], C), :],
+                packed_ref.at[pl.ds(tabs[0, c], C), :],
                 cand.at[c],
                 sems.at[c],
             ).start()
@@ -242,7 +254,7 @@ def _spfh_kernel(rs_ref, nr_ref, r2_ref, packed_ref, out_ref, cand, acc, sems):
 
         def wait(c, _):
             pltpu.make_async_copy(
-                packed_ref.at[pl.ds(rs_ref[nr_ref[r, c]], C), :],
+                packed_ref.at[pl.ds(tabs[0, c], C), :],
                 cand.at[c],
                 sems.at[c],
             ).wait()
@@ -262,8 +274,7 @@ def _spfh_kernel(rs_ref, nr_ref, r2_ref, packed_ref, out_ref, cand, acc, sems):
 
         def body(c, _):
             cc = cand[c]
-            nb = nr_ref[r, c]
-            nlen = jnp.minimum(rs_ref[nb + 1] - rs_ref[nb], C)
+            nlen = jnp.minimum(tabs[0, 32 + c], C)
             b1, b2, b3, ok = _pair_feature_bins(qx, qy, qz, qnx, qny, qnz, cc, r2)
             ok = ok & (jq < nlen) & (cc[:, 7:8] > 0.5) & qvalid
             okf = ok.astype(jnp.float32)
@@ -282,8 +293,8 @@ def _spfh_kernel(rs_ref, nr_ref, r2_ref, packed_ref, out_ref, cand, acc, sems):
 
 
 def _fpfh_kernel(
-    rs_ref, nr_ref, r2_ref, packed_ref, spfh_ref, out_ref,
-    cand, spfh_c, wsum, sems, sems2,
+    r2_ref, tab_ref, packed_ref, spfh_ref, out_ref,
+    cand, spfh_c, wsum, tabs, sems, sems2, tsem,
 ):
     r = pl.program_id(0)
     C = cand.shape[1]
@@ -295,15 +306,16 @@ def _fpfh_kernel(
 
     @pl.when(r < n_rows)
     def _():
-        R_pad_minus1 = spfh_ref.shape[0] - 1
+        tcopy = pltpu.make_async_copy(tab_ref.at[pl.ds(r, 1)], tabs, tsem)
+        tcopy.start()
+        tcopy.wait()
 
         def start(c, _):
-            nb = nr_ref[r, c]
             pltpu.make_async_copy(
-                packed_ref.at[pl.ds(rs_ref[nb], C), :], cand.at[c], sems.at[c]
+                packed_ref.at[pl.ds(tabs[0, c], C), :], cand.at[c], sems.at[c]
             ).start()
             pltpu.make_async_copy(
-                spfh_ref.at[pl.ds(jnp.minimum(nb, R_pad_minus1), 1)],
+                spfh_ref.at[pl.ds(tabs[0, 64 + c], 1)],
                 spfh_c.at[pl.ds(c, 1)],
                 sems2.at[c],
             ).start()
@@ -312,12 +324,11 @@ def _fpfh_kernel(
         jax.lax.fori_loop(0, 27, start, 0)
 
         def wait(c, _):
-            nb = nr_ref[r, c]
             pltpu.make_async_copy(
-                packed_ref.at[pl.ds(rs_ref[nb], C), :], cand.at[c], sems.at[c]
+                packed_ref.at[pl.ds(tabs[0, c], C), :], cand.at[c], sems.at[c]
             ).wait()
             pltpu.make_async_copy(
-                spfh_ref.at[pl.ds(jnp.minimum(nb, R_pad_minus1), 1)],
+                spfh_ref.at[pl.ds(tabs[0, 64 + c], 1)],
                 spfh_c.at[pl.ds(c, 1)],
                 sems2.at[c],
             ).wait()
@@ -338,8 +349,7 @@ def _fpfh_kernel(
             cc = cand[c]
             cx, cy, cz = cc[:, 0:1], cc[:, 1:2], cc[:, 2:3]
             d2 = (cx - qx) ** 2 + (cy - qy) ** 2 + (cz - qz) ** 2
-            nb = nr_ref[r, c]
-            nlen = jnp.minimum(rs_ref[nb + 1] - rs_ref[nb], C)
+            nlen = jnp.minimum(tabs[0, 32 + c], C)
             ok = (
                 (d2 > 0.0)
                 & (d2 <= r2)
@@ -377,23 +387,28 @@ def _round_up(n, m):
 @functools.partial(jax.jit, static_argnames=("C", "R_pad", "interpret"))
 def _fpfh_cells_impl(xyz, normal, valid, radius, C, R_pad, interpret):
     N = xyz.shape[0]
-    (packed, order, rank, pos, vs, rs, nr, n_rows) = prep_cell_runs(
+    (packed, order, rank, pos, vs, tab, n_rows) = prep_cell_runs(
         xyz, normal, valid, radius, C, R_pad
     )
     n_rows_c = jnp.minimum(n_rows, R_pad)
     meta = jnp.stack([radius * radius, n_rows_c.astype(jnp.float32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(R_pad,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
         out_specs=pl.BlockSpec(
             (1, DIM, C), lambda r, *_: (r, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((27, C, 128), jnp.float32),
             pltpu.VMEM((DIM + 1, C), jnp.float32),
+            pltpu.SMEM((1, TAB_LANES), jnp.int32),
             pltpu.SemaphoreType.DMA((27,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     spfh = pl.pallas_call(
@@ -401,12 +416,13 @@ def _fpfh_cells_impl(xyz, normal, valid, radius, C, R_pad, interpret):
         out_shape=jax.ShapeDtypeStruct((R_pad, DIM, C), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(rs, nr, meta, packed)
+    )(meta, tab, packed)
 
     grid_spec2 = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(R_pad,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -417,8 +433,10 @@ def _fpfh_cells_impl(xyz, normal, valid, radius, C, R_pad, interpret):
             pltpu.VMEM((27, C, 128), jnp.float32),
             pltpu.VMEM((27, DIM, C), jnp.float32),
             pltpu.VMEM((DIM + 1, C), jnp.float32),
+            pltpu.SMEM((1, TAB_LANES), jnp.int32),
             pltpu.SemaphoreType.DMA((27,)),
             pltpu.SemaphoreType.DMA((27,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
@@ -426,7 +444,7 @@ def _fpfh_cells_impl(xyz, normal, valid, radius, C, R_pad, interpret):
         out_shape=jax.ShapeDtypeStruct((R_pad, DIM + 1, C), jnp.float32),
         grid_spec=grid_spec2,
         interpret=interpret,
-    )(rs, nr, meta, packed, spfh)
+    )(meta, tab, packed, spfh)
 
     # map cell-slot results back to original point order:
     # sorted point i lives at (rank[i], pos[i]); undo the sort by argsort

@@ -4,10 +4,16 @@ Reference: the custom PCL fork accepting precomputed LRFs
 (include/pcl/impl/rops_custom_lrf.hpp, common.h:348-392): 3 rotation axes x
 number_of_rotations (3) x 3 projection planes x 5 statistics (central
 moments m11, m12, m21, m22 and Shannon entropy of a 5x5 distribution
-matrix) = 135 values.  The reference needs a greedy-projection mesh only to
-build LRFs when none are given; our mesh-free variant derives the LRF from
-the weighted covariance (SHOT LRF) — point-sampled statistics instead of
-triangle-area-weighted ones.
+matrix) = 135 values.  The reference needs a greedy-projection mesh to
+build LRFs when none are given and weights every triangle's vote by its
+area (rops_custom_lrf.hpp:98-118).  Mesh-free TPU variant: the LRF comes
+from the weighted covariance (SHOT LRF — same disk of support, no GP3
+dependency), and the triangle-area weight is replaced by a per-point AREA
+PROXY: each surface point votes with the reciprocal of its local point
+count within radius/5, i.e. its share of the local surface area.  On a
+uniformly sampled mesh both weightings converge to the same distribution;
+the proxy additionally de-biases non-uniform scan densities, which the
+point-sampled (unweighted) variant could not.
 
 TPU re-design: per-coordinate (SoA) gathers; the static 9-rotation stack
 unrolls into per-rotation [M,K] component math; each 5x5 distribution
@@ -50,10 +56,11 @@ def _rotation_stack() -> np.ndarray:
 _ROTS_NP = _rotation_stack()
 
 
-def _distribution_stats(u, v, w_mask, cnt):
+def _distribution_stats(u, v, w_mask, weights, cnt):
     """5x5 normalized distribution matrix stats for one projection.
 
-    u, v: [M,K] plane coordinates; returns f32[M,5]."""
+    u, v: [M,K] plane coordinates; weights [M,K] per-point area weights
+    (the reference weighs votes by triangle area); returns f32[M,5]."""
     M = u.shape[0]
     big = jnp.float32(3.0e38)
     umin = jnp.min(jnp.where(w_mask, u, big), axis=1, keepdims=True)
@@ -69,7 +76,7 @@ def _distribution_stats(u, v, w_mask, cnt):
     cell = ub * N_BINS + vb
     rows = jnp.arange(M, dtype=jnp.int32)[:, None]
     dm = jax.ops.segment_sum(
-        w_mask.astype(jnp.float32).reshape(-1),
+        jnp.where(w_mask, weights, 0.0).reshape(-1),
         (rows * (N_BINS * N_BINS) + cell).reshape(-1),
         num_segments=M * N_BINS * N_BINS,
     ).reshape(M, N_BINS, N_BINS)
@@ -89,15 +96,20 @@ def _distribution_stats(u, v, w_mask, cnt):
 
 
 @partial(jax.jit, static_argnames=())
-def rops_from_neighbors(kp_xyz, frames, surface_xyz, idx, mask):
-    """kp_xyz f32[M,3]; frames f32[M,3,3] rows=(x,y,z); idx i32[M,K]."""
+def rops_from_neighbors(kp_xyz, frames, surface_xyz, idx, mask, weights=None):
+    """kp_xyz f32[M,3]; frames f32[M,3,3] rows=(x,y,z); idx i32[M,K];
+    weights: optional [M,K] area weights (default: uniform)."""
     d = [surface_xyz[:, c][idx] - kp_xyz[:, c][:, None] for c in range(3)]  # [M,K]
     # LRF coordinates: loc_j = frames[:, j, :] . d
     loc = [
         d[0] * frames[:, j, 0:1] + d[1] * frames[:, j, 1:2] + d[2] * frames[:, j, 2:3]
         for j in range(3)
     ]
-    cnt = jnp.maximum(jnp.sum(mask.astype(jnp.float32), axis=1), 1.0)
+    if weights is None:
+        weights = jnp.ones(mask.shape, jnp.float32)
+    cnt = jnp.maximum(
+        jnp.sum(jnp.where(mask, weights, 0.0), axis=1), 1e-30
+    )
     feats = []  # ordered [projection][rotation] to match the AoS layout
     per_proj = [[], [], []]
     for r in range(9):
@@ -107,7 +119,7 @@ def rops_from_neighbors(kp_xyz, frames, surface_xyz, idx, mask):
             for i in range(3)
         ]
         for p, (a, b) in enumerate(((1, 2), (0, 2), (0, 1))):
-            per_proj[p].append(_distribution_stats(rot[a], rot[b], mask, cnt))
+            per_proj[p].append(_distribution_stats(rot[a], rot[b], mask, weights, cnt))
     for p in range(3):
         feats.append(jnp.stack(per_proj[p], axis=1))  # [M,9,5]
     desc = jnp.concatenate(feats, axis=-1).reshape(kp_xyz.shape[0], DIM)
@@ -123,6 +135,8 @@ def rops(
     frames=None,
     k_neighbors: int = 384,
     cap: int = 128,
+    density_k: int = 48,
+    area_weighting: bool = True,
     chunk: int | None = None,
     approx: bool | None = None,
 ):
@@ -134,7 +148,24 @@ def rops(
     )
     if frames is None:
         frames, _ok = lrfmod.shot_lrf(kp_xyz, radius, surface_xyz, idx, mask)
-    desc = rops_from_neighbors(kp_xyz, jnp.asarray(frames), surface_xyz, idx, mask)
+    weights = None
+    if area_weighting:
+        # mesh-free stand-in for the reference's triangle-area vote
+        # (rops_custom_lrf.hpp:98-118): each point's area share = 1/count of
+        # surface points within radius/5 around it (same self-join pass the
+        # USC per-neighbor density uses)
+        density_r = radius / 5.0
+        g5 = gridmod.build_grid(surface_xyz, surface_valid, density_r, cell_cap=cap)
+        sidx = jnp.arange(surface_xyz.shape[0], dtype=jnp.int32)
+        _i5, _d5, m5 = gridmod.radius_neighbors(
+            g5, surface_xyz, surface_valid, density_r, k=density_k, cap=cap,
+            include_self=False, query_index=sidx, chunk=chunk, approx=approx,
+        )
+        counts = jnp.sum(m5, axis=1).astype(jnp.float32) + 1.0
+        weights = 1.0 / counts[idx]
+    desc = rops_from_neighbors(
+        kp_xyz, jnp.asarray(frames), surface_xyz, idx, mask, weights
+    )
     n_nb = jnp.sum(mask, axis=1)
     ok = kp_valid & (n_nb >= 5)
     return jnp.where(ok[:, None], desc, 0.0), ok

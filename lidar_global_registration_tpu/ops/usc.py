@@ -79,6 +79,7 @@ def usc(
     frames=None,
     k_neighbors: int = 384,
     cap: int = 128,
+    density_k: int = 48,
     chunk: int | None = None,
     approx: bool | None = None,
 ):
@@ -90,12 +91,21 @@ def usc(
     )
     if frames is None:
         frames, _ok = lrfmod.shot_lrf(kp_xyz, radius, surface_xyz, idx, mask)
-    # local point density proxy: neighbors of the keypoint within r/5
+    # PCL weights each neighbor by the point density around the NEIGHBOR
+    # itself (pcl::UniqueShapeContext::computePoint: radiusSearch of
+    # point_density_radius = r/5 at every neighbor).  One surface self-join
+    # within r/5 gives every surface point its own count; a [M,K] gather
+    # then yields the per-neighbor densities.
     density_r = radius / 5.0
-    nb_density = jnp.sum(mask & (dist <= density_r), axis=1, keepdims=True)
-    nb_density = jnp.broadcast_to(
-        jnp.maximum(nb_density.astype(jnp.float32), 1.0), mask.shape
+    n_surface = surface_xyz.shape[0]
+    g5 = gridmod.build_grid(surface_xyz, surface_valid, density_r, cell_cap=cap)
+    sidx = jnp.arange(n_surface, dtype=jnp.int32)
+    _i5, _d5, m5 = gridmod.radius_neighbors(
+        g5, surface_xyz, surface_valid, density_r, k=density_k, cap=cap,
+        include_self=False, query_index=sidx, chunk=chunk, approx=approx,
     )
+    surface_counts = jnp.sum(m5, axis=1).astype(jnp.float32) + 1.0  # incl self
+    nb_density = jnp.maximum(surface_counts[idx], 1.0)
     desc = usc_from_neighbors(
         kp_xyz, jnp.asarray(frames), surface_xyz, idx, mask, nb_density, radius
     )

@@ -212,7 +212,10 @@ def save_temperature_maps(
         rnrm = np.asarray(reference.normal)[nn]
         d2p = np.abs(np.sum(rnrm * (rxyz - cxyz), axis=-1))
         nrm_ok = np.sum(rnrm * rnrm, axis=-1) > 0.5
-        d2p = np.where(nrm_ok, d2p, np.asarray(dist[:, 0]) ** 2)
+        # degenerate-normal fallback: plain NN distance; not-found rows carry
+        # a BIG sentinel, so substitute before use (no overflow, same units)
+        d_nn = np.where(found, np.asarray(dist[:, 0]), distance_thr)
+        d2p = np.where(nrm_ok, d2p, d_nn)
         temp = np.where(found & (d2p < distance_thr), d2p, distance_thr)
 
         v = np.asarray(compared.valid)

@@ -193,6 +193,96 @@ def cmd_downsample(args):
         print(f"{f}: {len(xyz)} -> {v.sum()}")
 
 
+def cmd_eth(args):
+    """ETH CSV clouds -> PLY + rewritten ground truth
+    (process_datasets.py:122-142 eth_to_common).  The input dir holds a
+    ground truth CSV whose first column (`reading`) names per-scan CSV
+    clouds with x,y,z columns."""
+    import csv
+
+    gt_path = os.path.join(args.input_dir, "ground_truth.csv")
+    if not os.path.exists(gt_path):
+        cands = [f for f in os.listdir(args.input_dir) if f.endswith("global.csv")]
+        if cands:
+            gt_path = os.path.join(args.input_dir, cands[0])
+    with open(gt_path) as f:
+        rows = list(csv.reader(f))
+    header, body = rows[0], rows[1:]
+    out = args.output_dir or os.path.basename(os.path.normpath(args.input_dir))
+    os.makedirs(out, exist_ok=True)
+    for row in body:
+        filename = row[0]
+        data = np.genfromtxt(
+            os.path.join(args.input_dir, filename), delimiter=",", names=True
+        )
+        xyz = np.stack(
+            [data["x"], data["y"], data["z"]], axis=1
+        ).astype(np.float32)
+        xyz = xyz[np.isfinite(xyz).all(axis=1)]
+        base = filename[: filename.rfind(".")] if "." in filename else filename
+        iomod.write_ply(os.path.join(out, base + ".ply"), xyz)
+        row[0] = base + ".ply"
+    with open(os.path.join(out, "ground_truth.csv"), "w") as f:
+        f.write(",".join(header) + "\n")
+        for row in body:
+            f.write(",".join(row) + "\n")
+    print(f"wrote {len(body)} clouds + ground_truth.csv to {out}")
+
+
+def read_las(path: str):
+    """Minimal native LAS 1.2-1.4 point reader (XYZ + intensity).
+
+    The reference converts .las scans with PyntCloud
+    (process_datasets.py:191-198); this is a dependency-free equivalent:
+    parse the public header block, then bulk-decode the point records'
+    leading i32 XYZ triple (all point formats 0-10) and u16 intensity,
+    applying the header scale/offset.  Returns (xyz f64[N,3], intensity
+    u16[N])."""
+    import struct
+
+    with open(path, "rb") as f:
+        header = f.read(375)
+        if header[:4] != b"LASF":
+            raise ValueError(f"{path}: not a LAS file")
+        ver_major, ver_minor = header[24], header[25]
+        (point_offset,) = struct.unpack_from("<I", header, 96)
+        point_format = header[104] & 0x3F  # high bits flag LAZ compression
+        if header[104] & 0xC0:
+            raise ValueError(f"{path}: LAZ-compressed LAS is not supported")
+        (record_len,) = struct.unpack_from("<H", header, 105)
+        (n_legacy,) = struct.unpack_from("<I", header, 107)
+        scale = struct.unpack_from("<3d", header, 131)
+        offset = struct.unpack_from("<3d", header, 155)
+        n_points = n_legacy
+        if n_points == 0 and (ver_major, ver_minor) >= (1, 4):
+            (n_points,) = struct.unpack_from("<Q", header, 247)
+        f.seek(point_offset)
+        raw = np.frombuffer(
+            f.read(n_points * record_len), dtype=np.uint8
+        ).reshape(n_points, record_len)
+    xyz_raw = raw[:, :12].copy().view("<i4").reshape(n_points, 3)
+    xyz = xyz_raw.astype(np.float64) * np.asarray(scale) + np.asarray(offset)
+    intensity = raw[:, 12:14].copy().view("<u2").reshape(n_points)
+    del point_format  # formats differ after byte 14; XYZI prefix is shared
+    return xyz, intensity
+
+
+def cmd_las(args):
+    """Convert every .las in a directory to .ply next to it
+    (process_datasets.py:191-198)."""
+    n = 0
+    for filename in sorted(os.listdir(args.las_path)):
+        if not filename.endswith(".las"):
+            continue
+        xyz, _intensity = read_las(os.path.join(args.las_path, filename))
+        out = os.path.join(args.las_path, filename[: -len(".las")] + ".ply")
+        iomod.write_ply(out, xyz.astype(np.float32))
+        print(f"{filename} -> {os.path.basename(out)} ({len(xyz)} points)")
+        n += 1
+    if n == 0:
+        print(f"no .las files in {args.las_path}")
+
+
 def cmd_overlap(args):
     """Pairwise overlap matrix (process_datasets.py overlap): fraction of
     points whose NN in the other cloud is within 2*voxel."""
@@ -262,6 +352,15 @@ def main():
     s.add_argument("--without-transformation", dest="with_transformation",
                    action="store_false")
     s.set_defaults(fn=cmd_downsample, with_transformation=True)
+
+    s = sub.add_parser("eth")
+    s.add_argument("input_dir")
+    s.add_argument("-o", "--output-dir")
+    s.set_defaults(fn=cmd_eth)
+
+    s = sub.add_parser("las")
+    s.add_argument("las_path")
+    s.set_defaults(fn=cmd_las)
 
     s = sub.add_parser("overlap")
     s.add_argument("config")
