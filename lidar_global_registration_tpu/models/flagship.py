@@ -86,6 +86,23 @@ def _smoothed_density(xyz, valid, cell, cap, chunk=None):
     return jnp.where(valid & (out < big), out, 0.0)
 
 
+def _density_from_knn(idx, dist, mask, valid):
+    """k=2 smoothed density (common.cpp:531-547) reusing the normals
+    neighbor pass: d = dist to nearest non-self neighbor, smoothed by min
+    with that neighbor's value.  Avoids the two extra grid builds of a
+    dedicated density query (the search radius is the normal cell rather
+    than the reference's 2x-density cell — a superset, so the NN distance
+    is identical wherever the smaller search finds a neighbor)."""
+    big = jnp.float32(3.0e38)
+    dmat = jnp.where(mask & (dist > 1e-12), dist, big)
+    a = jnp.argmin(dmat, axis=1)
+    d_raw = jnp.take_along_axis(dmat, a[:, None], axis=1)[:, 0]
+    nn = jnp.take_along_axis(idx, a[:, None], axis=1)[:, 0]
+    d_nn = d_raw[nn]
+    out = jnp.minimum(d_raw, jnp.where(d_nn < big, d_nn, d_raw))
+    return jnp.where(valid & (out < big), out, 0.0)
+
+
 def _fpfh_fixed(xyz, normal, valid, kp_mask, radius, cfg: FlagshipConfig):
     """FPFH over all points; rows where kp_mask holds are the keypoints.
     Delegates to the shared SoA/chunked implementation."""
@@ -255,10 +272,11 @@ def register_pair_step(
             kp_mask = _nms(sal, ok, iidx, imask)
         else:
             kp_mask = valid
-        return normal, kp_mask
+        density = _density_from_knn(idx, dist, mask, valid)
+        return normal, kp_mask, density
 
-    src_normal, src_kp = side(src_xyz, src_valid, iss_radius_src, vp_src)
-    tgt_normal, tgt_kp = side(tgt_xyz, tgt_valid, iss_radius_tgt, vp_tgt)
+    src_normal, src_kp, dens_s = side(src_xyz, src_valid, iss_radius_src, vp_src)
+    tgt_normal, tgt_kp, dens_t = side(tgt_xyz, tgt_valid, iss_radius_tgt, vp_tgt)
 
     fq, fq_valid = _fpfh_fixed(src_xyz, src_normal, src_valid, src_kp, feature_radius, cfg)
     ft, ft_valid = _fpfh_fixed(tgt_xyz, tgt_normal, tgt_valid, tgt_kp, feature_radius, cfg)
@@ -277,8 +295,6 @@ def register_pair_step(
         & (idx_ts[j, 0] == jnp.arange(N, dtype=jnp.int32))
     )
 
-    dens_s = _smoothed_density(src_xyz, src_valid, density_cell_src, cfg.density_cap, cfg.query_chunk)
-    dens_t = _smoothed_density(tgt_xyz, tgt_valid, density_cell_tgt, cfg.density_cap, cfg.query_chunk)
     thr = jnp.minimum(jnp.maximum(dens_s, dens_t[j]), distance_thr)
     thr = jnp.where(thr > 0, thr, distance_thr)
 
@@ -303,6 +319,7 @@ def _side_stage(xyz, valid, normal_cell, iss_radius, cfg: FlagshipConfig, viewpo
         chunk=cfg.query_chunk,
     )
     normal, _curv, _ok = normals_from_neighbors(xyz, xyz, idx, mask, viewpoint)
+    density = _density_from_knn(idx, dist, mask, valid)
     if cfg.use_iss:
         g = gridmod.build_grid(xyz, valid, iss_radius)
         iidx, _idist, imask = gridmod.radius_neighbors(
@@ -314,25 +331,18 @@ def _side_stage(xyz, valid, normal_cell, iss_radius, cfg: FlagshipConfig, viewpo
         kp_mask = _nms(sal, ok, iidx, imask)
     else:
         kp_mask = valid
-    return normal, kp_mask
+    return normal, kp_mask, density
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _correspondence_stage(
-    src_xyz, src_valid, tgt_xyz, tgt_valid, idx_st, mask_st, idx_ts, mask_ts,
-    density_cell_src, density_cell_tgt, distance_thr, cfg: FlagshipConfig,
-):
-    N = src_xyz.shape[0]
+@partial(jax.jit, static_argnames=())
+def _correspondence_stage(idx_st, mask_st, idx_ts, mask_ts, dens_s, dens_t, distance_thr):
+    N = idx_st.shape[0]
     j = idx_st[:, 0]
     mutual = (
         mask_st[:, 0]
         & mask_ts[j, 0]
         & (idx_ts[j, 0] == jnp.arange(N, dtype=jnp.int32))
     )
-    dens_s = _smoothed_density(src_xyz, src_valid, density_cell_src, cfg.density_cap,
-                               cfg.query_chunk)
-    dens_t = _smoothed_density(tgt_xyz, tgt_valid, density_cell_tgt, cfg.density_cap,
-                               cfg.query_chunk)
     thr = jnp.minimum(jnp.maximum(dens_s, dens_t[j]), distance_thr)
     thr = jnp.where(thr > 0, thr, distance_thr)
     return j, mutual, thr
@@ -398,11 +408,11 @@ def register_pair_staged(
             cap=cfg.feature_cap, chunk=cfg.query_chunk,
         )
 
-    src_normal, src_kp = _t(
+    src_normal, src_kp, dens_s = _t(
         "side_src",
         _side_stage(src_xyz, src_valid, normal_cell, iss_radius_src, cfg, vp_src),
     )
-    tgt_normal, tgt_kp = _t(
+    tgt_normal, tgt_kp, dens_t = _t(
         "side_tgt",
         _side_stage(tgt_xyz, tgt_valid, normal_cell, iss_radius_tgt, cfg, vp_tgt),
     )
@@ -415,8 +425,7 @@ def register_pair_staged(
         ft, fq, ft_valid, fq_valid, k=1, tile=cfg.match_tile, bf16=cfg.bf16_matching
     ))
     j, mutual, thr = _t("corr", _correspondence_stage(
-        src_xyz, src_valid, tgt_xyz, tgt_valid, idx_st, mask_st, idx_ts, mask_ts,
-        density_cell_src, density_cell_tgt, distance_thr, cfg,
+        idx_st, mask_st, idx_ts, mask_ts, dens_s, dens_t, distance_thr,
     ))
     return _t("ransac", _ransac_stage(src_xyz, tgt_xyz[j], thr, mutual, key, cfg))
 
@@ -435,10 +444,10 @@ def _front_stage(
     cloud scale."""
     from lidar_global_registration_tpu.ops.fpfh import fpfh as fpfh_full
 
-    src_normal, src_kp = _side_stage.__wrapped__(
+    src_normal, src_kp, dens_s = _side_stage.__wrapped__(
         src_xyz, src_valid, normal_cell, iss_radius_src, cfg
     )
-    tgt_normal, tgt_kp = _side_stage.__wrapped__(
+    tgt_normal, tgt_kp, dens_t = _side_stage.__wrapped__(
         tgt_xyz, tgt_valid, normal_cell, iss_radius_tgt, cfg
     )
     fq, fq_valid = fpfh_full(
@@ -458,8 +467,7 @@ def _front_stage(
         ft, fq, ft_valid, fq_valid, k=1, tile=cfg.match_tile, bf16=cfg.bf16_matching
     )
     j, mutual, thr = _correspondence_stage.__wrapped__(
-        src_xyz, src_valid, tgt_xyz, tgt_valid, idx_st, mask_st, idx_ts, mask_ts,
-        density_cell_src, density_cell_tgt, distance_thr, cfg,
+        idx_st, mask_st, idx_ts, mask_ts, dens_s, dens_t, distance_thr,
     )
     return j, mutual, thr
 

@@ -75,6 +75,7 @@ def _pair_step_tp(src_xyz, src_valid, tgt_xyz, tgt_valid, key, scalars, cfg):
             xyz, valid, xyz, valid, normal_cell, cfg.normal_k, cfg.neighbor_cap, True
         )
         normal, _c, _o = normals_from_neighbors(xyz, xyz, idx, mask)
+        density = fs._density_from_knn(idx, dist, mask, valid)
         if cfg.use_iss:
             qidx = jnp.arange(xyz.shape[0], dtype=jnp.int32)
             g = gridmod.build_grid(xyz, valid, iss_radius, cell_cap=cfg.neighbor_cap)
@@ -87,10 +88,10 @@ def _pair_step_tp(src_xyz, src_valid, tgt_xyz, tgt_valid, key, scalars, cfg):
             kp = fs._nms(sal, ok, iidx, imask)
         else:
             kp = valid
-        return normal, kp
+        return normal, kp, density
 
-    src_normal, src_kp = side(src_xyz, src_valid, iss_radius_src)
-    tgt_normal, tgt_kp = side(tgt_xyz, tgt_valid, iss_radius_tgt)
+    src_normal, src_kp, dens_s = side(src_xyz, src_valid, iss_radius_src)
+    tgt_normal, tgt_kp, dens_t = side(tgt_xyz, tgt_valid, iss_radius_tgt)
     fq, fqv = fs._fpfh_fixed(src_xyz, src_normal, src_valid, src_kp, feature_radius, cfg)
     ft, ftv = fs._fpfh_fixed(tgt_xyz, tgt_normal, tgt_valid, tgt_kp, feature_radius, cfg)
 
@@ -114,8 +115,6 @@ def _pair_step_tp(src_xyz, src_valid, tgt_xyz, tgt_valid, key, scalars, cfg):
         idx_ts[j, 0] == jnp.arange(N, dtype=jnp.int32)
     )
 
-    dens_s = fs._smoothed_density(src_xyz, src_valid, density_cell_src, cfg.density_cap, cfg.query_chunk)
-    dens_t = fs._smoothed_density(tgt_xyz, tgt_valid, density_cell_tgt, cfg.density_cap, cfg.query_chunk)
     thr = jnp.minimum(jnp.maximum(dens_s, dens_t[j]), distance_thr)
     thr = jnp.where(thr > 0, thr, distance_thr)
 

@@ -1,0 +1,124 @@
+"""End-to-end test of the reference's SHIPPED configuration:
+ISS keypoints + SHOT-352 + gravity LRF + cluster matching + uniformity
+metric + prerejective RANSAC (data/tests.yaml: `metric: uniformity,
+lrf: gravity, matching: cluster, keypoint: iss, descriptor: shot`).
+
+The fixture is a TLS-like scene — ground plane with boxes, sampled with
+1/distance^2 density falloff from a scanner position — so local density
+varies enough that the feature pyramid (feature_radius unset) genuinely
+buckets keypoints into >= 2 log2 levels (matching.h:177-208), which the
+synthetic uniform terrain of the flagship bench never exercises.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lidar_global_registration_tpu.types import AlignmentParameters, Cloud
+from lidar_global_registration_tpu.ops.normals import estimate_normals_knn
+from lidar_global_registration_tpu.ops.transform import rotation_translation_error
+from lidar_global_registration_tpu.ops.density import smoothed_densities, cloud_density
+from lidar_global_registration_tpu.models.pipeline import align_point_clouds
+from lidar_global_registration_tpu.models.pyramid import initialize_side
+from lidar_global_registration_tpu.ops.iss import detect_keypoints
+
+
+def _patches():
+    """Rectangular patches (origin, edge_u, edge_v) of the scene: a ground
+    plane and three boxes (5 faces each: 4 sides + top)."""
+    patches = [(np.array([0.0, 0, 0]), np.array([20.0, 0, 0]), np.array([0.0, 20, 0]))]
+    boxes = [
+        (np.array([3.0, 4.0, 0.0]), np.array([2.0, 1.5, 1.8])),
+        (np.array([9.0, 10.0, 0.0]), np.array([1.2, 2.5, 1.0])),
+        (np.array([15.0, 5.0, 0.0]), np.array([2.2, 2.2, 2.6])),
+    ]
+    for o, s in boxes:
+        sx, sy, sz = s
+        patches += [
+            (o, np.array([sx, 0, 0]), np.array([0, 0, sz])),
+            (o + [0, sy, 0], np.array([sx, 0, 0]), np.array([0, 0, sz])),
+            (o, np.array([0, sy, 0]), np.array([0, 0, sz])),
+            (o + [sx, 0, 0], np.array([0, sy, 0]), np.array([0, 0, sz])),
+            (o + [0, 0, sz], np.array([sx, 0, 0]), np.array([0, sy, 0])),
+        ]
+    return patches
+
+
+def _scan(rng, scanner, pts_per_m2_at_1m=4000.0):
+    """Sample the scene with ~1/r^2 TLS density falloff from `scanner`."""
+    pts = []
+    for o, eu, ev in _patches():
+        area = np.linalg.norm(np.cross(eu, ev))
+        center = o + 0.5 * eu + 0.5 * ev
+        r = max(np.linalg.norm(center - scanner), 1.0)
+        n = max(int(area * pts_per_m2_at_1m / r**2), 40)
+        uv = rng.uniform(size=(n, 2))
+        pts.append(o + uv[:, :1] * eu + uv[:, 1:] * ev)
+    return np.concatenate(pts).astype(np.float32)
+
+
+def _make_pair(seed=566):
+    rng = np.random.default_rng(seed)
+    scanner = np.array([1.0, 1.0, 1.6])
+    src_pts = _scan(rng, scanner)
+    tgt_world = _scan(np.random.default_rng(seed + 1), scanner)
+    ang = 0.5
+    R = np.array(
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
+        np.float32,
+    )
+    t = np.array([3.0, -2.0, 0.3], np.float32)
+    # target frame: x_t = R^T (x_world - t); GT maps src(world) -> tgt frame
+    tgt_pts = ((tgt_world - t) @ R).astype(np.float32)
+    T_gt = np.eye(4, dtype=np.float32)
+    T_gt[:3, :3] = R.T
+    T_gt[:3, 3] = -R.T @ t
+    vp_src = scanner.astype(np.float32)
+    vp_tgt = (R.T @ (scanner - t)).astype(np.float32)
+    return src_pts, tgt_pts, T_gt, vp_src, vp_tgt
+
+
+def _prepare(pts, vp):
+    cloud = Cloud.from_numpy(pts)
+    return estimate_normals_knn(cloud, k=30, viewpoint=vp)
+
+
+@pytest.mark.slow
+def test_reference_default_configuration_end_to_end():
+    src_pts, tgt_pts, T_gt, vp_src, vp_tgt = _make_pair()
+    src = _prepare(src_pts, vp_src)
+    tgt = _prepare(tgt_pts, vp_tgt)
+
+    dens_src, _ = smoothed_densities(src)
+    dens_tgt, _ = smoothed_densities(tgt)
+    density = max(float(cloud_density(src)), float(cloud_density(tgt)))
+    params = AlignmentParameters(
+        # reference auto-derivation: thr = 4 x max density, iss = 2 x density
+        distance_thr=4.0 * density,
+        iss_radius_src=2.0 * float(cloud_density(src)),
+        iss_radius_tgt=2.0 * float(cloud_density(tgt)),
+        keypoint_id="iss",
+        descriptor_id="shot",
+        lrf_id="gravity",
+        matching_id="cluster",
+        metric_id="uniformity",
+        max_iterations=100000,
+        ground_truth=T_gt,
+        vp_src=vp_src,
+        vp_tgt=vp_tgt,
+        testname="refdefault",
+    )
+
+    # the density falloff must produce a genuine multi-level pyramid
+    kp_src = detect_keypoints(src, "iss", params.iss_radius_src)
+    assert len(kp_src) > 50, len(kp_src)
+    side = initialize_side(src, kp_src, params, vp_src, params.iss_radius_src)
+    n_levels = side.max_log2 - side.min_log2 + 1
+    assert n_levels >= 2, f"pyramid collapsed to {n_levels} level(s)"
+
+    res = align_point_clouds(src, tgt, params, save_artifacts=False)
+    assert res.converged
+    r_err, t_err = rotation_translation_error(
+        jnp.asarray(res.transformation), jnp.asarray(T_gt)
+    )
+    assert float(r_err) < 0.02, float(r_err)  # radians
+    assert float(t_err) < 4.0 * density, float(t_err)
