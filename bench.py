@@ -60,16 +60,35 @@ def run_step(n: int, repeats: int) -> float:
         register_pair_staged,
     )
 
-    a, b = _pair(n)
-    spacing = 30.0 / np.sqrt(n)
-    # keypoint=any (reference `keypoint: any` mode, like its corner e2e
-    # fixture): dense descriptor matching dominates, and the synthetic pair
-    # registers successfully (ISS keypoints of two independent samplings of
-    # a smooth surface rarely co-locate, which starves the mutual filter).
+    use_iss = os.environ.get("LGR_BENCH_ISS", "0") == "1"
+    if use_iss:
+        # feature-rich scene (ground + boxes): ISS keypoints co-locate, the
+        # matcher runs on compacted keypoint rows -- the scaling regime of
+        # the reference's shipped ISS+cluster sweep
+        from __graft_entry__ import _synthetic_scene_pair
+
+        a, b, vp_a, vp_b = _synthetic_scene_pair(n)
+        area = 30.0 * 30.0 + 250.0  # ground + box faces (approx)
+        spacing = float(np.sqrt(area / n))
+    else:
+        # keypoint=any (reference `keypoint: any` mode, like its corner e2e
+        # fixture): dense descriptor matching dominates, and the synthetic
+        # pair registers successfully (ISS keypoints of two independent
+        # samplings of a smooth surface rarely co-locate).
+        a, b = _pair(n)
+        spacing = 30.0 / np.sqrt(n)
+        ang = 0.4
+        Rb = np.array(
+            [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
+            np.float32,
+        )
+        tb = np.array([2.0, -1.0, 0.5], np.float32)
+        vp_a = np.array([15.0, 15.0, 120.0], np.float32)
+        vp_b = Rb.T @ (vp_a - tb)
     cfg = FlagshipConfig(
         rounds=8,
         hypothesis_batch=1024,
-        use_iss=False,
+        use_iss=use_iss,
         match_tile=4096,
     )
     args = (
@@ -86,15 +105,6 @@ def run_step(n: int, repeats: int) -> float:
         jnp.float32(spacing * 8.0),
         jnp.float32(spacing * 4.0),
     )
-    # world-consistent scanner viewpoints (frame-consistent normals)
-    ang = 0.4
-    Rb = np.array(
-        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
-        np.float32,
-    )
-    tb = np.array([2.0, -1.0, 0.5], np.float32)
-    vp_a = np.array([15.0, 15.0, 120.0], np.float32)
-    vp_b = Rb.T @ (vp_a - tb)
     kwargs = dict(vp_src=jnp.asarray(vp_a), vp_tgt=jnp.asarray(vp_b))
     out = register_pair_staged(*args, cfg=cfg, **kwargs)
     jax.block_until_ready(out)  # compile + warmup

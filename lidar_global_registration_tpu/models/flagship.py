@@ -312,6 +312,20 @@ def register_pair_step(
 # the single-graph unit the mesh layer shards.
 # ---------------------------------------------------------------------------
 @partial(jax.jit, static_argnames=("cfg",))
+def _iss_stage(xyz, valid, iss_radius, cfg: FlagshipConfig):
+    """ISS keypoint mask only (saliency + NMS over grid radius lists)."""
+    qidx = jnp.arange(xyz.shape[0], dtype=jnp.int32)
+    g = gridmod.build_grid(xyz, valid, iss_radius)
+    iidx, _idist, imask = gridmod.radius_neighbors(
+        g, xyz, valid, iss_radius, k=cfg.iss_neighbors, cap=cfg.neighbor_cap,
+        include_self=False, query_index=qidx, chunk=cfg.query_chunk,
+    )
+    counts = jnp.sum(imask, axis=1).astype(jnp.int32) + 1
+    sal, ok = _iss_saliency(xyz, valid, iidx, imask, counts)
+    return _nms(sal, ok, iidx, imask)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def _side_stage(xyz, valid, normal_cell, iss_radius, cfg: FlagshipConfig, viewpoint=None):
     qidx = jnp.arange(xyz.shape[0], dtype=jnp.int32)
     idx, dist, mask = _knn_fixed(
@@ -393,15 +407,45 @@ def register_pair_staged(
         and jax.default_backend() in ("tpu", "axon")
     )
 
+    def _side_stage_host(xyz, valid, iss_radius, vp):
+        if use_cells:
+          try:
+            # fused Pallas surface pass (normals + curvature + density,
+            # ops/pallas/cellgrid.py, parity tests in
+            # tests/test_cell_surface.py); ISS stays on the XLA grid path
+            from lidar_global_registration_tpu.ops.pallas.cellgrid import (
+                surface_cells,
+            )
+
+            normal, _curv, density, _eig, _ok = surface_cells(
+                xyz, valid, normal_cell, vp, C=cfg.cell_cap
+            )
+            if cfg.use_iss:
+                from lidar_global_registration_tpu.ops.pallas.cellgrid import (
+                    iss_cells,
+                )
+
+                kp, _sal = iss_cells(xyz, valid, iss_radius, C=cfg.cell_cap)
+            else:
+                kp = valid
+            return normal, kp, density
+          except ValueError as e:  # cell occupancy beyond the kernel cap
+            print(f"# cell side pass -> XLA fallback: {e}", flush=True)
+        return _side_stage(xyz, valid, normal_cell, iss_radius, cfg, vp)
+
     def _fpfh_stage(xyz, normal, valid, kp_mask, vp):
         if use_cells:
+          try:
             # fused Pallas cell kernel: uncapped radius neighborhoods like
             # pcl::FPFHEstimationOMP's radiusSearch (common.h:322-332),
             # parity-tested vs fpfh_full in tests/test_cell_fpfh.py
-            from lidar_global_registration_tpu.ops.pallas.cell_fpfh import fpfh_cells
+            # (ops/pallas/cellgrid.py)
+            from lidar_global_registration_tpu.ops.pallas.cellgrid import fpfh_cells
 
             feat, fv = fpfh_cells(xyz, normal, valid, feature_radius, C=cfg.cell_cap)
             return feat, fv & kp_mask
+          except ValueError as e:
+            print(f"# cell FPFH -> XLA fallback: {e}", flush=True)
         return fpfh_full(
             xyz, valid & kp_mask, xyz, normal, valid, feature_radius,
             kp_normal=normal, k_neighbors=cfg.feature_neighbors,
@@ -409,21 +453,68 @@ def register_pair_staged(
         )
 
     src_normal, src_kp, dens_s = _t(
-        "side_src",
-        _side_stage(src_xyz, src_valid, normal_cell, iss_radius_src, cfg, vp_src),
+        "side_src", _side_stage_host(src_xyz, src_valid, iss_radius_src, vp_src)
     )
     tgt_normal, tgt_kp, dens_t = _t(
-        "side_tgt",
-        _side_stage(tgt_xyz, tgt_valid, normal_cell, iss_radius_tgt, cfg, vp_tgt),
+        "side_tgt", _side_stage_host(tgt_xyz, tgt_valid, iss_radius_tgt, vp_tgt)
     )
     fq, fq_valid = _t("fpfh_src", _fpfh_stage(src_xyz, src_normal, src_valid, src_kp, vp_src))
     ft, ft_valid = _t("fpfh_tgt", _fpfh_stage(tgt_xyz, tgt_normal, tgt_valid, tgt_kp, vp_tgt))
-    idx_st, _d1, mask_st = _t("match_st", matchers.match_bf(
-        fq, ft, fq_valid, ft_valid, k=1, tile=cfg.match_tile, bf16=cfg.bf16_matching
-    ))
-    idx_ts, _d2, mask_ts = _t("match_ts", matchers.match_bf(
-        ft, fq, ft_valid, fq_valid, k=1, tile=cfg.match_tile, bf16=cfg.bf16_matching
-    ))
+
+    # keypoint compaction: with ISS (or heavy masking) only a fraction of
+    # rows carry descriptors; matching the compact rows replaces the full
+    # N x N distance matmul with an M x M one (matching keypoints, not
+    # points, exactly like the reference matcher operates on keypoint
+    # descriptors only).  One host pull of the two validity masks decides.
+    import numpy as np_
+
+    fqv_np = np_.asarray(fq_valid)
+    ftv_np = np_.asarray(ft_valid)
+    N_all = fqv_np.shape[0]
+    n_q, n_t = int(fqv_np.sum()), int(ftv_np.sum())
+    if min(n_q, n_t) > 0 and max(n_q, n_t) <= N_all // 2:
+        def pad_to(a, m):
+            return int(-(-max(a, 1) // m) * m)
+
+        mq, mt = pad_to(n_q, 1024), pad_to(n_t, 1024)
+        # padding rows point at N_all: gathers clamp harmlessly (row is
+        # masked), scatters drop them instead of clobbering row 0
+        sq = np_.full(mq, N_all, np_.int64)
+        st = np_.full(mt, N_all, np_.int64)
+        sq[:n_q] = np_.nonzero(fqv_np)[0]
+        st[:n_t] = np_.nonzero(ftv_np)[0]
+        sqj, stj = jnp.asarray(sq), jnp.asarray(st)
+        sq_g = jnp.minimum(sqj, N_all - 1)
+        st_g = jnp.minimum(stj, N_all - 1)
+        qv = jnp.asarray(np_.arange(mq) < n_q)
+        tv = jnp.asarray(np_.arange(mt) < n_t)
+        ic_st, _dc1, mc_st = matchers.match_bf(
+            fq[sq_g], ft[st_g], qv, tv, k=1, tile=cfg.match_tile,
+            bf16=cfg.bf16_matching,
+        )
+        ic_ts, _dc2, mc_ts = matchers.match_bf(
+            ft[st_g], fq[sq_g], tv, qv, k=1, tile=cfg.match_tile,
+            bf16=cfg.bf16_matching,
+        )
+        # scatter back to full rows, mapping compact train ids to originals
+        zi = jnp.zeros((N_all, 1), jnp.int32)
+        zm = jnp.zeros((N_all, 1), bool)
+        idx_st = zi.at[sqj].set(
+            st_g[ic_st[:, 0]].astype(jnp.int32)[:, None], mode="drop"
+        )
+        mask_st = zm.at[sqj].set((mc_st[:, 0] & qv)[:, None], mode="drop")
+        idx_ts = zi.at[stj].set(
+            sq_g[ic_ts[:, 0]].astype(jnp.int32)[:, None], mode="drop"
+        )
+        mask_ts = zm.at[stj].set((mc_ts[:, 0] & tv)[:, None], mode="drop")
+        _t("match_compact", (idx_st, mask_st, idx_ts, mask_ts))
+    else:
+        idx_st, _d1, mask_st = _t("match_st", matchers.match_bf(
+            fq, ft, fq_valid, ft_valid, k=1, tile=cfg.match_tile, bf16=cfg.bf16_matching
+        ))
+        idx_ts, _d2, mask_ts = _t("match_ts", matchers.match_bf(
+            ft, fq, ft_valid, fq_valid, k=1, tile=cfg.match_tile, bf16=cfg.bf16_matching
+        ))
     j, mutual, thr = _t("corr", _correspondence_stage(
         idx_st, mask_st, idx_ts, mask_ts, dens_s, dens_t, distance_thr,
     ))

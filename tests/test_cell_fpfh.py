@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import pytest
 
 from lidar_global_registration_tpu.ops.fpfh import fpfh
-from lidar_global_registration_tpu.ops.pallas.cell_fpfh import fpfh_cells
+from lidar_global_registration_tpu.ops.pallas.cellgrid import fpfh_cells
 
 
 def _bump_cloud(n, rng):

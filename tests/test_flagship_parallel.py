@@ -79,3 +79,67 @@ def test_dryrun_multichip_8dev():
 
     assert len(jax.devices()) >= 8
     dryrun_multichip(8)
+
+
+def test_staged_keypoint_compaction_matches_monolithic(rng):
+    """With sparse ISS keypoints the staged path compacts descriptor rows
+    before matching (M x M matmul instead of N x N); results must be
+    identical to the monolithic full-matrix step."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from lidar_global_registration_tpu.models.flagship import (
+        FlagshipConfig,
+        register_pair_staged,
+        register_pair_step,
+    )
+
+    # boxy scene: ISS actually fires (smooth terrain starves it)
+    def scene(seed):
+        r = np.random.default_rng(seed)
+        g = np.column_stack([r.uniform(0, 8, 2600), r.uniform(0, 8, 2600), np.zeros(2600)])
+        o, s = np.array([3.0, 3.0, 0.0]), np.array([1.5, 1.0, 1.2])
+        faces = []
+        for eu, ev, off in [
+            ([s[0], 0, 0], [0, 0, s[2]], [0, 0, 0]),
+            ([s[0], 0, 0], [0, 0, s[2]], [0, s[1], 0]),
+            ([0, s[1], 0], [0, 0, s[2]], [0, 0, 0]),
+            ([0, s[1], 0], [0, 0, s[2]], [s[0], 0, 0]),
+            ([s[0], 0, 0], [0, s[1], 0], [0, 0, s[2]]),
+        ]:
+            uv = r.uniform(size=(260, 2))
+            faces.append(o + off + uv[:, :1] * np.asarray(eu) + uv[:, 1:] * np.asarray(ev))
+        pts = np.concatenate([g] + faces)
+        pts += r.normal(scale=0.004, size=pts.shape)
+        return pts.astype(np.float32)
+
+    a = scene(11)
+    b_world = scene(12)
+    ang = 0.3
+    R = np.array([[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    t = np.array([1.0, -0.5, 0.1], np.float32)
+    b = ((b_world - t) @ R).astype(np.float32)
+    N = len(a)
+    pad = 1 << (N - 1).bit_length()
+    ap = np.zeros((pad, 3), np.float32); ap[:N] = a
+    bp = np.zeros((pad, 3), np.float32); bp[:N] = b
+    valid = np.arange(pad) < N
+    spacing = 0.05
+    cfg = FlagshipConfig(rounds=4, hypothesis_batch=256, use_iss=True)
+    args = (
+        jnp.asarray(ap), jnp.asarray(valid), jnp.asarray(bp), jnp.asarray(valid),
+        jax.random.PRNGKey(566),
+        jnp.float32(spacing * 4.0), jnp.float32(spacing * 2.0),
+        jnp.float32(spacing * 2.0), jnp.float32(spacing * 3.0),
+        jnp.float32(spacing * 3.0), jnp.float32(spacing * 8.0),
+        jnp.float32(spacing * 4.0),
+    )
+    out_staged = register_pair_staged(*args, cfg=cfg)
+    out_mono = register_pair_step(*args, cfg=cfg)
+    assert float(out_staged["n_correspondences"]) == float(out_mono["n_correspondences"])
+    np.testing.assert_allclose(
+        np.asarray(out_staged["transformation"]),
+        np.asarray(out_mono["transformation"]),
+        atol=1e-5,
+    )
+    assert int(out_staged["inliers"]) == int(out_mono["inliers"])
