@@ -56,6 +56,9 @@ class FlagshipConfig:
     density_cap: int = 8  # per-cell cap for the k=1 density search
     cell_cap: int = 128  # per-cell point cap for the fused Pallas cell FPFH
     use_cell_fpfh: bool = True  # staged path: fused cell kernel on TPU
+    cluster_matching: bool = True  # staged ISS path: spatial-consensus filter
+    cluster_k: int = 40  # MATCHING_CLUSTER_K (common.h:49)
+    cluster_threshold: float = 0.95  # MATCHING_CLUSTER_THRESHOLD
 
 
 def _knn_fixed(xyz, valid, queries, qvalid, cell, k, cap, include_self, qidx=None,
@@ -348,18 +351,19 @@ def _side_stage(xyz, valid, normal_cell, iss_radius, cfg: FlagshipConfig, viewpo
     return normal, kp_mask, density
 
 
-@partial(jax.jit, static_argnames=())
-def _correspondence_stage(idx_st, mask_st, idx_ts, mask_ts, dens_s, dens_t, distance_thr):
+@partial(jax.jit, static_argnames=("require_mutual",))
+def _correspondence_stage(idx_st, mask_st, idx_ts, mask_ts, dens_s, dens_t,
+                          distance_thr, require_mutual: bool = True):
     N = idx_st.shape[0]
     j = idx_st[:, 0]
-    mutual = (
-        mask_st[:, 0]
-        & mask_ts[j, 0]
-        & (idx_ts[j, 0] == jnp.arange(N, dtype=jnp.int32))
-    )
+    keep = mask_st[:, 0]
+    if require_mutual:
+        # lr strategy (matching.h:418-458); the cluster strategy keeps
+        # one-sided matches that pass the consensus test (matching.h:480-551)
+        keep = keep & mask_ts[j, 0] & (idx_ts[j, 0] == jnp.arange(N, dtype=jnp.int32))
     thr = jnp.minimum(jnp.maximum(dens_s, dens_t[j]), distance_thr)
     thr = jnp.where(thr > 0, thr, distance_thr)
-    return j, mutual, thr
+    return j, keep, thr
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -496,6 +500,54 @@ def register_pair_staged(
             ft[st_g], fq[sq_g], tv, qv, k=1, tile=cfg.match_tile,
             bf16=cfg.bf16_matching,
         )
+        if cfg.use_iss and cfg.cluster_matching:
+            # spatial-consensus (cluster) filter — the reference's DEFAULT
+            # matching strategy (ClusterMatcher, matching.h:480-551): a
+            # match survives only if >= 1 - threshold of its cluster_k
+            # nearest keypoints' matches land inside the counterpart's
+            # keypoint neighborhood, on BOTH sides.  Pure mutual 1-NN has
+            # no defense against repetitive structure (identical corners
+            # match arbitrarily); this is what disambiguates them.
+            # Keypoint kNN reuses the descriptor matcher with xyz as a
+            # 3-d "descriptor" (exact L2 k-NN on the MXU).
+            from lidar_global_registration_tpu.models.pyramid import (
+                _cluster_distances,
+            )
+
+            kc = min(cfg.cluster_k + 1, int(mq), int(mt))
+            ksq, kst = src_xyz[sq_g], tgt_xyz[st_g]
+            kq_idx, kq_d, kq_m = matchers.match_bf(ksq, ksq, qv, qv, k=kc)
+            kt_idx, kt_d, kt_m = matchers.match_bf(kst, kst, tv, tv, k=kc)
+            # column 0 is the self match (distance 0)
+            d_i = _cluster_distances(
+                ic_st[:, 0], mc_st[:, 0],
+                kq_idx[:, 1:], kq_m[:, 1:], kt_idx[:, 1:], kt_m[:, 1:],
+            )
+            d_j = _cluster_distances(
+                ic_ts[:, 0], mc_ts[:, 0],
+                kt_idx[:, 1:], kt_m[:, 1:], kq_idx[:, 1:], kq_m[:, 1:],
+            )
+            thr_c = jnp.float32(cfg.cluster_threshold)
+            keep_q = (d_i < thr_c) & (d_j[ic_st[:, 0]] < thr_c)
+            keep_t = (d_j < thr_c) & (d_i[ic_ts[:, 0]] < thr_c)
+            mc_st = mc_st & keep_q[:, None]
+            mc_ts = mc_ts & keep_t[:, None]
+            # per-pair thresholds at KEYPOINT-cloud density (the reference
+            # computes calculateSmoothedDensities over the keypoints,
+            # matching.h:396-397): keypoint localization error scales with
+            # keypoint spacing, not raw point spacing
+            def kp_density(kn_idx, kn_d, kn_m):
+                d_raw = jnp.where(kn_m[:, 1], kn_d[:, 1], 0.0)
+                nn = kn_idx[:, 1]
+                d_nn = jnp.where(kn_m[:, 1], d_raw[nn], d_raw)
+                return jnp.minimum(d_raw, jnp.where(d_nn > 0, d_nn, d_raw))
+
+            dens_s = dens_s.at[sqj].set(
+                kp_density(kq_idx, kq_d, kq_m), mode="drop"
+            )
+            dens_t = dens_t.at[stj].set(
+                kp_density(kt_idx, kt_d, kt_m), mode="drop"
+            )
         # scatter back to full rows, mapping compact train ids to originals
         zi = jnp.zeros((N_all, 1), jnp.int32)
         zm = jnp.zeros((N_all, 1), bool)
@@ -507,8 +559,10 @@ def register_pair_staged(
             sq_g[ic_ts[:, 0]].astype(jnp.int32)[:, None], mode="drop"
         )
         mask_ts = zm.at[stj].set((mc_ts[:, 0] & tv)[:, None], mode="drop")
+        clustered = bool(cfg.use_iss and cfg.cluster_matching)
         _t("match_compact", (idx_st, mask_st, idx_ts, mask_ts))
     else:
+        clustered = False
         idx_st, _d1, mask_st = _t("match_st", matchers.match_bf(
             fq, ft, fq_valid, ft_valid, k=1, tile=cfg.match_tile, bf16=cfg.bf16_matching
         ))
@@ -517,6 +571,7 @@ def register_pair_staged(
         ))
     j, mutual, thr = _t("corr", _correspondence_stage(
         idx_st, mask_st, idx_ts, mask_ts, dens_s, dens_t, distance_thr,
+        require_mutual=not clustered,
     ))
     return _t("ransac", _ransac_stage(src_xyz, tgt_xyz[j], thr, mutual, key, cfg))
 

@@ -88,10 +88,13 @@ def _lex_keys(xyz, valid, origin, inv_cell):
     return jnp.where(valid, key, _BIG_KEY), cs
 
 
-@jax.jit
-def _grid_stats(xyz, valid, cell_size):
-    """(occupied cell count, max cell occupancy) — host-pulled to size the
-    static grid and pick the candidate bucket."""
+@functools.partial(jax.jit, static_argnames=("factors",))
+def _grid_stats(xyz, valid, cell_size, factors=(1,)):
+    """Per cell-size-multiple m in `factors`: (occupied cells, max occupancy,
+    median point occupancy, p99.9 point occupancy).  ONE sort serves every
+    factor: coarse cell ids floor(c/m) are per-axis monotone in the fine
+    ids, so the fine-sorted key array is already sorted for every integer
+    multiple of the cell."""
     big = jnp.float32(3.0e37)
     masked = jnp.where(valid[:, None], xyz, big)
     origin = jnp.min(masked, axis=0)
@@ -100,13 +103,29 @@ def _grid_stats(xyz, valid, cell_size):
     keys, _ = _lex_keys(xyz, valid, origin, inv)
     ks = jnp.sort(keys)
     vs = ks < _BIG_KEY
-    first = vs & jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
-    n_rows = jnp.sum(first.astype(jnp.int32))
     idx = jnp.arange(ks.shape[0], dtype=jnp.int32)
-    run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, -1))
-    pos = idx - run_start
-    maxocc = jnp.max(jnp.where(vs, pos, -1)) + 1
-    return n_rows, maxocc
+    n_valid = jnp.maximum(jnp.sum(vs.astype(jnp.int32)), 1)
+    pad = ks.shape[0] - n_valid
+    out = []
+    kx, ky, kz = ks >> 20, (ks >> 10) & 1023, ks & 1023
+    for m in factors:
+        cks = ((kx // m) << 20) | ((ky // m) << 10) | (kz // m)
+        cks = jnp.where(vs, cks, _BIG_KEY)
+        first = vs & jnp.concatenate([jnp.ones((1,), bool), cks[1:] != cks[:-1]])
+        n_rows = jnp.sum(first.astype(jnp.int32))
+        run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, -1))
+        pos = idx - run_start
+        maxocc = jnp.max(jnp.where(vs, pos, -1)) + 1
+        last = vs & jnp.concatenate([cks[1:] != cks[:-1], jnp.ones((1,), bool)])
+        run_end = jax.lax.associative_scan(
+            jnp.minimum, jnp.where(last, idx, jnp.int32(2**30)), reverse=True
+        )
+        occ_f = jnp.where(vs, run_end - run_start + 1, -1).astype(jnp.float32)
+        occ_sorted = jnp.sort(occ_f)  # invalid (-1) first
+        q50 = occ_sorted[pad + n_valid // 2]
+        q999 = occ_sorted[pad + (n_valid * 999) // 1000]
+        out.append((n_rows, maxocc, q50, q999))
+    return out
 
 
 def prep_cell_columns(xyz, normal, valid, cell_size, C: int, R_pad: int):
@@ -775,13 +794,42 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
-def _sizes(xyz, valid, radius):
-    """Host-pulled grid sizing: (R_pad, C bucket)."""
-    n_rows, maxocc = (int(np.asarray(v)) for v in _grid_stats(xyz, valid, radius))
+OCC_TARGET = 32  # grow the cell until the median point's cell holds ~this
+
+
+def _sizes(xyz, valid, radius, grow_cell: bool = True, exact: bool = False):
+    """Host-pulled grid sizing: (R_pad, C bucket, cell_size).
+
+    The kernels mask by the true radius; the CELL may be any size >= radius
+    (the 27-stencil stays envelope-complete).  Sparse grids (median cell
+    occupancy far below OCC_TARGET) pay per-step overhead on hundreds of
+    thousands of near-empty cells, so the cell is grown an integer factor
+    toward the target.  The candidate bucket is sized by the p99.9 POINT
+    occupancy rather than the max: isolated dense junction cells (face
+    intersections) would otherwise force the largest block on everyone;
+    points beyond the bucket in such cells are truncated, the same cap
+    semantics as the reference's max_neighbors_ (iss_debug.cpp:47-54)."""
+    if exact:
+        grow_cell = False
+    factors = (1, 2, 3, 4) if grow_cell else (1,)
+    all_stats = [
+        [int(np.asarray(v)) for v in row]
+        for row in _grid_stats(xyz, valid, radius, factors=factors)
+    ]
+    n_rows, maxocc, q50, q999 = all_stats[0]
+    cell = float(np.asarray(radius))
+    if grow_cell and q50 > 0:
+        import math
+
+        m = int(min(4, max(1, round(math.sqrt(OCC_TARGET / max(q50, 1))))))
+        if m > 1:
+            cell = m * cell
+            n_rows, maxocc, q50, q999 = all_stats[factors.index(m)]
     R_pad = max(512, _round_up(max(n_rows, 1), 512))
     R_pad = min(R_pad, xyz.shape[0] + 1)
-    C = next((b for b in C_BUCKETS if b >= maxocc), None)
-    return R_pad, C, maxocc
+    target = maxocc if exact else min(max(q999, 1), maxocc)
+    C = next((b for b in C_BUCKETS if b >= target), None)
+    return R_pad, C, cell
 
 
 def _slot_gather(out_ch, rank, pos, vs, order, R_pad, C):
@@ -792,9 +840,9 @@ def _slot_gather(out_ch, rank, pos, vs, order, R_pad, C):
 
 
 @functools.partial(jax.jit, static_argnames=("C", "R_pad", "interpret"))
-def _surface_impl(xyz, valid, radius, C, R_pad, interpret):
+def _surface_impl(xyz, valid, radius, cell, C, R_pad, interpret):
     packed, order, rank, pos, vs, tab, n_rows = prep_cell_columns(
-        xyz, jnp.zeros_like(xyz), valid, radius, C, R_pad
+        xyz, jnp.zeros_like(xyz), valid, cell, C, R_pad
     )
     meta = jnp.stack([radius * radius, jnp.minimum(n_rows, R_pad).astype(jnp.float32)])
     out = _run_pass(_surface_kernel, meta, tab, packed, R_pad, C, N_CH_SURF, interpret)
@@ -806,20 +854,21 @@ def _surface_impl(xyz, valid, radius, C, R_pad, interpret):
     return chans
 
 
-def surface_cells(xyz, valid, radius, viewpoint=None, C: int = 128, interpret=None):
+def surface_cells(xyz, valid, radius, viewpoint=None, C: int = 128, interpret=None,
+                  exact: bool = False):
     """Self-join surface pass: (normal oriented to viewpoint, curvature,
     k=2-smoothed density, eigvals ascending [N,3], ok)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     radius = jnp.asarray(radius, jnp.float32)
-    R_pad, Cb, maxocc = _sizes(xyz, valid, radius)
+    R_pad, Cb, cell = _sizes(xyz, valid, radius, exact=exact)
     if Cb is None:
         raise ValueError(
-            f"cell occupancy {maxocc} exceeds the {C_BUCKETS[-1]} kernel cap; "
+            f"cell occupancy exceeds the {C_BUCKETS[-1]} kernel cap; "
             "use the XLA path for this cloud"
         )
     nx, ny, nz, curv, l0, l1, l2, cnt, dmin, nnid_f = _surface_impl(
-        xyz, valid, radius, Cb, R_pad, interpret
+        xyz, valid, radius, jnp.float32(cell), Cb, R_pad, interpret
     )
     normal = jnp.stack([nx, ny, nz], axis=1)
     eigvals = jnp.stack([l0, l1, l2], axis=1)
@@ -847,10 +896,10 @@ def surface_cells(xyz, valid, radius, viewpoint=None, C: int = 128, interpret=No
 @functools.partial(
     jax.jit, static_argnames=("C", "R_pad", "interpret", "min_neighbors")
 )
-def _iss_impl(xyz, valid, radius, gamma21, gamma32, C, R_pad, interpret, min_neighbors):
+def _iss_impl(xyz, valid, radius, cell, gamma21, gamma32, C, R_pad, interpret, min_neighbors):
     N = xyz.shape[0]
     packed, order, rank, pos, vs, tab, n_rows = prep_cell_columns(
-        xyz, jnp.zeros_like(xyz), valid, radius, C, R_pad
+        xyz, jnp.zeros_like(xyz), valid, cell, C, R_pad
     )
     meta = jnp.stack(
         [
@@ -887,27 +936,29 @@ def iss_cells(
     min_neighbors: int = 4,
     C: int = 128,
     interpret=None,
+    exact: bool = False,
 ):
     """Self-join ISS keypoints: (is_keypoint bool[N], saliency f32[N])."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     radius = jnp.asarray(iss_radius, jnp.float32)
-    R_pad, Cb, maxocc = _sizes(xyz, valid, radius)
+    R_pad, Cb, cell = _sizes(xyz, valid, radius, exact=exact)
     if Cb is None:
         raise ValueError(
-            f"cell occupancy {maxocc} exceeds the {C_BUCKETS[-1]} kernel cap; "
+            f"cell occupancy exceeds the {C_BUCKETS[-1]} kernel cap; "
             "use the XLA path for this cloud"
         )
     return _iss_impl(
-        xyz, valid, radius, gamma21, gamma32, Cb, R_pad, interpret, min_neighbors
+        xyz, valid, radius, jnp.float32(cell), gamma21, gamma32, Cb, R_pad,
+        interpret, min_neighbors,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("C", "R_pad", "interpret"))
-def _fpfh_impl(xyz, normal, valid, radius, C, R_pad, interpret):
+def _fpfh_impl(xyz, normal, valid, radius, cell, C, R_pad, interpret):
     N = xyz.shape[0]
     packed, order, rank, pos, vs, tab, n_rows = prep_cell_columns(
-        xyz, normal, valid, radius, C, R_pad
+        xyz, normal, valid, cell, C, R_pad
     )
     meta = jnp.stack([radius * radius, jnp.minimum(n_rows, R_pad).astype(jnp.float32)])
     spfh = _run_pass(
@@ -935,15 +986,16 @@ def _fpfh_impl(xyz, normal, valid, radius, C, R_pad, interpret):
     return feat, feat_valid
 
 
-def fpfh_cells(xyz, normal, valid, radius, C: int = 128, interpret=None):
+def fpfh_cells(xyz, normal, valid, radius, C: int = 128, interpret=None,
+               exact: bool = False):
     """Self-join FPFH: (feat f32[N,33], feat_valid bool[N])."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     radius = jnp.asarray(radius, jnp.float32)
-    R_pad, Cb, maxocc = _sizes(xyz, valid, radius)
+    R_pad, Cb, cell = _sizes(xyz, valid, radius, exact=exact)
     if Cb is None:
         raise ValueError(
-            f"cell occupancy {maxocc} exceeds the {C_BUCKETS[-1]} kernel cap; "
+            f"cell occupancy exceeds the {C_BUCKETS[-1]} kernel cap; "
             "use the XLA path for this cloud"
         )
-    return _fpfh_impl(xyz, normal, valid, radius, Cb, R_pad, interpret)
+    return _fpfh_impl(xyz, normal, valid, radius, jnp.float32(cell), Cb, R_pad, interpret)

@@ -33,7 +33,7 @@ def test_cell_surface_matches_xla_side(rng):
     n_ref, c_ref, ok_ref = normals_from_neighbors(xyz, xyz, idx, mask, vp)
     d_ref = _smoothed_density(xyz, valid, cell, 96)
 
-    n_c, c_c, d_c, eig, ok_c = surface_cells(xyz, valid, cell, vp, interpret=True)
+    n_c, c_c, d_c, eig, ok_c = surface_cells(xyz, valid, cell, vp, interpret=True, exact=True)
 
     ok_ref = np.asarray(ok_ref) & np.asarray(valid)
     ok_c_np = np.asarray(ok_c)

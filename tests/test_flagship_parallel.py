@@ -125,7 +125,8 @@ def test_staged_keypoint_compaction_matches_monolithic(rng):
     bp = np.zeros((pad, 3), np.float32); bp[:N] = b
     valid = np.arange(pad) < N
     spacing = 0.05
-    cfg = FlagshipConfig(rounds=4, hypothesis_batch=256, use_iss=True)
+    cfg = FlagshipConfig(rounds=4, hypothesis_batch=256, use_iss=True,
+                         cluster_matching=False)  # monolithic path has no cluster stage
     args = (
         jnp.asarray(ap), jnp.asarray(valid), jnp.asarray(bp), jnp.asarray(valid),
         jax.random.PRNGKey(566),
