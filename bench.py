@@ -62,12 +62,14 @@ def run_step(n: int, repeats: int) -> float:
 
     use_iss = os.environ.get("LGR_BENCH_ISS", "0") == "1"
     if use_iss:
-        # feature-rich scene (ground + boxes): ISS keypoints co-locate, the
-        # matcher runs on compacted keypoint rows -- the scaling regime of
-        # the reference's shipped ISS+cluster sweep
-        from __graft_entry__ import _synthetic_scene_pair
+        # feature-rich scene (ground + boxes + mounds): ISS keypoints
+        # co-locate, the matcher runs on compacted keypoint rows -- the
+        # scaling regime of the reference's shipped ISS+cluster sweep.
+        # Generated ON DEVICE: the tunnel moves host arrays at ~0.2 MB/s,
+        # which would add minutes of untimed setup per million points.
+        from __graft_entry__ import _synthetic_scene_pair_device
 
-        a, b, vp_a, vp_b = _synthetic_scene_pair(n)
+        a, b, vp_a, vp_b = _synthetic_scene_pair_device(n)
         area = 30.0 * 30.0 + 250.0  # ground + box faces (approx)
         spacing = float(np.sqrt(area / n))
     else:

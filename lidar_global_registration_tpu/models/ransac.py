@@ -10,7 +10,7 @@ TPU re-design: iterations become a HYPOTHESIS BATCH axis of size B.  Each
 round draws B x 3 samples with jax.random.fold_in, prerejects with one
 vectorized edge test, solves B closed-form Kabsch poses, scores all B with
 the batched metric estimator, and reduces with argmax.  The adaptive
-iteration formula runs between rounds on the host (mirroring the reference's
+iteration formula runs between rounds ON DEVICE (lax.while_loop over
 shrinking iters_local).  Determinism: a fixed base seed replaces per-thread
 mt19937 streams (utils.h:13-26, sac:192).
 """
@@ -162,6 +162,61 @@ def _ransac_round(ctx: MetricContext, key, n_corr, B: int, n_samples: int, edge_
     )
 
 
+@partial(jax.jit, static_argnames=("B", "n_samples", "edge_thr", "confidence"))
+def _ransac_adaptive(
+    ctx: MetricContext,
+    base_key,
+    n_corr,
+    max_iter,
+    max_rounds,
+    init_metric,
+    init_R,
+    init_t,
+    B: int,
+    n_samples: int,
+    edge_thr: float,
+    confidence: float,
+):
+    """The full adaptive round loop ON DEVICE (lax.while_loop): draw B
+    hypotheses per round, keep the best, shrink the iteration estimate
+    (metric.cpp:103-123) from the best supporting count, stop when the
+    round budget crosses min(estimate, max_iter).  One host pull per
+    align_ransac call instead of one per round (each pull is a full
+    round-trip on tunneled runtimes)."""
+    n_corr_f = n_corr.astype(jnp.float32)
+
+    def cond(c):
+        i, iters, est, _bm, _bR, _bt = c
+        return (i < max_rounds) & (iters < jnp.minimum(est, max_iter))
+
+    def body(c):
+        i, iters, est, bm, bR, bt = c
+        key = jax.random.fold_in(base_key, i)
+        m, R, t, support, _nok = _ransac_round.__wrapped__(
+            ctx, key, n_corr, B, n_samples, edge_thr
+        )
+        better = m > bm
+        bm = jnp.where(better, m, bm)
+        bR = jnp.where(better, R, bR)
+        bt = jnp.where(better, t, bt)
+        est_new = metricsmod.estimate_max_iterations(
+            support, n_corr_f, confidence, n_samples
+        )
+        est = jnp.minimum(est, est_new)
+        return (i + 1, iters + jnp.float32(B), est, bm, bR, bt)
+
+    init = (
+        jnp.int32(0),
+        jnp.float32(0.0),
+        jnp.float32(2.0**31 - 1),
+        init_metric,
+        init_R,
+        init_t,
+    )
+    i, iters, _est, bm, bR, bt = jax.lax.while_loop(cond, body, init)
+    return bm, to_matrix4(bR, bt), iters
+
+
 @partial(jax.jit, static_argnames=())
 def _evaluate_one(ctx: MetricContext, T):
     R = T[None, :3, :3]
@@ -250,46 +305,42 @@ def align_ransac(
         )
 
     ctx = build_metric_context(src, tgt, corrs, params, sparse=True)
-    n_corr_f = jnp.asarray(float(n))
 
     max_iter = min(combinations_or_max(n, params.n_samples), params.max_iterations)
     B = int(params.hypothesis_batch)
     seed = params.seed if params.fix_seed else np.random.SeedSequence().entropy % (2**31)
     base_key = jax.random.PRNGKey(seed)
 
-    best_metric = -np.inf
-    best_T = None
-    estimated = max_iter
-    iters_done = 0
-    rounds = 0
-
     # guess hypothesis first (sac:133-150)
+    init_metric = jnp.float32(-jnp.inf)
+    init_R = jnp.eye(3)
+    init_t = jnp.zeros(3)
     if params.guess is not None:
         Tg = jnp.asarray(np.asarray(params.guess, np.float32))
         m, _inl, _rmse, _mask, _sup = _evaluate_one(ctx, Tg)
-        best_metric = float(np.asarray(m))
-        best_T = np.asarray(Tg)
+        init_metric = m
+        init_R = Tg[:3, :3]
+        init_t = Tg[:3, 3]
 
-    while iters_done < min(estimated, max_iter):
-        key = jax.random.fold_in(base_key, rounds)
-        m, R, t, support, _nok = _ransac_round(
-            ctx, key, jnp.int32(n), B, params.n_samples, params.edge_thr_coef
-        )
-        m = float(np.asarray(m))
-        if m > best_metric:
-            best_metric = m
-            best_T = np.asarray(to_matrix4(R, t))
-        sup = int(np.asarray(support))
-        est = metricsmod.estimate_max_iterations(
-            jnp.asarray(sup), n_corr_f, params.confidence, params.n_samples
-        )
-        est_f = float(np.asarray(est))
-        if math.isfinite(est_f):
-            estimated = min(estimated, int(min(est_f, 2.0**31 - 1)))
-        iters_done += B
-        rounds += 1
-
-    if best_T is None or not np.isfinite(best_metric):
+    max_rounds = -(-max_iter // B)
+    bm, bT, iters = _ransac_adaptive(
+        ctx,
+        base_key,
+        jnp.int32(n),
+        jnp.float32(max_iter),
+        jnp.int32(max_rounds),
+        init_metric,
+        init_R,
+        init_t,
+        B,
+        params.n_samples,
+        params.edge_thr_coef,
+        params.confidence,
+    )
+    best_metric = float(np.asarray(bm))  # the ONE host pull of the loop
+    best_T = np.asarray(bT)
+    iters_done = int(np.asarray(iters))
+    if not np.isfinite(best_metric):
         best_T = identity
 
     # final: rebuild inliers, convergence gates, Kabsch re-fit, re-evaluate
