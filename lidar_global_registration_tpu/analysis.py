@@ -332,3 +332,36 @@ class AlignmentAnalysis:
                 str(int(self.result.converged)),
             ]
             f.write(",".join(row) + "\n")
+
+def surface_area(cloud: Cloud, k: int = 8) -> float:
+    """Mesh-free surface-area estimate of a scanned cloud.
+
+    The reference's calculateSurfaceArea (src/main.cpp:118-150, dead code —
+    its caller is commented out) triangulates with GreedyProjection and sums
+    triangle areas.  TPU re-design: each point claims the disk spanned by
+    its k nearest neighbors, so its area share is pi * d_k^2 / k; summing
+    shares integrates the sampled surface without building a mesh (the
+    estimator is exact in expectation for uniform sampling of a smooth
+    surface).  Returns the estimate in squared input units."""
+    n_valid = max(int(np.asarray(cloud.count())), 1)
+    k_eff = min(k, max(n_valid - 1, 1))
+    from lidar_global_registration_tpu.ops.density import _auto_cell_size
+
+    cell = _auto_cell_size(cloud, k_eff + 1)
+    for _ in range(8):
+        g = gridmod.build_grid(cloud.xyz, cloud.valid, cell, cell_cap=64)
+        idx, d, mask = gridmod.knn(
+            g, cloud.xyz, cloud.valid, k_eff + 1, cap=64, include_self=False
+        )
+        kth = jnp.where(mask[:, k_eff - 1], d[:, k_eff - 1], jnp.float32(1e38))
+        covered = int(
+            np.asarray(
+                jnp.sum((jnp.sum(mask, axis=1) >= k_eff) & (kth <= cell) & cloud.valid)
+            )
+        )
+        if covered >= 0.999 * n_valid:
+            break
+        cell *= 2.0
+    dk = np.asarray(d)[:, k_eff - 1]
+    ok = np.asarray(mask)[:, k_eff - 1] & np.asarray(cloud.valid)
+    return float(np.sum(np.pi * dk[ok] ** 2 / k_eff))

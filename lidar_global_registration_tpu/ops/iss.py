@@ -85,7 +85,26 @@ def iss_keypoints(
     """Returns (is_keypoint bool[N], saliency f32[N]).
 
     Keypoint *indices* (sorted, as the reference does under fix_seed,
-    common.cpp:674-676) are recovered host-side by np.nonzero."""
+    common.cpp:674-676) are recovered host-side by np.nonzero.  On TPU
+    backends the fused cell-list kernels (ops/pallas/cellgrid.py) replace
+    the XLA grid queries (parity tests: tests/test_cell_iss.py); set
+    LGR_CELL_ISS=0 to force the XLA path."""
+    import os
+
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        on_tpu = False
+    if on_tpu and os.environ.get("LGR_CELL_ISS", "1") != "0":
+        from lidar_global_registration_tpu.ops.pallas.cellgrid import iss_cells
+
+        try:
+            return iss_cells(
+                cloud.xyz, cloud.valid, iss_radius,
+                gamma21=gamma21, gamma32=gamma32, min_neighbors=min_neighbors,
+            )
+        except ValueError:
+            pass  # occupancy beyond the kernel cap: XLA fallback below
     g = gridmod.build_grid(cloud.xyz, cloud.valid, iss_radius, cell_cap=cap_per_cell)
     qidx = jnp.arange(cloud.capacity, dtype=jnp.int32)
     idx, _dist, mask = gridmod.radius_neighbors(

@@ -136,3 +136,23 @@ def test_smoothed_densities_regular_grid():
     # 0.8-quantile of 7th-non-self-NN distances: sqrt(2) interior, 2.0 at the
     # boundary (36/100 points) -> quantile lands in [sqrt(2), 2].
     assert np.sqrt(2.0) - 1e-5 <= cloud_density(cloud) <= 2.0 + 1e-5
+
+
+def test_surface_area_estimate(rng):
+    """Mesh-free surface area (reference calculateSurfaceArea analogue,
+    main.cpp:118-150): a 20x20 plane patch has area 400."""
+    from lidar_global_registration_tpu.analysis import surface_area
+    from lidar_global_registration_tpu.types import Cloud
+
+    pts = np.column_stack(
+        [rng.uniform(0, 20, 20000), rng.uniform(0, 20, 20000), np.zeros(20000)]
+    ).astype(np.float32)
+    area = surface_area(Cloud.from_numpy(pts))
+    assert abs(area - 400.0) / 400.0 < 0.15, area
+
+    # sphere of radius 2: area = 4 pi r^2 ~ 50.27
+    d = rng.normal(size=(20000, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    sph = (2.0 * d).astype(np.float32)
+    area_s = surface_area(Cloud.from_numpy(sph))
+    assert abs(area_s - 4 * np.pi * 4) / (4 * np.pi * 4) < 0.15, area_s
