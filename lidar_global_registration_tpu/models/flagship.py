@@ -54,8 +54,7 @@ class FlagshipConfig:
     match_tile: int = 2048
     query_chunk: int | None = None  # chunk large neighbor queries (memory)
     density_cap: int = 8  # per-cell cap for the k=1 density search
-    cell_cap: int = 128  # per-cell point cap for the fused Pallas cell FPFH
-    use_cell_fpfh: bool = True  # staged path: fused cell kernel on TPU
+    use_cell_fpfh: bool = True  # staged path: fused cell kernels on TPU
     cluster_matching: bool = True  # staged ISS path: spatial-consensus filter
     cluster_k: int = 40  # MATCHING_CLUSTER_K (common.h:49)
     cluster_threshold: float = 0.95  # MATCHING_CLUSTER_THRESHOLD
@@ -254,7 +253,9 @@ def register_pair_step(
     """Register one padded pair.  Returns dict with transformation [4,4],
     metric, inliers, converged, n_correspondences.  vp_src/vp_tgt: scanner
     viewpoints for frame-consistent normal orientation (viewpoints.csv in
-    the reference; defaults to the origin like PCL)."""
+    the reference; defaults to the origin like PCL).  density_cell_src/tgt
+    are accepted for interface stability but the k=2 smoothed density is
+    derived from the normal-cell neighbor pass (see _density_from_knn)."""
     N = src_xyz.shape[0]
 
     def side(xyz, valid, iss_radius, viewpoint):
@@ -314,20 +315,6 @@ def register_pair_step(
 # on device.  Use this for serving large pairs; register_pair_step remains
 # the single-graph unit the mesh layer shards.
 # ---------------------------------------------------------------------------
-@partial(jax.jit, static_argnames=("cfg",))
-def _iss_stage(xyz, valid, iss_radius, cfg: FlagshipConfig):
-    """ISS keypoint mask only (saliency + NMS over grid radius lists)."""
-    qidx = jnp.arange(xyz.shape[0], dtype=jnp.int32)
-    g = gridmod.build_grid(xyz, valid, iss_radius)
-    iidx, _idist, imask = gridmod.radius_neighbors(
-        g, xyz, valid, iss_radius, k=cfg.iss_neighbors, cap=cfg.neighbor_cap,
-        include_self=False, query_index=qidx, chunk=cfg.query_chunk,
-    )
-    counts = jnp.sum(imask, axis=1).astype(jnp.int32) + 1
-    sal, ok = _iss_saliency(xyz, valid, iidx, imask, counts)
-    return _nms(sal, ok, iidx, imask)
-
-
 @partial(jax.jit, static_argnames=("cfg",))
 def _side_stage(xyz, valid, normal_cell, iss_radius, cfg: FlagshipConfig, viewpoint=None):
     qidx = jnp.arange(xyz.shape[0], dtype=jnp.int32)
@@ -422,14 +409,14 @@ def register_pair_staged(
             )
 
             normal, _curv, density, _eig, _ok = surface_cells(
-                xyz, valid, normal_cell, vp, C=cfg.cell_cap
+                xyz, valid, normal_cell, vp
             )
             if cfg.use_iss:
                 from lidar_global_registration_tpu.ops.pallas.cellgrid import (
                     iss_cells,
                 )
 
-                kp, _sal = iss_cells(xyz, valid, iss_radius, C=cfg.cell_cap)
+                kp, _sal = iss_cells(xyz, valid, iss_radius)
             else:
                 kp = valid
             return normal, kp, density
@@ -446,7 +433,7 @@ def register_pair_staged(
             # (ops/pallas/cellgrid.py)
             from lidar_global_registration_tpu.ops.pallas.cellgrid import fpfh_cells
 
-            feat, fv = fpfh_cells(xyz, normal, valid, feature_radius, C=cfg.cell_cap)
+            feat, fv = fpfh_cells(xyz, normal, valid, feature_radius)
             return feat, fv & kp_mask
           except ValueError as e:
             print(f"# cell FPFH -> XLA fallback: {e}", flush=True)
@@ -514,18 +501,25 @@ def register_pair_staged(
                 _cluster_distances,
             )
 
-            kc = min(cfg.cluster_k + 1, int(mq), int(mt))
-            ksq, kst = src_xyz[sq_g], tgt_xyz[st_g]
+            # kc includes the self match (column 0), like the pyramid's
+            # _kps_knn (include_self=True) and PCL's nearestKSearch
+            kc = max(2, min(cfg.cluster_k, n_q, n_t))
+            # center per side before the matmul-kNN: |q|^2+|t|^2-2q.t in
+            # f32 loses the inter-keypoint geometry for georeferenced
+            # coordinates far from the origin
+            ksq = src_xyz[sq_g]
+            kst = tgt_xyz[st_g]
+            ksq = ksq - jnp.mean(jnp.where(qv[:, None], ksq, 0.0), axis=0) / jnp.maximum(jnp.mean(qv.astype(jnp.float32)), 1e-9)
+            kst = kst - jnp.mean(jnp.where(tv[:, None], kst, 0.0), axis=0) / jnp.maximum(jnp.mean(tv.astype(jnp.float32)), 1e-9)
             kq_idx, kq_d, kq_m = matchers.match_bf(ksq, ksq, qv, qv, k=kc)
             kt_idx, kt_d, kt_m = matchers.match_bf(kst, kst, tv, tv, k=kc)
-            # column 0 is the self match (distance 0)
             d_i = _cluster_distances(
                 ic_st[:, 0], mc_st[:, 0],
-                kq_idx[:, 1:], kq_m[:, 1:], kt_idx[:, 1:], kt_m[:, 1:],
+                kq_idx, kq_m, kt_idx, kt_m,
             )
             d_j = _cluster_distances(
                 ic_ts[:, 0], mc_ts[:, 0],
-                kt_idx[:, 1:], kt_m[:, 1:], kq_idx[:, 1:], kq_m[:, 1:],
+                kt_idx, kt_m, kq_idx, kq_m,
             )
             thr_c = jnp.float32(cfg.cluster_threshold)
             keep_q = (d_i < thr_c) & (d_j[ic_st[:, 0]] < thr_c)
@@ -582,6 +576,8 @@ def _front_stage(
     normal_cell, density_cell_src, density_cell_tgt,
     iss_radius_src, iss_radius_tgt, feature_radius, distance_thr,
     cfg: FlagshipConfig,
+    vp_src=None,
+    vp_tgt=None,
 ):
     """Everything up to correspondences as ONE program (normals, ISS, FPFH,
     matching, thresholds).  Two-program execution (front + RANSAC) minimizes
@@ -591,10 +587,10 @@ def _front_stage(
     from lidar_global_registration_tpu.ops.fpfh import fpfh as fpfh_full
 
     src_normal, src_kp, dens_s = _side_stage.__wrapped__(
-        src_xyz, src_valid, normal_cell, iss_radius_src, cfg
+        src_xyz, src_valid, normal_cell, iss_radius_src, cfg, vp_src
     )
     tgt_normal, tgt_kp, dens_t = _side_stage.__wrapped__(
-        tgt_xyz, tgt_valid, normal_cell, iss_radius_tgt, cfg
+        tgt_xyz, tgt_valid, normal_cell, iss_radius_tgt, cfg, vp_tgt
     )
     fq, fq_valid = fpfh_full(
         src_xyz, src_valid & src_kp, src_xyz, src_normal, src_valid, feature_radius,
@@ -622,6 +618,8 @@ def register_pair_two_stage(
     src_xyz, src_valid, tgt_xyz, tgt_valid, key,
     normal_cell, density_cell_src, density_cell_tgt,
     iss_radius_src, iss_radius_tgt, feature_radius, distance_thr,
+    vp_src=None,
+    vp_tgt=None,
     cfg: FlagshipConfig = FlagshipConfig(),
 ):
     """Two-program variant: front (features+matching) then RANSAC."""
@@ -629,5 +627,6 @@ def register_pair_two_stage(
         src_xyz, src_valid, tgt_xyz, tgt_valid,
         normal_cell, density_cell_src, density_cell_tgt,
         iss_radius_src, iss_radius_tgt, feature_radius, distance_thr, cfg,
+        vp_src, vp_tgt,
     )
     return _ransac_stage(src_xyz, tgt_xyz[j], thr, mutual, key, cfg)

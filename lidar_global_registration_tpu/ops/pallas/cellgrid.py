@@ -128,22 +128,31 @@ def _grid_stats(xyz, valid, cell_size, factors=(1,)):
     return out
 
 
-def prep_cell_columns(xyz, normal, valid, cell_size, C: int, R_pad: int):
+def prep_cell_columns(xyz, normal, valid, fine_cell, m: int, C: int, R_pad: int):
     """Sort by cell key; build the per-cell 9-column run table.
 
-    Returns (packed f32[N+3C, 128], order i32[N], rank i32[N], pos i32[N],
-    vs bool[N], tab i32[R_pad, TAB_LANES], n_rows i32[]).  tab row r: for
-    each of the 9 (dx, dy) stencil columns, the sorted-point offset and
-    length of the contiguous (z-1, z, z+1) cell run union, plus the row's
-    own run (start, len)."""
+    The grid cell is `m * fine_cell` but ids are computed as the FINE ids
+    integer-divided by m — the exact partition _grid_stats measured (same
+    fine origin), so R_pad and the C bucket describe the grid that is
+    actually built.  Returns (packed f32[N+3C, 128], order i32[N],
+    rank i32[N], pos i32[N], vs bool[N], tab i32[R_pad, TAB_LANES],
+    n_rows i32[]).  tab row r: for each of the 9 (dx, dy) stencil columns,
+    the sorted-point offset and length of the contiguous (z-1, z, z+1)
+    cell run union, plus the row's own run (start, len)."""
     N = xyz.shape[0]
-    cell_size = jnp.asarray(cell_size, jnp.float32)
+    fine_cell = jnp.asarray(fine_cell, jnp.float32)
     big = jnp.float32(3.0e37)
     masked = jnp.where(valid[:, None], xyz, big)
     origin = jnp.min(masked, axis=0)
-    origin = jnp.where(jnp.isfinite(origin), origin, 0.0) - 0.5 * cell_size
-    inv = 1.0 / jnp.maximum(cell_size, 1e-30)
-    keys, _ = _lex_keys(xyz, valid, origin, inv)
+    origin = jnp.where(jnp.isfinite(origin), origin, 0.0) - 0.5 * fine_cell
+    inv = 1.0 / jnp.maximum(fine_cell, 1e-30)
+    fkeys, fcs = _lex_keys(xyz, valid, origin, inv)
+    if m == 1:
+        keys = fkeys
+    else:
+        cs = [c // m for c in fcs]
+        keys = (cs[0] << 20) | (cs[1] << 10) | cs[2]
+        keys = jnp.where(fkeys < _BIG_KEY, keys, _BIG_KEY)
 
     ks, xs, ys, zs, nxs, nys, nzs, order = jax.lax.sort(
         (keys, xyz[:, 0], xyz[:, 1], xyz[:, 2],
@@ -378,15 +387,19 @@ def _surface_kernel(meta_ref, tab_ref, packed_ref, out_ref, cand, qblk, tabs, cs
             ok = (d2 <= r2) & (jc < clen) & (cc[:, 7:8] > 0.5) & qvalid
             okf = ok.astype(jnp.float32)
             s1 += jnp.sum(okf, axis=0, keepdims=True)
-            sx += jnp.sum(jnp.where(ok, cx, 0.0), axis=0, keepdims=True)
-            sy += jnp.sum(jnp.where(ok, cy, 0.0), axis=0, keepdims=True)
-            sz += jnp.sum(jnp.where(ok, cz, 0.0), axis=0, keepdims=True)
-            sxx += jnp.sum(jnp.where(ok, cx * cx, 0.0), axis=0, keepdims=True)
-            sxy += jnp.sum(jnp.where(ok, cx * cy, 0.0), axis=0, keepdims=True)
-            sxz += jnp.sum(jnp.where(ok, cx * cz, 0.0), axis=0, keepdims=True)
-            syy += jnp.sum(jnp.where(ok, cy * cy, 0.0), axis=0, keepdims=True)
-            syz += jnp.sum(jnp.where(ok, cy * cz, 0.0), axis=0, keepdims=True)
-            szz += jnp.sum(jnp.where(ok, cz * cz, 0.0), axis=0, keepdims=True)
+            # moments of (c - q), NOT of raw world coordinates: covariance is
+            # shift-invariant and the query-centered deltas are radius-scale,
+            # so E[d d^T] - mean mean^T stays f32-exact even for clouds
+            # georeferenced thousands of meters from the origin
+            sx += jnp.sum(jnp.where(ok, dx, 0.0), axis=0, keepdims=True)
+            sy += jnp.sum(jnp.where(ok, dy, 0.0), axis=0, keepdims=True)
+            sz += jnp.sum(jnp.where(ok, dz, 0.0), axis=0, keepdims=True)
+            sxx += jnp.sum(jnp.where(ok, dx * dx, 0.0), axis=0, keepdims=True)
+            sxy += jnp.sum(jnp.where(ok, dx * dy, 0.0), axis=0, keepdims=True)
+            sxz += jnp.sum(jnp.where(ok, dx * dz, 0.0), axis=0, keepdims=True)
+            syy += jnp.sum(jnp.where(ok, dy * dy, 0.0), axis=0, keepdims=True)
+            syz += jnp.sum(jnp.where(ok, dy * dz, 0.0), axis=0, keepdims=True)
+            szz += jnp.sum(jnp.where(ok, dz * dz, 0.0), axis=0, keepdims=True)
             dpos = jnp.where(ok & (d2 > 1e-24), d2, BIG)
             tmin = jnp.min(dpos, axis=0, keepdims=True)
             targ = jnp.min(
@@ -766,8 +779,8 @@ def _run_pass(kernel, meta, tab, packed, R_pad, C, n_out_ch, interpret, extra_sc
         num_scalar_prefetch=1,
         grid=(R_pad,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, n_out_ch, C), lambda r, *_: (r, 0, 0), memory_space=pltpu.VMEM
@@ -817,19 +830,18 @@ def _sizes(xyz, valid, radius, grow_cell: bool = True, exact: bool = False):
         for row in _grid_stats(xyz, valid, radius, factors=factors)
     ]
     n_rows, maxocc, q50, q999 = all_stats[0]
-    cell = float(np.asarray(radius))
+    m = 1
     if grow_cell and q50 > 0:
         import math
 
         m = int(min(4, max(1, round(math.sqrt(OCC_TARGET / max(q50, 1))))))
         if m > 1:
-            cell = m * cell
             n_rows, maxocc, q50, q999 = all_stats[factors.index(m)]
     R_pad = max(512, _round_up(max(n_rows, 1), 512))
     R_pad = min(R_pad, xyz.shape[0] + 1)
     target = maxocc if exact else min(max(q999, 1), maxocc)
     C = next((b for b in C_BUCKETS if b >= target), None)
-    return R_pad, C, cell
+    return R_pad, C, m
 
 
 def _slot_gather(out_ch, rank, pos, vs, order, R_pad, C):
@@ -839,10 +851,10 @@ def _slot_gather(out_ch, rank, pos, vs, order, R_pad, C):
     return vals_sorted, kept
 
 
-@functools.partial(jax.jit, static_argnames=("C", "R_pad", "interpret"))
-def _surface_impl(xyz, valid, radius, cell, C, R_pad, interpret):
+@functools.partial(jax.jit, static_argnames=("m", "C", "R_pad", "interpret"))
+def _surface_impl(xyz, valid, radius, m, C, R_pad, interpret):
     packed, order, rank, pos, vs, tab, n_rows = prep_cell_columns(
-        xyz, jnp.zeros_like(xyz), valid, cell, C, R_pad
+        xyz, jnp.zeros_like(xyz), valid, radius, m, C, R_pad
     )
     meta = jnp.stack([radius * radius, jnp.minimum(n_rows, R_pad).astype(jnp.float32)])
     out = _run_pass(_surface_kernel, meta, tab, packed, R_pad, C, N_CH_SURF, interpret)
@@ -854,21 +866,21 @@ def _surface_impl(xyz, valid, radius, cell, C, R_pad, interpret):
     return chans
 
 
-def surface_cells(xyz, valid, radius, viewpoint=None, C: int = 128, interpret=None,
+def surface_cells(xyz, valid, radius, viewpoint=None, interpret=None,
                   exact: bool = False):
     """Self-join surface pass: (normal oriented to viewpoint, curvature,
     k=2-smoothed density, eigvals ascending [N,3], ok)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     radius = jnp.asarray(radius, jnp.float32)
-    R_pad, Cb, cell = _sizes(xyz, valid, radius, exact=exact)
+    R_pad, Cb, m = _sizes(xyz, valid, radius, exact=exact)
     if Cb is None:
         raise ValueError(
             f"cell occupancy exceeds the {C_BUCKETS[-1]} kernel cap; "
             "use the XLA path for this cloud"
         )
     nx, ny, nz, curv, l0, l1, l2, cnt, dmin, nnid_f = _surface_impl(
-        xyz, valid, radius, jnp.float32(cell), Cb, R_pad, interpret
+        xyz, valid, radius, m, Cb, R_pad, interpret
     )
     normal = jnp.stack([nx, ny, nz], axis=1)
     eigvals = jnp.stack([l0, l1, l2], axis=1)
@@ -894,12 +906,12 @@ def surface_cells(xyz, valid, radius, viewpoint=None, C: int = 128, interpret=No
 
 
 @functools.partial(
-    jax.jit, static_argnames=("C", "R_pad", "interpret", "min_neighbors")
+    jax.jit, static_argnames=("m", "C", "R_pad", "interpret", "min_neighbors")
 )
-def _iss_impl(xyz, valid, radius, cell, gamma21, gamma32, C, R_pad, interpret, min_neighbors):
+def _iss_impl(xyz, valid, radius, m, gamma21, gamma32, C, R_pad, interpret, min_neighbors):
     N = xyz.shape[0]
     packed, order, rank, pos, vs, tab, n_rows = prep_cell_columns(
-        xyz, jnp.zeros_like(xyz), valid, cell, C, R_pad
+        xyz, jnp.zeros_like(xyz), valid, radius, m, C, R_pad
     )
     meta = jnp.stack(
         [
@@ -934,7 +946,6 @@ def iss_cells(
     gamma21: float = 0.975,
     gamma32: float = 0.975,
     min_neighbors: int = 4,
-    C: int = 128,
     interpret=None,
     exact: bool = False,
 ):
@@ -942,23 +953,23 @@ def iss_cells(
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     radius = jnp.asarray(iss_radius, jnp.float32)
-    R_pad, Cb, cell = _sizes(xyz, valid, radius, exact=exact)
+    R_pad, Cb, m = _sizes(xyz, valid, radius, exact=exact)
     if Cb is None:
         raise ValueError(
             f"cell occupancy exceeds the {C_BUCKETS[-1]} kernel cap; "
             "use the XLA path for this cloud"
         )
     return _iss_impl(
-        xyz, valid, radius, jnp.float32(cell), gamma21, gamma32, Cb, R_pad,
+        xyz, valid, radius, m, gamma21, gamma32, Cb, R_pad,
         interpret, min_neighbors,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("C", "R_pad", "interpret"))
-def _fpfh_impl(xyz, normal, valid, radius, cell, C, R_pad, interpret):
+@functools.partial(jax.jit, static_argnames=("m", "C", "R_pad", "interpret"))
+def _fpfh_impl(xyz, normal, valid, radius, m, C, R_pad, interpret):
     N = xyz.shape[0]
     packed, order, rank, pos, vs, tab, n_rows = prep_cell_columns(
-        xyz, normal, valid, cell, C, R_pad
+        xyz, normal, valid, radius, m, C, R_pad
     )
     meta = jnp.stack([radius * radius, jnp.minimum(n_rows, R_pad).astype(jnp.float32)])
     spfh = _run_pass(
@@ -986,16 +997,16 @@ def _fpfh_impl(xyz, normal, valid, radius, cell, C, R_pad, interpret):
     return feat, feat_valid
 
 
-def fpfh_cells(xyz, normal, valid, radius, C: int = 128, interpret=None,
+def fpfh_cells(xyz, normal, valid, radius, interpret=None,
                exact: bool = False):
     """Self-join FPFH: (feat f32[N,33], feat_valid bool[N])."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     radius = jnp.asarray(radius, jnp.float32)
-    R_pad, Cb, cell = _sizes(xyz, valid, radius, exact=exact)
+    R_pad, Cb, m = _sizes(xyz, valid, radius, exact=exact)
     if Cb is None:
         raise ValueError(
             f"cell occupancy exceeds the {C_BUCKETS[-1]} kernel cap; "
             "use the XLA path for this cloud"
         )
-    return _fpfh_impl(xyz, normal, valid, radius, jnp.float32(cell), Cb, R_pad, interpret)
+    return _fpfh_impl(xyz, normal, valid, radius, m, Cb, R_pad, interpret)

@@ -55,7 +55,7 @@ def test_cell_fpfh_matches_xla_fpfh(rng, n_pad_extra):
         xyz, valid, xyz, normal, valid, radius,
         kp_normal=normal, k_neighbors=256, cap=128,
     )
-    feat_cell, fv_cell = fpfh_cells(xyz, normal, valid, radius, C=128, interpret=True, exact=True)
+    feat_cell, fv_cell = fpfh_cells(xyz, normal, valid, radius, interpret=True, exact=True)
 
     fv_ref = np.asarray(fv_ref)
     fv_cell = np.asarray(fv_cell)
@@ -81,7 +81,7 @@ def test_cell_fpfh_handles_invalid_tail(rng):
     valid = jnp.arange(pad) < N
     radius = jnp.float32(1.1)
     normal = _normals(xyz, valid, radius)
-    feat, fv = fpfh_cells(xyz, normal, valid, radius, C=128, interpret=True, exact=True)
+    feat, fv = fpfh_cells(xyz, normal, valid, radius, interpret=True, exact=True)
     fv = np.asarray(fv)
     assert not fv[N:].any()
     assert np.all(np.asarray(feat)[~fv] == 0.0)

@@ -53,7 +53,7 @@ def test_cell_iss_matches_xla(rng):
     kp_ref, sal_ref = iss_keypoints(
         cloud, radius, cap_per_cell=128, k_neighbors=128
     )
-    kp_c, sal_c = iss_cells(xyz, valid, radius, C=128, interpret=True, exact=True)
+    kp_c, sal_c = iss_cells(xyz, valid, radius, interpret=True, exact=True)
 
     kp_ref = np.asarray(kp_ref) & np.asarray(valid)
     kp_c = np.asarray(kp_c)

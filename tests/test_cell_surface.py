@@ -58,3 +58,34 @@ def test_cell_surface_matches_xla_side(rng):
     # padding rows are inert
     assert not ok_c_np[N:].any()
     assert np.all(np.asarray(d_c)[N:] == 0.0)
+
+
+def test_cell_surface_georeferenced_offset(rng):
+    """Clouds georeferenced far from the origin (UTM-style coordinates)
+    must produce the same normals as the same cloud at the origin: the
+    kernel accumulates query-centered moments, so E[dd^T] - mean mean^T
+    never cancels catastrophically in f32."""
+    N, pad = 1200, 1280
+    xyz_np = _bump_cloud(N, rng)
+    offset = np.array([20000.0, -35000.0, 1500.0], np.float32)
+    base = jnp.zeros((pad, 3), jnp.float32).at[:N].set(jnp.asarray(xyz_np))
+    moved = jnp.zeros((pad, 3), jnp.float32).at[:N].set(
+        jnp.asarray(xyz_np + offset)
+    )
+    valid = jnp.arange(pad) < N
+    cell = jnp.float32(0.55)
+    vp0 = jnp.asarray(np.array([6.0, 6.0, 50.0], np.float32))
+    vp1 = jnp.asarray(np.array([6.0, 6.0, 50.0], np.float32) + offset)
+
+    n0, _c0, d0, _e0, ok0 = surface_cells(base, valid, cell, vp0, interpret=True,
+                                          exact=True)
+    n1, _c1, d1, _e1, ok1 = surface_cells(moved, valid, cell, vp1, interpret=True,
+                                          exact=True)
+    both = np.asarray(ok0) & np.asarray(ok1)
+    assert both.sum() > 0.9 * N
+    dots = np.sum(np.asarray(n0)[both] * np.asarray(n1)[both], axis=1)
+    # the offset cloud quantizes positions at f32 ulp(2e4) ~ 2mm, a real
+    # perturbation of the data itself; demand agreement far beyond what a
+    # cancelling covariance could deliver (which was ~random normals)
+    assert np.median(dots) > 0.9999, np.median(dots)
+    assert (dots > 0.99).mean() > 0.97, (dots > 0.99).mean()
