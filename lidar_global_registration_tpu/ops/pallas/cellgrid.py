@@ -124,8 +124,12 @@ def _grid_stats(xyz, valid, cell_size, factors=(1,)):
         occ_sorted = jnp.sort(occ_f)  # invalid (-1) first
         q50 = occ_sorted[pad + n_valid // 2]
         q999 = occ_sorted[pad + (n_valid * 999) // 1000]
-        out.append((n_rows, maxocc, q50, q999))
-    return out
+        out.append(
+            jnp.stack([n_rows.astype(jnp.float32), maxocc.astype(jnp.float32), q50, q999])
+        )
+    # ONE stacked array -> ONE host pull in _sizes (each pull is a full
+    # round-trip on tunneled runtimes; 16 scalar pulls cost ~0.5 s)
+    return jnp.stack(out)
 
 
 def prep_cell_columns(xyz, normal, valid, fine_cell, m: int, C: int, R_pad: int):
@@ -807,7 +811,7 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
-OCC_TARGET = 32  # grow the cell until the median point's cell holds ~this
+OCC_TARGET = 48  # grow the cell until the median point's cell holds ~this
 
 
 def _sizes(xyz, valid, radius, grow_cell: bool = True, exact: bool = False):
@@ -825,10 +829,9 @@ def _sizes(xyz, valid, radius, grow_cell: bool = True, exact: bool = False):
     if exact:
         grow_cell = False
     factors = (1, 2, 3, 4) if grow_cell else (1,)
-    all_stats = [
-        [int(np.asarray(v)) for v in row]
-        for row in _grid_stats(xyz, valid, radius, factors=factors)
-    ]
+    all_stats = np.asarray(
+        _grid_stats(xyz, valid, radius, factors=factors)
+    ).astype(np.int64).tolist()
     n_rows, maxocc, q50, q999 = all_stats[0]
     m = 1
     if grow_cell and q50 > 0:
