@@ -72,6 +72,16 @@ def run_step(n: int, repeats: int) -> float:
         a, b, vp_a, vp_b = _synthetic_scene_pair_device(n)
         area = 30.0 * 30.0 + 250.0  # ground + box faces (approx)
         spacing = float(np.sqrt(area / n))
+        # radii track STRUCTURE scale once sampling outresolves it: keypoint
+        # saliency and descriptor support live on ~0.25-0.5 m features (box
+        # edges, mound caps), so shrinking radii with point spacing past
+        # that floor degenerates the keypoint set to repetitive box edges
+        radii = dict(
+            normal_cell=max(4.0 * spacing, 0.12),
+            iss=max(3.0 * spacing, 0.25),
+            feature=max(8.0 * spacing, 0.5),
+            thr=max(4.0 * spacing, 0.2),
+        )
     else:
         # keypoint=any (reference `keypoint: any` mode, like its corner e2e
         # fixture): dense descriptor matching dominates, and the synthetic
@@ -88,24 +98,31 @@ def run_step(n: int, repeats: int) -> float:
         vp_a = np.array([15.0, 15.0, 120.0], np.float32)
         vp_b = Rb.T @ (vp_a - tb)
     cfg = FlagshipConfig(
-        rounds=8,
+        # ISS mode keeps the reference's 1e6-ish sampling headroom (the
+        # on-device adaptive loop exits early once a pose is found)
+        rounds=64 if use_iss else 8,
         hypothesis_batch=1024,
         use_iss=use_iss,
         match_tile=4096,
     )
+    if not use_iss:
+        radii = dict(
+            normal_cell=spacing * 4.0, iss=spacing * 3.0,
+            feature=spacing * 8.0, thr=spacing * 4.0,
+        )
     args = (
         jnp.asarray(a),
         jnp.ones((n,), bool),
         jnp.asarray(b),
         jnp.ones((n,), bool),
         jax.random.PRNGKey(566),
-        jnp.float32(spacing * 4.0),
+        jnp.float32(radii["normal_cell"]),
         jnp.float32(spacing * 2.0),
         jnp.float32(spacing * 2.0),
-        jnp.float32(spacing * 3.0),
-        jnp.float32(spacing * 3.0),
-        jnp.float32(spacing * 8.0),
-        jnp.float32(spacing * 4.0),
+        jnp.float32(radii["iss"]),
+        jnp.float32(radii["iss"]),
+        jnp.float32(radii["feature"]),
+        jnp.float32(radii["thr"]),
     )
     kwargs = dict(vp_src=jnp.asarray(vp_a), vp_tgt=jnp.asarray(vp_b))
     out = register_pair_staged(*args, cfg=cfg, **kwargs)

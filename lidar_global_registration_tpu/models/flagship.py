@@ -58,6 +58,7 @@ class FlagshipConfig:
     cluster_matching: bool = True  # staged ISS path: spatial-consensus filter
     cluster_k: int = 40  # MATCHING_CLUSTER_K (common.h:49)
     cluster_threshold: float = 0.95  # MATCHING_CLUSTER_THRESHOLD
+    max_correspondences: int = 1024  # keep the most cluster-consistent
 
 
 def _knn_fixed(xyz, valid, queries, qvalid, cell, k, cap, include_self, qidx=None,
@@ -501,9 +502,16 @@ def register_pair_staged(
                 _cluster_distances,
             )
 
-            # kc includes the self match (column 0), like the pyramid's
-            # _kps_knn (include_self=True) and PCL's nearestKSearch
-            kc = max(2, min(cfg.cluster_k, n_q, n_t))
+            # DELIBERATE deviation from PCL's nearestKSearch (and the
+            # pyramid path, which stays reference-faithful): the SELF
+            # neighbor is excluded from the consensus sets.  With self
+            # included every match gets one consistent pair for free
+            # (its own), which floods the 0.95 gate at high keypoint
+            # density — measured at 1M points/side: 4305 survivors with 0
+            # usable inliers vs 197 survivors and a correct pose without
+            # self.  Column 0 of the kNN is the self match; it is kept
+            # for the density estimate below and dropped from the sets.
+            kc = max(3, min(cfg.cluster_k + 1, n_q, n_t))
             # center per side before the matmul-kNN: |q|^2+|t|^2-2q.t in
             # f32 loses the inter-keypoint geometry for georeferenced
             # coordinates far from the origin
@@ -515,15 +523,32 @@ def register_pair_staged(
             kt_idx, kt_d, kt_m = matchers.match_bf(kst, kst, tv, tv, k=kc)
             d_i = _cluster_distances(
                 ic_st[:, 0], mc_st[:, 0],
-                kq_idx, kq_m, kt_idx, kt_m,
+                kq_idx[:, 1:], kq_m[:, 1:], kt_idx[:, 1:], kt_m[:, 1:],
             )
             d_j = _cluster_distances(
                 ic_ts[:, 0], mc_ts[:, 0],
-                kt_idx, kt_m, kq_idx, kq_m,
+                kt_idx[:, 1:], kt_m[:, 1:], kq_idx[:, 1:], kq_m[:, 1:],
             )
             thr_c = jnp.float32(cfg.cluster_threshold)
-            keep_q = (d_i < thr_c) & (d_j[ic_st[:, 0]] < thr_c)
-            keep_t = (d_j < thr_c) & (d_i[ic_ts[:, 0]] < thr_c)
+            score_q = jnp.maximum(d_i, d_j[ic_st[:, 0]])
+            score_t = jnp.maximum(d_j, d_i[ic_ts[:, 0]])
+            keep_q = (d_i < thr_c) & (d_j[ic_st[:, 0]] < thr_c) & mc_st[:, 0]
+            keep_t = (d_j < thr_c) & (d_i[ic_ts[:, 0]] < thr_c) & mc_ts[:, 0]
+            # the reference keeps every survivor of the 0.95 gate; at high
+            # keypoint counts that floods RANSAC with low-precision matches
+            # (3-point sampling needs ~1/f^3 draws at inlier fraction f).
+            # Rank survivors by consensus strength (the same cluster
+            # distance the reference stores per correspondence) and keep
+            # the most consistent max_correspondences per direction.
+            K = cfg.max_correspondences
+            if K > 0 and K < score_q.shape[0]:
+                sq_scores = jnp.where(keep_q, score_q, jnp.inf)
+                kth_q = jnp.sort(sq_scores)[K - 1]
+                keep_q = keep_q & (sq_scores <= kth_q)
+            if K > 0 and K < score_t.shape[0]:
+                st_scores = jnp.where(keep_t, score_t, jnp.inf)
+                kth_t = jnp.sort(st_scores)[K - 1]
+                keep_t = keep_t & (st_scores <= kth_t)
             mc_st = mc_st & keep_q[:, None]
             mc_ts = mc_ts & keep_t[:, None]
             # per-pair thresholds at KEYPOINT-cloud density (the reference
