@@ -72,15 +72,11 @@ def run_step(n: int, repeats: int) -> float:
         a, b, vp_a, vp_b = _synthetic_scene_pair_device(n)
         area = 30.0 * 30.0 + 250.0  # ground + box faces (approx)
         spacing = float(np.sqrt(area / n))
-        # radii track STRUCTURE scale once sampling outresolves it: keypoint
-        # saliency and descriptor support live on ~0.25-0.5 m features (box
-        # edges, mound caps), so shrinking radii with point spacing past
-        # that floor degenerates the keypoint set to repetitive box edges
         radii = dict(
-            normal_cell=max(4.0 * spacing, 0.12),
-            iss=max(3.0 * spacing, 0.25),
-            feature=max(8.0 * spacing, 0.5),
-            thr=max(4.0 * spacing, 0.2),
+            normal_cell=4.0 * spacing,
+            iss=3.0 * spacing,
+            feature=8.0 * spacing,
+            thr=4.0 * spacing,
         )
     else:
         # keypoint=any (reference `keypoint: any` mode, like its corner e2e
