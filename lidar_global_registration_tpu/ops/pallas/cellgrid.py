@@ -2,20 +2,33 @@
 
 The neighbor machinery for every self-join op in the pipeline:
 
-  prep (XLA):  sort points by a 30-bit lexicographic cell key (cell size =
-      search radius, so the 27-stencil is envelope-complete).  Because z is
-      the fastest-varying key component, the three cells (x', y', z-1..z+1)
-      of a stencil COLUMN occupy one contiguous run of the sorted order —
-      each cell needs only 9 column DMAs plus its own run, not 27 cell DMAs
-      (DMA issue overhead measured ~60us/cell at 27 descriptors dominated
-      the round-1 kernels).  The candidate block height is bucketed to the
-      actual max cell occupancy (32/64/96/128) instead of a fixed 128, so
-      sparse grids stop paying 8x the DMA traffic.
-  kernels:     one grid step per occupied cell; every per-point input AND
-      intermediate rides in the 128 lanes of the packed array (xyz, normal,
-      id, valid, plus pass-written channels: ISS counts/saliency, SPFH
-      histograms), so multi-pass ops chain by scattering results back into
-      packed lanes between passes — no side streams.
+  plan (XLA, ONE 8-operand sort per grid):  sort points by a lexicographic
+      cell key (cell size >= search radius, so the 27-stencil is
+      envelope-complete).  Occupancy statistics ride ON the same sorted
+      order the kernels consume — exact run lengths, column (z-union)
+      occupancies and per-bucket drop counts come out of the one sort, so
+      the block sizes the host picks describe the grid that is actually
+      built.  (Round-2 computed coarse-factor stats from the FINE-sorted
+      key array; lexicographic order is NOT preserved under per-axis //m,
+      so coarse cells fragmented into up to m^2 runs and the stats
+      underestimated occupancy — the advisor-flagged bug.  The fix is
+      structural: stats are now derived from the coarse-sorted order
+      itself, and the quantile guesswork is replaced by exact drop
+      accounting per candidate block size.)
+  key bits:    allocated per axis from the measured AABB (ceil log2 of the
+      cell count), so large scans are not clipped at 1024 cells/axis; the
+      host refuses grids needing more than 30 total bits (invalid-key
+      sentinel occupies bit 30) and the callers fall back to the XLA path.
+  kernels:     G cells per grid step; the per-cell candidate columns are
+      DMA'd in 128-row chunks sized to the ACTUAL column occupancy and
+      double-buffered across cells (issue cell g+1's copies before waiting
+      on cell g's), so DMA latency hides behind compute; the compute folds
+      are chunk-adaptive too — near-empty stencil columns cost one
+      [128, C] VPU pass instead of a full worst-case block.
+      Every per-point input AND intermediate rides in the 128 lanes of the
+      packed array (xyz, normal, id, valid, plus pass-written channels:
+      ISS counts/saliency, SPFH histograms), so multi-pass ops chain by
+      scattering results back into packed lanes between passes.
 
 Passes:
   surface_cells: PCA normal + curvature + smoothed density + eigenvalues
@@ -23,14 +36,19 @@ Passes:
       calculateSmoothedDensities, common.cpp:531-547).
   iss_cells:     counts -> weighted scatter saliency -> NMS
       (pcl::ISSKeypoint3D, common.cpp:657-691).
+  surface_iss_cells: both of the above sharing ONE sorted grid (cell =
+      max of the two radii; each pass masks its own radius) — one sort
+      and one column table instead of two.
   fpfh_cells:    SPFH -> 1/d^2-weighted combine
       (pcl::FPFHEstimationOMP, include/common.h:322-332).
 
-Parity tests: tests/test_cell_surface.py, test_cell_iss.py, test_cell_fpfh.py.
+Parity tests: tests/test_cell_surface.py, test_cell_iss.py, test_cell_fpfh.py
+(exact=True) and the non-exact m>1 grid-stats parity in test_cell_stats.py.
 """
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -40,12 +58,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 NR_BINS = 11
 DIM = 33
-_COORD_CLIP = 1023  # 10 bits per axis -> 30-bit unique lexicographic key
 PAD = 3.0e18
 BIG = 3.0e38
 _BIG_KEY = np.int32(1 << 30)
 TAB_LANES = 128  # col_start @0:9, col_len @16:25, own @32/33; 128-lane DMA tile
-C_BUCKETS = (32, 64, 96, 128, 192, 256)
+C_BUCKETS = (32, 64, 96, 128, 192, 256, 384, 512)
+CC_BUCKETS = (128, 256, 384, 512, 768)
+CHUNK = 128  # candidate DMA/compute granularity (sublane rows)
+G_CELLS = 8  # cells per grid step (tab rows per auto-pipelined SMEM block)
 
 # packed lane assignments
 CH_ORDER = 6
@@ -79,85 +99,114 @@ def _acos_poly(r):
     return _atan2_poly(jnp.sqrt(jnp.maximum(1.0 - r * r, 0.0)), r)
 
 
-def _lex_keys(xyz, valid, origin, inv_cell):
+# ---------------------------------------------------------------------------
+# grid frame + keys (dynamic per-axis bit allocation)
+# ---------------------------------------------------------------------------
+def _grid_frame(xyz, valid, cell):
+    """(origin f32[3], inv f32, bits (bx, by, bz) i32 scalars).
+
+    Per-axis key widths are ceil(log2(cells along that axis)) measured from
+    the AABB, so flat scans spend their bits on x/y instead of clipping at
+    a fixed 10 bits per axis (round-2 behavior, which broke past 1024
+    cells/axis — a 10M-point scan at ISS radius needs ~2^11 x/y cells)."""
+    big = jnp.float32(3.0e37)
+    lo = jnp.min(jnp.where(valid[:, None], xyz, big), axis=0)
+    hi = jnp.max(jnp.where(valid[:, None], xyz, -big), axis=0)
+    ok = (lo <= hi) & jnp.isfinite(lo) & jnp.isfinite(hi)
+    lo = jnp.where(ok, lo, 0.0)
+    hi = jnp.where(ok, hi, 0.0)
+    origin = lo - 0.5 * cell
+    inv = 1.0 / jnp.maximum(cell, 1e-30)
+    n = jnp.floor((hi - origin) * inv).astype(jnp.int32) + 1
+
+    def nbits(v):
+        k = jnp.arange(15, dtype=jnp.int32)
+        return jnp.sum((v > (1 << k)).astype(jnp.int32))
+
+    return origin, inv, (nbits(n[0]), nbits(n[1]), nbits(n[2]))
+
+
+def _lex_keys(xyz, valid, origin, inv, bits):
+    bx, by, bz = bits
+    clips = [(1 << b) - 1 for b in bits]
     cs = []
     for d in range(3):
-        c = jnp.floor((xyz[:, d] - origin[d]) * inv_cell)
-        cs.append(jnp.clip(c, 0, _COORD_CLIP).astype(jnp.int32))
-    key = (cs[0] << 20) | (cs[1] << 10) | cs[2]
-    return jnp.where(valid, key, _BIG_KEY), cs
+        c = jnp.floor((xyz[:, d] - origin[d]) * inv)
+        cs.append(jnp.clip(c, 0, clips[d]).astype(jnp.int32))
+    key = (cs[0] << (by + bz)) | (cs[1] << bz) | cs[2]
+    return jnp.where(valid, key, _BIG_KEY), cs, clips
 
 
-@functools.partial(jax.jit, static_argnames=("factors",))
-def _grid_stats(xyz, valid, cell_size, factors=(1,)):
-    """Per cell-size-multiple m in `factors`: (occupied cells, max occupancy,
-    median point occupancy, p99.9 point occupancy).  ONE sort serves every
-    factor: coarse cell ids floor(c/m) are per-axis monotone in the fine
-    ids, so the fine-sorted key array is already sorted for every integer
-    multiple of the cell."""
-    big = jnp.float32(3.0e37)
-    masked = jnp.where(valid[:, None], xyz, big)
-    origin = jnp.min(masked, axis=0)
-    origin = jnp.where(jnp.isfinite(origin), origin, 0.0) - 0.5 * cell_size
-    inv = 1.0 / jnp.maximum(cell_size, 1e-30)
-    keys, _ = _lex_keys(xyz, valid, origin, inv)
+def _coarsen_key(key, bits, m):
+    bx, by, bz = bits
+    kx = key >> (by + bz)
+    ky = (key >> bz) & ((1 << by) - 1)
+    kz = key & ((1 << bz) - 1)
+    return ((kx // m) << (by + bz)) | ((ky // m) << bz) | (kz // m)
+
+
+# ---------------------------------------------------------------------------
+# planning: ONE heavy sort per grid, stats riding on it
+# ---------------------------------------------------------------------------
+_N_SAMPLE = 4096
+
+
+@jax.jit
+def _light_stats(xyz, valid, cell):
+    """Cheap m-choice pass: 1-operand key sort at m=1, sampled median cell
+    occupancy.  Returns f32[2] = (occ_q50, n_valid)."""
+    origin, inv, bits = _grid_frame(xyz, valid, cell)
+    keys, _, _ = _lex_keys(xyz, valid, origin, inv, bits)
     ks = jnp.sort(keys)
+    N = ks.shape[0]
     vs = ks < _BIG_KEY
-    idx = jnp.arange(ks.shape[0], dtype=jnp.int32)
-    n_valid = jnp.maximum(jnp.sum(vs.astype(jnp.int32)), 1)
-    pad = ks.shape[0] - n_valid
-    out = []
-    kx, ky, kz = ks >> 20, (ks >> 10) & 1023, ks & 1023
-    for m in factors:
-        cks = ((kx // m) << 20) | ((ky // m) << 10) | (kz // m)
-        cks = jnp.where(vs, cks, _BIG_KEY)
-        first = vs & jnp.concatenate([jnp.ones((1,), bool), cks[1:] != cks[:-1]])
-        n_rows = jnp.sum(first.astype(jnp.int32))
-        run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, -1))
-        pos = idx - run_start
-        maxocc = jnp.max(jnp.where(vs, pos, -1)) + 1
-        last = vs & jnp.concatenate([cks[1:] != cks[:-1], jnp.ones((1,), bool)])
-        run_end = jax.lax.associative_scan(
-            jnp.minimum, jnp.where(last, idx, jnp.int32(2**30)), reverse=True
-        )
-        occ_f = jnp.where(vs, run_end - run_start + 1, -1).astype(jnp.float32)
-        occ_sorted = jnp.sort(occ_f)  # invalid (-1) first
-        q50 = occ_sorted[pad + n_valid // 2]
-        q999 = occ_sorted[pad + (n_valid * 999) // 1000]
-        out.append(
-            jnp.stack([n_rows.astype(jnp.float32), maxocc.astype(jnp.float32), q50, q999])
-        )
-    # ONE stacked array -> ONE host pull in _sizes (each pull is a full
-    # round-trip on tunneled runtimes; 16 scalar pulls cost ~0.5 s)
-    return jnp.stack(out)
+    n_valid = jnp.sum(vs.astype(jnp.int32))
+    idx = jnp.arange(N, dtype=jnp.int32)
+    first = vs & jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, -1))
+    last = vs & jnp.concatenate([ks[1:] != ks[:-1], jnp.ones((1,), bool)])
+    run_end = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(last, idx, jnp.int32(2**30)), reverse=True
+    )
+    occ = jnp.where(vs, run_end - run_start + 1, 0)
+    samp = (jnp.arange(_N_SAMPLE, dtype=jnp.int32) * jnp.maximum(n_valid, 1)) // _N_SAMPLE
+    occ_s = jnp.sort(occ[samp])
+    return jnp.stack(
+        [occ_s[_N_SAMPLE // 2].astype(jnp.float32), n_valid.astype(jnp.float32)]
+    )
 
 
-def prep_cell_columns(xyz, normal, valid, fine_cell, m: int, C: int, R_pad: int):
-    """Sort by cell key; build the per-cell 9-column run table.
+# stats vector layout (host parses by these offsets)
+_ST_NROWS = 0
+_ST_NVALID = 1
+_ST_MAXOCC = 2
+_ST_COLMAX = 3
+_ST_BITS = 4
+_ST_DROPC = 5  # len(C_BUCKETS) entries
+_ST_DROPCC = _ST_DROPC + len(C_BUCKETS)  # len(CC_BUCKETS) entries
+_ST_LEN = _ST_DROPCC + len(CC_BUCKETS)
 
-    The grid cell is `m * fine_cell` but ids are computed as the FINE ids
-    integer-divided by m — the exact partition _grid_stats measured (same
-    fine origin), so R_pad and the C bucket describe the grid that is
-    actually built.  Returns (packed f32[N+3C, 128], order i32[N],
-    rank i32[N], pos i32[N], vs bool[N], tab i32[R_pad, TAB_LANES],
-    n_rows i32[]).  tab row r: for each of the 9 (dx, dy) stencil columns,
-    the sorted-point offset and length of the contiguous (z-1, z, z+1)
-    cell run union, plus the row's own run (start, len)."""
+
+@jax.jit
+def _sort_stats(xyz, normal, valid, cell, m):
+    """THE grid sort (8 operands, stable) + exact occupancy statistics.
+
+    m is a traced cell-growth factor: the grid cell is m*cell but ids are
+    the fine ids integer-divided by m (same origin), and the SORT is by the
+    coarse key, so every downstream consumer (stats, column table, kernels)
+    sees the identical partition.  Returns (state tuple kept on device,
+    stats f32[_ST_LEN] pulled once by the host):
+
+      stats = [n_rows, n_valid, max occupancy, max column (z-union)
+               occupancy, total key bits,
+               per C bucket: #points with in-cell position >= bucket
+               (queries that would lose their slot),
+               per CC bucket: #points whose own 3-z column run exceeds the
+               bucket (candidates that would be truncated)]."""
+    origin, inv, bits = _grid_frame(xyz, valid, cell)
+    fkeys, _, clips = _lex_keys(xyz, valid, origin, inv, bits)
+    keys = jnp.where(fkeys < _BIG_KEY, _coarsen_key(fkeys, bits, m), _BIG_KEY)
     N = xyz.shape[0]
-    fine_cell = jnp.asarray(fine_cell, jnp.float32)
-    big = jnp.float32(3.0e37)
-    masked = jnp.where(valid[:, None], xyz, big)
-    origin = jnp.min(masked, axis=0)
-    origin = jnp.where(jnp.isfinite(origin), origin, 0.0) - 0.5 * fine_cell
-    inv = 1.0 / jnp.maximum(fine_cell, 1e-30)
-    fkeys, fcs = _lex_keys(xyz, valid, origin, inv)
-    if m == 1:
-        keys = fkeys
-    else:
-        cs = [c // m for c in fcs]
-        keys = (cs[0] << 20) | (cs[1] << 10) | cs[2]
-        keys = jnp.where(fkeys < _BIG_KEY, keys, _BIG_KEY)
-
     ks, xs, ys, zs, nxs, nys, nzs, order = jax.lax.sort(
         (keys, xyz[:, 0], xyz[:, 1], xyz[:, 2],
          normal[:, 0], normal[:, 1], normal[:, 2],
@@ -165,42 +214,189 @@ def prep_cell_columns(xyz, normal, valid, fine_cell, m: int, C: int, R_pad: int)
         num_keys=1,
         is_stable=True,
     )
+    idx = jnp.arange(N, dtype=jnp.int32)
     vs = ks < _BIG_KEY
+    n_valid = jnp.sum(vs.astype(jnp.int32))
     first = vs & jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
     rank = jnp.cumsum(first.astype(jnp.int32)) - 1
     n_rows = jnp.maximum(rank[-1] + 1, 0)
-
-    idx = jnp.arange(N, dtype=jnp.int32)
-    run_start_sorted = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(first, idx, -1)
+    run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, -1))
+    pos = idx - run_start
+    last = vs & jnp.concatenate([ks[1:] != ks[:-1], jnp.ones((1,), bool)])
+    run_end = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(last, idx, jnp.int32(2**30)), reverse=True
     )
-    pos = idx - run_start_sorted
+    occ = jnp.where(vs, run_end - run_start + 1, 0)
+    maxocc = jnp.max(occ)
+
+    # column (3-cell z-union) occupancy per point, via run-neighbor
+    # adjacency in the sorted order: prev run's last element sits at
+    # first-1, next run's first at last+1, so shifts give the z-1/z+1
+    # occupancies without any gather or extra sort.
+    bx, by, bz = bits
+    kz = ks & ((1 << bz) - 1)
+    clip_z = clips[2] // jnp.maximum(m, 1)
+    prev_k = jnp.concatenate([jnp.full((1,), _BIG_KEY), ks[:-1]])
+    prev_occ = jnp.concatenate([jnp.zeros((1,), jnp.int32), occ[:-1]])
+    next_k = jnp.concatenate([ks[1:], jnp.full((1,), _BIG_KEY)])
+    next_occ = jnp.concatenate([occ[1:], jnp.zeros((1,), jnp.int32)])
+    a_first = occ + jnp.where((kz > 0) & (prev_k == ks - 1), prev_occ, 0)
+    a_prop = jax.lax.associative_scan(jnp.maximum, jnp.where(first, a_first, -1))
+    b_last = jnp.where((kz < clip_z) & (next_k == ks + 1), next_occ, 0)
+    b_prop = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(last, b_last, -1), reverse=True
+    )
+    colocc = jnp.where(vs, a_prop + b_prop, 0)
+    # gap-centered windows: a query in cell z references column (x', y')
+    # whose z and z-1 may be empty while z-2/z+1 are not; the widest such
+    # window is occ(r) + occ(next) when the next run is exactly 2 z-cells up
+    gap = occ + jnp.where(last & (kz + 2 <= clip_z) & (next_k == ks + 2), next_occ, 0)
+    colmax = jnp.maximum(jnp.max(colocc), jnp.max(jnp.where(vs, gap, 0)))
+
+    drops_c = [jnp.sum((vs & (pos >= b)).astype(jnp.int32)) for b in C_BUCKETS]
+    drops_cc = [jnp.sum((vs & (colocc > b)).astype(jnp.int32)) for b in CC_BUCKETS]
+    stats = jnp.stack(
+        [
+            n_rows.astype(jnp.float32),
+            n_valid.astype(jnp.float32),
+            maxocc.astype(jnp.float32),
+            colmax.astype(jnp.float32),
+            (bx + by + bz).astype(jnp.float32),
+        ]
+        + [d.astype(jnp.float32) for d in drops_c]
+        + [d.astype(jnp.float32) for d in drops_cc]
+    )
+    state = (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos,
+             jnp.stack([bx, by, bz]), jnp.asarray(m, jnp.int32))
+    return state, stats
+
+
+class GridPlan:
+    """Host-side sizing decisions + device-resident sorted state."""
+
+    __slots__ = ("C", "CC", "R_pad", "m", "n_rows", "n_valid", "dropped_q",
+                 "dropped_cc", "maxocc", "colmax", "state")
+
+    def __init__(self, C, CC, R_pad, m, n_rows, n_valid, dropped_q,
+                 dropped_cc, maxocc, colmax, state):
+        self.C, self.CC, self.R_pad, self.m = C, CC, R_pad, m
+        self.n_rows, self.n_valid = n_rows, n_valid
+        self.dropped_q, self.dropped_cc = dropped_q, dropped_cc
+        self.maxocc, self.colmax = maxocc, colmax
+        self.state = state
+
+
+OCC_TARGET = 64  # grow the cell until the median point's cell holds ~this
+_DROP_TOL = 2e-3  # accepted silently-capped point fraction (exact mode: 0)
+
+
+def plan_grid(xyz, normal, valid, cell, exact: bool = False,
+              m: int | None = None, drop_tol: float = _DROP_TOL):
+    """Sort + size one grid.  Raises ValueError when the cloud does not fit
+    the kernel format (too many key bits / occupancy beyond every bucket) —
+    callers fall back to the XLA path.
+
+    Cap semantics (same spirit as the reference's max_neighbors_,
+    iss_debug.cpp:47-54) are now EXPLICIT: the C/CC buckets are the
+    smallest whose measured overflow point count is within drop_tol, and
+    the overflow counts are reported on the plan (and printed when they are
+    nonzero) instead of silently truncating."""
+    if xyz.shape[0] >= (1 << 24):
+        # point ids ride in f32 packed lanes: exact only below 2^24
+        raise ValueError(
+            f"N={xyz.shape[0]} exceeds the 2^24 f32-exact id limit of the "
+            "packed-lane cell kernels"
+        )
+    if exact:
+        m = 1
+    if m is None:
+        q50, _nv = np.asarray(_light_stats(xyz, valid, jnp.asarray(cell, jnp.float32)))
+        # 2.5D growth model: occupancy ~ m^2 for surface-like scans
+        m = int(np.clip(round(float(np.sqrt(OCC_TARGET / max(q50, 1.0)))), 1, 4))
+    state, stats = _sort_stats(
+        xyz, normal, valid, jnp.asarray(cell, jnp.float32), jnp.int32(m)
+    )
+    st = np.asarray(stats).astype(np.int64)
+    n_rows, n_valid, maxocc, colmax, bits = st[0], st[1], st[2], st[3], st[4]
+    if bits > 30:
+        raise ValueError(f"grid needs {bits} key bits (> 30); XLA fallback")
+    tol = 0 if exact else max(int(drop_tol * max(n_valid, 1)), 0)
+    C = next(
+        (b for b, d in zip(C_BUCKETS, st[_ST_DROPC:_ST_DROPC + len(C_BUCKETS)])
+         if d <= tol),
+        None,
+    )
+    CC = next(
+        (b for b, d in zip(CC_BUCKETS, st[_ST_DROPCC:_ST_DROPCC + len(CC_BUCKETS)])
+         if d <= tol),
+        None,
+    )
+    if C is None or CC is None:
+        raise ValueError(
+            f"cell occupancy (max {maxocc}, column max {colmax}) exceeds the "
+            f"kernel caps at drop tolerance {tol}; use the XLA path"
+        )
+    dropped_q = int(st[_ST_DROPC + C_BUCKETS.index(C)])
+    dropped_cc = int(st[_ST_DROPCC + CC_BUCKETS.index(CC)])
+    if dropped_q or dropped_cc:
+        print(
+            f"# cellgrid plan: capping {dropped_q} query slots / "
+            f"{dropped_cc} column candidates of {n_valid} points "
+            f"(C={C}, CC={CC})",
+            flush=True,
+        )
+    R_pad = max(G_CELLS, _round_up(max(int(n_rows), 1), G_CELLS))
+    R_pad = min(R_pad, _round_up(xyz.shape[0] + 1, G_CELLS))
+    return GridPlan(int(C), int(CC), int(R_pad), int(m), int(n_rows),
+                    int(n_valid), dropped_q, dropped_cc, int(maxocc),
+                    int(colmax), state)
+
+
+# ---------------------------------------------------------------------------
+# table build (from the sorted state; no further sorts)
+# ---------------------------------------------------------------------------
+def _build_tables(state, C: int, CC: int, R_pad: int):
+    """Per-cell 9-column run table + packed [N + CC + CHUNK, 128] lanes.
+
+    tab row r: for each of the 9 (dx, dy) stencil columns, the sorted-point
+    offset and length of the contiguous (z-1, z, z+1) cell run union, plus
+    the row's own run (start, len)."""
+    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
+    N = ks.shape[0]
+    bx, by, bz = bits_arr[0], bits_arr[1], bits_arr[2]
+    n_valid = jnp.sum(vs.astype(jnp.int32))
+    n_rows = jnp.maximum(jnp.max(jnp.where(vs, rank, -1)) + 1, 0)
 
     rank_for_search = jnp.where(vs, rank, jnp.int32(2**30))
     rows = jnp.arange(R_pad, dtype=jnp.int32)
     row_start = jnp.searchsorted(rank_for_search, rows, side="left").astype(jnp.int32)
     row_key = ks[jnp.minimum(row_start, N - 1)]
     row_key = jnp.where(rows < n_rows, row_key, _BIG_KEY)
-    n_valid = jnp.sum(vs.astype(jnp.int32))
     row_start = jnp.where(rows < n_rows, row_start, n_valid)
     row_end = jnp.concatenate([row_start[1:], n_valid[None]])
     row_len = jnp.maximum(row_end - row_start, 0)
 
-    kx, ky, kz = row_key >> 20, (row_key >> 10) & 1023, row_key & 1023
+    # coarse per-axis bounds (ids are fine//m, fields keep the fine widths)
+    clip_cx = ((1 << bx) - 1) // m
+    clip_cy = ((1 << by) - 1) // m
+    clip_cz = ((1 << bz) - 1) // m
+    kx = row_key >> (by + bz)
+    ky = (row_key >> bz) & ((1 << by) - 1)
+    kz = row_key & ((1 << bz) - 1)
     col_offs = [(i, j) for i in (-1, 0, 1) for j in (-1, 0, 1)]
     col_start = jnp.zeros((R_pad, 9), jnp.int32)
     col_len = jnp.zeros((R_pad, 9), jnp.int32)
     for ci, (di, dj) in enumerate(col_offs):
         nkx = kx + di
         nky = ky + dj
-        xy_ok = (nkx >= 0) & (nkx <= _COORD_CLIP) & (nky >= 0) & (nky <= _COORD_CLIP)
+        xy_ok = (nkx >= 0) & (nkx <= clip_cx) & (nky >= 0) & (nky <= clip_cy)
         starts = []
         lens = []
         exists = []
         for dk in (-1, 0, 1):
             nkz = kz + dk
-            z_ok = (nkz >= 0) & (nkz <= _COORD_CLIP)
-            nkey = (nkx << 20) | (nky << 10) | nkz
+            z_ok = (nkz >= 0) & (nkz <= clip_cz)
+            nkey = (nkx << (by + bz)) | (nky << bz) | nkz
             nrow = jnp.searchsorted(row_key, nkey, side="left")
             nrow = jnp.minimum(nrow, R_pad - 1).astype(jnp.int32)
             found = (row_key[nrow] == nkey) & xy_ok & z_ok & (rows < n_rows)
@@ -229,16 +425,24 @@ def prep_cell_columns(xyz, normal, valid, fine_cell, m: int, C: int, R_pad: int)
     packed = jnp.concatenate(
         [packed, jnp.full((N, 128 - packed.shape[1]), jnp.float32(PAD))], axis=1
     )
+    # tail pad: chunked column DMAs (ceil(len/CHUNK) copies) never overrun
     packed = jnp.concatenate(
-        [packed, jnp.full((3 * C, 128), jnp.float32(PAD))], axis=0
-    )  # tail pad: pl.ds(start, 3C) never overruns
-    return packed, order, rank, pos, vs, tab, n_rows
+        [packed, jnp.full((CC + CHUNK, 128), jnp.float32(PAD))], axis=0
+    )
+    return packed, tab, n_rows
 
 
 def _slot_map(rank, pos, vs, R_pad, C):
     slot = jnp.clip(rank, 0, R_pad - 1) * C + jnp.minimum(pos, C - 1)
     kept = vs & (rank >= 0) & (rank < R_pad) & (pos < C)
     return slot, kept
+
+
+def _slot_gather(out_ch, rank, pos, vs, R_pad, C):
+    """Map one [R_pad, C] output channel back to sorted point order."""
+    slot, kept = _slot_map(rank, pos, vs, R_pad, C)
+    vals_sorted = jnp.where(kept, out_ch.reshape(-1)[slot], 0.0)
+    return vals_sorted, kept
 
 
 def _query_lanes(qblk, eye):
@@ -248,44 +452,158 @@ def _query_lanes(qblk, eye):
     )
 
 
-def _dma_cols(tabs, packed_ref, cand, qblk, csems, qsem):
-    """DMA the own run ([C,128]) and the 9 column runs ([3C,128]) into VMEM;
-    returns after ALL copies complete (callers read qblk/cand right away)."""
-    C = qblk.shape[0]
-    CC = cand.shape[1]
+# ---------------------------------------------------------------------------
+# blocked pass runner: G cells per step, double-buffered chunked DMAs
+# ---------------------------------------------------------------------------
+def _issue_cell(tab_ref, g, packed_ref, cand, qblk, csems, qsem, slot, C, CC):
+    own_start = tab_ref[g, 32]
+    pltpu.make_async_copy(
+        packed_ref.at[pl.ds(own_start, C), :], qblk.at[slot], qsem.at[slot]
+    ).start()
 
-    q_copy = pltpu.make_async_copy(
-        packed_ref.at[pl.ds(tabs[0, 32], C), :], qblk, qsem
+    def col(c, _):
+        cst = tab_ref[g, c]
+        clen = tab_ref[g, 16 + c]
+        nch = jnp.minimum(pl.cdiv(clen, CHUNK), CC // CHUNK)
+
+        def one(k, _):
+            pltpu.make_async_copy(
+                packed_ref.at[pl.ds(cst + CHUNK * k, CHUNK), :],
+                cand.at[slot, c, pl.ds(CHUNK * k, CHUNK), :],
+                csems.at[slot, c],
+            ).start()
+            return 0
+
+        jax.lax.fori_loop(0, nch, one, 0)
+        return 0
+
+    jax.lax.fori_loop(0, 9, col, 0)
+
+
+def _wait_cell(tab_ref, g, packed_ref, cand, qblk, csems, qsem, slot, C, CC):
+    own_start = tab_ref[g, 32]
+    pltpu.make_async_copy(
+        packed_ref.at[pl.ds(own_start, C), :], qblk.at[slot], qsem.at[slot]
+    ).wait()
+
+    def col(c, _):
+        cst = tab_ref[g, c]
+        clen = tab_ref[g, 16 + c]
+        nch = jnp.minimum(pl.cdiv(clen, CHUNK), CC // CHUNK)
+
+        def one(k, _):
+            pltpu.make_async_copy(
+                packed_ref.at[pl.ds(cst + CHUNK * k, CHUNK), :],
+                cand.at[slot, c, pl.ds(CHUNK * k, CHUNK), :],
+                csems.at[slot, c],
+            ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, nch, one, 0)
+        return 0
+
+    jax.lax.fori_loop(0, 9, col, 0)
+
+
+def _fold_cols_chunked(tab_ref, g, cand_slot, CC, body, init):
+    """Fold body(cc_chunk [CHUNK,128], jc_global [CHUNK,1], clen, acc) over
+    the occupied CHUNK-row chunks of the 9 candidate columns."""
+
+    def col_step(c, acc):
+        clen = tab_ref[g, 16 + c]
+        nch = jnp.minimum(pl.cdiv(clen, CHUNK), CC // CHUNK)
+
+        def ch_step(k, acc):
+            cc = cand_slot[c, pl.ds(CHUNK * k, CHUNK), :]
+            jc = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + CHUNK * k
+            return body(cc, jc, clen, acc)
+
+        return jax.lax.fori_loop(0, nch, ch_step, acc)
+
+    return jax.lax.fori_loop(0, 9, col_step, init)
+
+
+def _make_blocked_kernel(cell_fn, n_out: int, C: int, CC: int):
+    """Wrap a per-cell compute into the G-blocked double-buffered driver.
+
+    cell_fn(meta_ref, tab_ref, g, cand_slot, qrow, out_g, scratch) writes
+    out_g [n_out, C]; qrow is the lane-major [128, C] own block."""
+
+    def kernel(meta_ref, tab_ref, packed_ref, out_ref, cand, qblk, *rest):
+        csems, qsem = rest[-2], rest[-1]
+        scratch = rest[:-2]
+        rblk = pl.program_id(0)
+        n_rows = meta_ref[1].astype(jnp.int32)
+        eye = jnp.eye(C, dtype=jnp.float32)
+
+        @pl.when(rblk * G_CELLS < n_rows)
+        def _():
+            _issue_cell(tab_ref, 0, packed_ref, cand, qblk, csems, qsem, 0, C, CC)
+
+        for g in range(G_CELLS):
+            slot = g & 1
+            if g + 1 < G_CELLS:
+
+                @pl.when(rblk * G_CELLS + g + 1 < n_rows)
+                def _(g=g):
+                    _issue_cell(
+                        tab_ref, g + 1, packed_ref, cand, qblk, csems, qsem,
+                        (g + 1) & 1, C, CC,
+                    )
+
+            @pl.when(rblk * G_CELLS + g < n_rows)
+            def _(g=g, slot=slot):
+                _wait_cell(tab_ref, g, packed_ref, cand, qblk, csems, qsem, slot, C, CC)
+                qrow = _query_lanes(qblk[slot], eye)
+                cell_fn(meta_ref, tab_ref, g, cand.at[slot], qrow,
+                        out_ref.at[g], scratch)
+
+            @pl.when(rblk * G_CELLS + g >= n_rows)
+            def _(g=g):
+                out_ref[g] = jnp.zeros((n_out, C), jnp.float32)
+
+    return kernel
+
+
+def _run_pass(cell_fn, meta, tab, packed, R_pad, C, CC, n_out, interpret,
+              extra_scratch=()):
+    kernel = _make_blocked_kernel(cell_fn, n_out, C, CC)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(R_pad // G_CELLS,),
+        in_specs=[
+            pl.BlockSpec(
+                (G_CELLS, TAB_LANES), lambda r, *_: (r, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (G_CELLS, n_out, C), lambda r, *_: (r, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, CC, 128), jnp.float32),
+            pltpu.VMEM((2, C, 128), jnp.float32),
+            *extra_scratch,
+            pltpu.SemaphoreType.DMA((2, 9)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
-    q_copy.start()
-
-    def start(c, _):
-        pltpu.make_async_copy(
-            packed_ref.at[pl.ds(tabs[0, c], CC), :], cand.at[c], csems.at[c]
-        ).start()
-        return 0
-
-    jax.lax.fori_loop(0, 9, start, 0)
-    q_copy.wait()
-
-    def wait(c, _):
-        pltpu.make_async_copy(
-            packed_ref.at[pl.ds(tabs[0, c], CC), :], cand.at[c], csems.at[c]
-        ).wait()
-        return 0
-
-    jax.lax.fori_loop(0, 9, wait, 0)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R_pad, n_out, C), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(meta, tab, packed)
 
 
-def _fold_cols(tabs, cand, body, init):
-    """Fold body(c, cc, col_len, acc) over the 9 candidate columns."""
-
-    def step(c, acc):
-        return body(c, cand[c], tabs[0, 16 + c], acc)
-
-    return jax.lax.fori_loop(0, 9, step, init)
+def _round_up(n, mult):
+    return ((n + mult - 1) // mult) * mult
 
 
+# ---------------------------------------------------------------------------
+# eigen helper (shared by surface + ISS saliency)
+# ---------------------------------------------------------------------------
 def _smallest_eig3(a00, a01, a02, a11, a12, a22):
     """Smallest (eigvals, eigvec) of symmetric 3x3 in [1, C] component lanes.
     Smith closed form (acos via the atan2 polynomial) + cross-product
@@ -352,271 +670,211 @@ def _smallest_eig3(a00, a01, a02, a11, a12, a22):
 
 
 # ---------------------------------------------------------------------------
-# surface kernel: count/mean/covariance -> normal, curvature, eigvals, NN
+# surface cell: count/mean/covariance -> normal, curvature, eigvals, NN
 # ---------------------------------------------------------------------------
 N_CH_SURF = 16
 
 
-def _surface_kernel(meta_ref, tab_ref, packed_ref, out_ref, cand, qblk, tabs, csems, qsem, tsem):
-    r = pl.program_id(0)
-    C = qblk.shape[0]
-    n_rows = meta_ref[1].astype(jnp.int32)
+def _surface_cell(meta_ref, tab_ref, g, cand_slot, qrow, out_g, scratch):
+    C = qrow.shape[1]
+    CC = cand_slot.shape[1]
+    qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
+    qvalid = qrow[CH_VALID:CH_VALID + 1, :] > 0.5
+    r2 = meta_ref[0]
 
-    @pl.when(r >= n_rows)
-    def _zero():
-        out_ref[...] = jnp.zeros(out_ref.shape, jnp.float32)
+    zero = jnp.zeros((1, C), jnp.float32)
+    init = (zero,) * 10 + (jnp.full((1, C), BIG), jnp.full((1, C), -1.0))
 
-    @pl.when(r < n_rows)
-    def _():
-        tcopy = pltpu.make_async_copy(tab_ref.at[pl.ds(r, 1)], tabs, tsem)
-        tcopy.start()
-        tcopy.wait()
-        _dma_cols(tabs, packed_ref, cand, qblk, csems, qsem)
-        eye = jnp.eye(C, dtype=jnp.float32)
-        qrow = _query_lanes(qblk[...], eye)
-        qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
-        qvalid = qrow[CH_VALID : CH_VALID + 1, :] > 0.5
-        r2 = meta_ref[0]
-        CC = cand.shape[1]
-        jc = jax.lax.broadcasted_iota(jnp.int32, (CC, 1), 0)
-
-        zero = jnp.zeros((1, C), jnp.float32)
-        init = (zero,) * 10 + (jnp.full((1, C), BIG), jnp.full((1, C), -1.0))
-
-        def body(c, cc, clen, acc):
-            (s1, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz, dmin, nnid) = acc
-            cx, cy, cz = cc[:, 0:1], cc[:, 1:2], cc[:, 2:3]
-            dx, dy, dz = cx - qx, cy - qy, cz - qz
-            d2 = dx * dx + dy * dy + dz * dz
-            ok = (d2 <= r2) & (jc < clen) & (cc[:, 7:8] > 0.5) & qvalid
-            okf = ok.astype(jnp.float32)
-            s1 += jnp.sum(okf, axis=0, keepdims=True)
-            # moments of (c - q), NOT of raw world coordinates: covariance is
-            # shift-invariant and the query-centered deltas are radius-scale,
-            # so E[d d^T] - mean mean^T stays f32-exact even for clouds
-            # georeferenced thousands of meters from the origin
-            sx += jnp.sum(jnp.where(ok, dx, 0.0), axis=0, keepdims=True)
-            sy += jnp.sum(jnp.where(ok, dy, 0.0), axis=0, keepdims=True)
-            sz += jnp.sum(jnp.where(ok, dz, 0.0), axis=0, keepdims=True)
-            sxx += jnp.sum(jnp.where(ok, dx * dx, 0.0), axis=0, keepdims=True)
-            sxy += jnp.sum(jnp.where(ok, dx * dy, 0.0), axis=0, keepdims=True)
-            sxz += jnp.sum(jnp.where(ok, dx * dz, 0.0), axis=0, keepdims=True)
-            syy += jnp.sum(jnp.where(ok, dy * dy, 0.0), axis=0, keepdims=True)
-            syz += jnp.sum(jnp.where(ok, dy * dz, 0.0), axis=0, keepdims=True)
-            szz += jnp.sum(jnp.where(ok, dz * dz, 0.0), axis=0, keepdims=True)
-            dpos = jnp.where(ok & (d2 > 1e-24), d2, BIG)
-            tmin = jnp.min(dpos, axis=0, keepdims=True)
-            targ = jnp.min(
-                jnp.where(dpos == tmin, cc[:, 6:7], BIG), axis=0, keepdims=True
-            )
-            better = tmin < dmin
-            nnid = jnp.where(better, targ, nnid)
-            dmin = jnp.where(better, tmin, dmin)
-            return (s1, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz, dmin, nnid)
-
-        (s1, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz, dmin, nnid) = _fold_cols(
-            tabs, cand, body, init
+    def body(cc, jc, clen, acc):
+        (s1, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz, dmin, nnid) = acc
+        cx, cy, cz = cc[:, 0:1], cc[:, 1:2], cc[:, 2:3]
+        dx, dy, dz = cx - qx, cy - qy, cz - qz
+        d2 = dx * dx + dy * dy + dz * dz
+        ok = (d2 <= r2) & (jc < clen) & (cc[:, 7:8] > 0.5) & qvalid
+        okf = ok.astype(jnp.float32)
+        s1 += jnp.sum(okf, axis=0, keepdims=True)
+        # moments of (c - q), NOT of raw world coordinates: covariance is
+        # shift-invariant and the query-centered deltas are radius-scale,
+        # so E[d d^T] - mean mean^T stays f32-exact even for clouds
+        # georeferenced thousands of meters from the origin
+        sx += jnp.sum(jnp.where(ok, dx, 0.0), axis=0, keepdims=True)
+        sy += jnp.sum(jnp.where(ok, dy, 0.0), axis=0, keepdims=True)
+        sz += jnp.sum(jnp.where(ok, dz, 0.0), axis=0, keepdims=True)
+        sxx += jnp.sum(jnp.where(ok, dx * dx, 0.0), axis=0, keepdims=True)
+        sxy += jnp.sum(jnp.where(ok, dx * dy, 0.0), axis=0, keepdims=True)
+        sxz += jnp.sum(jnp.where(ok, dx * dz, 0.0), axis=0, keepdims=True)
+        syy += jnp.sum(jnp.where(ok, dy * dy, 0.0), axis=0, keepdims=True)
+        syz += jnp.sum(jnp.where(ok, dy * dz, 0.0), axis=0, keepdims=True)
+        szz += jnp.sum(jnp.where(ok, dz * dz, 0.0), axis=0, keepdims=True)
+        dpos = jnp.where(ok & (d2 > 1e-24), d2, BIG)
+        tmin = jnp.min(dpos, axis=0, keepdims=True)
+        targ = jnp.min(
+            jnp.where(dpos == tmin, cc[:, 6:7], BIG), axis=0, keepdims=True
         )
-        cnt = jnp.maximum(s1, 1.0)
-        mx, my, mz = sx / cnt, sy / cnt, sz / cnt
-        l0, l1, l2, vx, vy, vz = _smallest_eig3(
-            sxx / cnt - mx * mx,
-            sxy / cnt - mx * my,
-            sxz / cnt - mx * mz,
-            syy / cnt - my * my,
-            syz / cnt - my * mz,
-            szz / cnt - mz * mz,
-        )
-        out_ref[0, 0, :] = vx[0]
-        out_ref[0, 1, :] = vy[0]
-        out_ref[0, 2, :] = vz[0]
-        tot = jnp.maximum(l0 + l1 + l2, 1e-30)
-        out_ref[0, 3, :] = jnp.where(tot > 0, jnp.maximum(l0, 0.0) / tot, 0.0)[0]
-        out_ref[0, 4, :] = l0[0]
-        out_ref[0, 5, :] = l1[0]
-        out_ref[0, 6, :] = l2[0]
-        out_ref[0, 7, :] = s1[0]
-        out_ref[0, 8, :] = jnp.sqrt(jnp.minimum(dmin, BIG))[0]
-        out_ref[0, 9, :] = nnid[0]
-        out_ref[0, 10:, :] = jnp.zeros((N_CH_SURF - 10, C), jnp.float32)
+        better = tmin < dmin
+        nnid = jnp.where(better, targ, nnid)
+        dmin = jnp.where(better, tmin, dmin)
+        return (s1, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz, dmin, nnid)
+
+    (s1, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz, dmin, nnid) = _fold_cols_chunked(
+        tab_ref, g, cand_slot, CC, body, init
+    )
+    cnt = jnp.maximum(s1, 1.0)
+    mx, my, mz = sx / cnt, sy / cnt, sz / cnt
+    l0, l1, l2, vx, vy, vz = _smallest_eig3(
+        sxx / cnt - mx * mx,
+        sxy / cnt - mx * my,
+        sxz / cnt - mx * mz,
+        syy / cnt - my * my,
+        syz / cnt - my * mz,
+        szz / cnt - mz * mz,
+    )
+    out_g[0, :] = vx[0]
+    out_g[1, :] = vy[0]
+    out_g[2, :] = vz[0]
+    tot = jnp.maximum(l0 + l1 + l2, 1e-30)
+    out_g[3, :] = jnp.where(tot > 0, jnp.maximum(l0, 0.0) / tot, 0.0)[0]
+    out_g[4, :] = l0[0]
+    out_g[5, :] = l1[0]
+    out_g[6, :] = l2[0]
+    out_g[7, :] = s1[0]
+    out_g[8, :] = jnp.sqrt(jnp.minimum(dmin, BIG))[0]
+    out_g[9, :] = nnid[0]
+    out_g[10:, :] = jnp.zeros((N_CH_SURF - 10, C), jnp.float32)
 
 
 # ---------------------------------------------------------------------------
-# ISS kernels
+# ISS cells
 # ---------------------------------------------------------------------------
-def _iss_count_kernel(meta_ref, tab_ref, packed_ref, out_ref, cand, qblk, tabs, csems, qsem, tsem):
-    r = pl.program_id(0)
-    C = qblk.shape[0]
-    n_rows = meta_ref[1].astype(jnp.int32)
+def _iss_count_cell(meta_ref, tab_ref, g, cand_slot, qrow, out_g, scratch):
+    C = qrow.shape[1]
+    CC = cand_slot.shape[1]
+    qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
+    qvalid = qrow[CH_VALID:CH_VALID + 1, :] > 0.5
+    r2 = meta_ref[0]
 
-    @pl.when(r >= n_rows)
-    def _zero():
-        out_ref[...] = jnp.zeros(out_ref.shape, jnp.float32)
+    def body(cc, jc, clen, s1):
+        dx = cc[:, 0:1] - qx
+        dy = cc[:, 1:2] - qy
+        dz = cc[:, 2:3] - qz
+        d2 = dx * dx + dy * dy + dz * dz
+        ok = (d2 <= r2) & (jc < clen) & (cc[:, 7:8] > 0.5) & qvalid
+        return s1 + jnp.sum(ok.astype(jnp.float32), axis=0, keepdims=True)
 
-    @pl.when(r < n_rows)
-    def _():
-        tcopy = pltpu.make_async_copy(tab_ref.at[pl.ds(r, 1)], tabs, tsem)
-        tcopy.start()
-        tcopy.wait()
-        _dma_cols(tabs, packed_ref, cand, qblk, csems, qsem)
-        eye = jnp.eye(C, dtype=jnp.float32)
-        qrow = _query_lanes(qblk[...], eye)
-        qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
-        qvalid = qrow[CH_VALID : CH_VALID + 1, :] > 0.5
-        r2 = meta_ref[0]
-        CC = cand.shape[1]
-        jc = jax.lax.broadcasted_iota(jnp.int32, (CC, 1), 0)
-
-        def body(c, cc, clen, s1):
-            dx = cc[:, 0:1] - qx
-            dy = cc[:, 1:2] - qy
-            dz = cc[:, 2:3] - qz
-            d2 = dx * dx + dy * dy + dz * dz
-            ok = (d2 <= r2) & (jc < clen) & (cc[:, 7:8] > 0.5) & qvalid
-            return s1 + jnp.sum(ok.astype(jnp.float32), axis=0, keepdims=True)
-
-        s1 = _fold_cols(tabs, cand, body, jnp.zeros((1, C), jnp.float32))
-        out_ref[0, 0, :] = s1[0]  # includes self (d2 = 0 passes)
-        out_ref[0, 1:, :] = jnp.zeros((out_ref.shape[1] - 1, C), jnp.float32)
+    s1 = _fold_cols_chunked(
+        tab_ref, g, cand_slot, CC, body, jnp.zeros((1, C), jnp.float32)
+    )
+    out_g[0, :] = s1[0]  # includes self (d2 = 0 passes)
+    out_g[1:, :] = jnp.zeros((out_g.shape[0] - 1, C), jnp.float32)
 
 
-def _iss_saliency_kernel(meta_ref, tab_ref, packed_ref, out_ref, cand, qblk, tabs, csems, qsem, tsem):
-    r = pl.program_id(0)
-    C = qblk.shape[0]
-    n_rows = meta_ref[1].astype(jnp.int32)
+def _iss_saliency_cell(meta_ref, tab_ref, g, cand_slot, qrow, out_g, scratch):
+    C = qrow.shape[1]
+    CC = cand_slot.shape[1]
+    qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
+    qvalid = qrow[CH_VALID:CH_VALID + 1, :] > 0.5
+    r2 = meta_ref[0]
+    gamma21 = meta_ref[2]
+    gamma32 = meta_ref[3]
 
-    @pl.when(r >= n_rows)
-    def _zero():
-        out_ref[...] = jnp.zeros(out_ref.shape, jnp.float32)
+    zero = jnp.zeros((1, C), jnp.float32)
+    init = (zero,) * 8
 
-    @pl.when(r < n_rows)
-    def _():
-        tcopy = pltpu.make_async_copy(tab_ref.at[pl.ds(r, 1)], tabs, tsem)
-        tcopy.start()
-        tcopy.wait()
-        _dma_cols(tabs, packed_ref, cand, qblk, csems, qsem)
-        eye = jnp.eye(C, dtype=jnp.float32)
-        qrow = _query_lanes(qblk[...], eye)
-        qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
-        qvalid = qrow[CH_VALID : CH_VALID + 1, :] > 0.5
-        r2 = meta_ref[0]
-        gamma21 = meta_ref[2]
-        gamma32 = meta_ref[3]
-        CC = cand.shape[1]
-        jc = jax.lax.broadcasted_iota(jnp.int32, (CC, 1), 0)
-
-        zero = jnp.zeros((1, C), jnp.float32)
-        init = (zero,) * 8
-
-        def body(c, cc, clen, acc):
-            ws, sxx, sxy, sxz, syy, syz, szz, nnb = acc
-            dx = cc[:, 0:1] - qx
-            dy = cc[:, 1:2] - qy
-            dz = cc[:, 2:3] - qz
-            d2 = dx * dx + dy * dy + dz * dz
-            ok = (
-                (d2 <= r2)
-                & (d2 > 1e-24)  # exclude self from the scatter
-                & (jc < clen)
-                & (cc[:, 7:8] > 0.5)
-                & qvalid
-            )
-            w = jnp.where(
-                ok, 1.0 / jnp.maximum(cc[:, CH_EXTRA : CH_EXTRA + 1], 1.0), 0.0
-            )
-            ws += jnp.sum(w, axis=0, keepdims=True)
-            sxx += jnp.sum(w * dx * dx, axis=0, keepdims=True)
-            sxy += jnp.sum(w * dx * dy, axis=0, keepdims=True)
-            sxz += jnp.sum(w * dx * dz, axis=0, keepdims=True)
-            syy += jnp.sum(w * dy * dy, axis=0, keepdims=True)
-            syz += jnp.sum(w * dy * dz, axis=0, keepdims=True)
-            szz += jnp.sum(w * dz * dz, axis=0, keepdims=True)
-            nnb += jnp.sum(ok.astype(jnp.float32), axis=0, keepdims=True)
-            return (ws, sxx, sxy, sxz, syy, syz, szz, nnb)
-
-        ws, sxx, sxy, sxz, syy, syz, szz, nnb = _fold_cols(tabs, cand, body, init)
-        wsafe = jnp.maximum(ws, 1e-30)
-        l3, l2, l1, _vx, _vy, _vz = _smallest_eig3(
-            sxx / wsafe, sxy / wsafe, sxz / wsafe, syy / wsafe, syz / wsafe, szz / wsafe
-        )
-        ok_g = (
-            (ws > 0)
-            & (l2 / jnp.maximum(l1, 1e-30) < gamma21)
-            & (l3 / jnp.maximum(l2, 1e-30) < gamma32)
-            & (l3 > 0)
+    def body(cc, jc, clen, acc):
+        ws, sxx, sxy, sxz, syy, syz, szz, nnb = acc
+        dx = cc[:, 0:1] - qx
+        dy = cc[:, 1:2] - qy
+        dz = cc[:, 2:3] - qz
+        d2 = dx * dx + dy * dy + dz * dz
+        ok = (
+            (d2 <= r2)
+            & (d2 > 1e-24)  # exclude self from the scatter
+            & (jc < clen)
+            & (cc[:, 7:8] > 0.5)
             & qvalid
         )
-        out_ref[0, 0, :] = jnp.where(ok_g, l3, 0.0)[0]
-        out_ref[0, 1, :] = ok_g.astype(jnp.float32)[0]
-        out_ref[0, 2, :] = nnb[0]
-        out_ref[0, 3:, :] = jnp.zeros((out_ref.shape[1] - 3, C), jnp.float32)
+        w = jnp.where(
+            ok, 1.0 / jnp.maximum(cc[:, CH_EXTRA:CH_EXTRA + 1], 1.0), 0.0
+        )
+        ws += jnp.sum(w, axis=0, keepdims=True)
+        sxx += jnp.sum(w * dx * dx, axis=0, keepdims=True)
+        sxy += jnp.sum(w * dx * dy, axis=0, keepdims=True)
+        sxz += jnp.sum(w * dx * dz, axis=0, keepdims=True)
+        syy += jnp.sum(w * dy * dy, axis=0, keepdims=True)
+        syz += jnp.sum(w * dy * dz, axis=0, keepdims=True)
+        szz += jnp.sum(w * dz * dz, axis=0, keepdims=True)
+        nnb += jnp.sum(ok.astype(jnp.float32), axis=0, keepdims=True)
+        return (ws, sxx, sxy, sxz, syy, syz, szz, nnb)
+
+    ws, sxx, sxy, sxz, syy, syz, szz, nnb = _fold_cols_chunked(
+        tab_ref, g, cand_slot, CC, body, init
+    )
+    wsafe = jnp.maximum(ws, 1e-30)
+    l3, l2, l1, _vx, _vy, _vz = _smallest_eig3(
+        sxx / wsafe, sxy / wsafe, sxz / wsafe, syy / wsafe, syz / wsafe, szz / wsafe
+    )
+    ok_g = (
+        (ws > 0)
+        & (l2 / jnp.maximum(l1, 1e-30) < gamma21)
+        & (l3 / jnp.maximum(l2, 1e-30) < gamma32)
+        & (l3 > 0)
+        & qvalid
+    )
+    out_g[0, :] = jnp.where(ok_g, l3, 0.0)[0]
+    out_g[1, :] = ok_g.astype(jnp.float32)[0]
+    out_g[2, :] = nnb[0]
+    out_g[3:, :] = jnp.zeros((out_g.shape[0] - 3, C), jnp.float32)
 
 
-def _iss_nms_kernel(meta_ref, tab_ref, packed_ref, out_ref, cand, qblk, tabs, csems, qsem, tsem):
-    r = pl.program_id(0)
-    C = qblk.shape[0]
-    n_rows = meta_ref[1].astype(jnp.int32)
+def _iss_nms_cell(meta_ref, tab_ref, g, cand_slot, qrow, out_g, scratch):
+    C = qrow.shape[1]
+    CC = cand_slot.shape[1]
+    qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
+    qvalid = qrow[CH_VALID:CH_VALID + 1, :] > 0.5
+    q_sal = qrow[CH_SAL:CH_SAL + 1, :]
+    q_ok = qrow[CH_OK:CH_OK + 1, :] > 0.5
+    r2 = meta_ref[0]
+    min_nb = meta_ref[4]
 
-    @pl.when(r >= n_rows)
-    def _zero():
-        out_ref[...] = jnp.zeros(out_ref.shape, jnp.float32)
+    init = (jnp.full((1, C), -BIG), jnp.zeros((1, C), jnp.float32))
 
-    @pl.when(r < n_rows)
-    def _():
-        tcopy = pltpu.make_async_copy(tab_ref.at[pl.ds(r, 1)], tabs, tsem)
-        tcopy.start()
-        tcopy.wait()
-        _dma_cols(tabs, packed_ref, cand, qblk, csems, qsem)
-        eye = jnp.eye(C, dtype=jnp.float32)
-        qrow = _query_lanes(qblk[...], eye)
-        qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
-        qvalid = qrow[CH_VALID : CH_VALID + 1, :] > 0.5
-        q_sal = qrow[CH_SAL : CH_SAL + 1, :]
-        q_ok = qrow[CH_OK : CH_OK + 1, :] > 0.5
-        r2 = meta_ref[0]
-        min_nb = meta_ref[4]
-        CC = cand.shape[1]
-        jc = jax.lax.broadcasted_iota(jnp.int32, (CC, 1), 0)
+    def body(cc, jc, clen, acc):
+        nb_max, nnb = acc
+        dx = cc[:, 0:1] - qx
+        dy = cc[:, 1:2] - qy
+        dz = cc[:, 2:3] - qz
+        d2 = dx * dx + dy * dy + dz * dz
+        ok = (
+            (d2 <= r2)
+            & (d2 > 1e-24)
+            & (jc < clen)
+            & (cc[:, 7:8] > 0.5)
+            & qvalid
+        )
+        nb_max = jnp.maximum(
+            nb_max,
+            jnp.max(
+                jnp.where(ok, cc[:, CH_SAL:CH_SAL + 1], -BIG),
+                axis=0,
+                keepdims=True,
+            ),
+        )
+        nnb += jnp.sum(ok.astype(jnp.float32), axis=0, keepdims=True)
+        return (nb_max, nnb)
 
-        init = (jnp.full((1, C), -BIG), jnp.zeros((1, C), jnp.float32))
-
-        def body(c, cc, clen, acc):
-            nb_max, nnb = acc
-            dx = cc[:, 0:1] - qx
-            dy = cc[:, 1:2] - qy
-            dz = cc[:, 2:3] - qz
-            d2 = dx * dx + dy * dy + dz * dz
-            ok = (
-                (d2 <= r2)
-                & (d2 > 1e-24)
-                & (jc < clen)
-                & (cc[:, 7:8] > 0.5)
-                & qvalid
-            )
-            nb_max = jnp.maximum(
-                nb_max,
-                jnp.max(
-                    jnp.where(ok, cc[:, CH_SAL : CH_SAL + 1], -BIG),
-                    axis=0,
-                    keepdims=True,
-                ),
-            )
-            nnb += jnp.sum(ok.astype(jnp.float32), axis=0, keepdims=True)
-            return (nb_max, nnb)
-
-        nb_max, nnb = _fold_cols(tabs, cand, body, init)
-        is_kp = q_ok & (nnb >= min_nb) & (q_sal > nb_max) & qvalid
-        out_ref[0, 0, :] = is_kp.astype(jnp.float32)[0]
-        out_ref[0, 1:, :] = jnp.zeros((out_ref.shape[1] - 1, C), jnp.float32)
+    nb_max, nnb = _fold_cols_chunked(tab_ref, g, cand_slot, CC, body, init)
+    is_kp = q_ok & (nnb >= min_nb) & (q_sal > nb_max) & qvalid
+    out_g[0, :] = is_kp.astype(jnp.float32)[0]
+    out_g[1:, :] = jnp.zeros((out_g.shape[0] - 1, C), jnp.float32)
 
 
 # ---------------------------------------------------------------------------
-# FPFH kernels
+# FPFH cells
 # ---------------------------------------------------------------------------
 def _pair_feature_bins(qx, qy, qz, qnx, qny, qnz, cc, r2):
-    """Darboux features + bins for one candidate column vs the query lanes.
+    """Darboux features + bins for one candidate chunk vs the query lanes.
 
-    q*: [1, C] lane vectors; cc: [CC, 128] candidates on sublanes.
+    q*: [1, C] lane vectors; cc: [CHUNK, 128] candidates on sublanes.
     Matches ops/fpfh.pair_features_soa (the acos comparison reduces to a
     |cos| comparison since acos is monotone decreasing)."""
     cx, cy, cz = cc[:, 0:1], cc[:, 1:2], cc[:, 2:3]
@@ -661,285 +919,243 @@ def _pair_feature_bins(qx, qy, qz, qnx, qny, qnz, cc, r2):
     return b1, b2, b3, ok
 
 
-def _spfh_kernel(meta_ref, tab_ref, packed_ref, out_ref, cand, qblk, acc, tabs, csems, qsem, tsem):
-    r = pl.program_id(0)
-    C = qblk.shape[0]
-    n_rows = meta_ref[1].astype(jnp.int32)
+def _spfh_cell(meta_ref, tab_ref, g, cand_slot, qrow, out_g, scratch):
+    (acc,) = scratch
+    C = qrow.shape[1]
+    CC = cand_slot.shape[1]
+    qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
+    qnx, qny, qnz = qrow[3:4, :], qrow[4:5, :], qrow[5:6, :]
+    qvalid = qrow[CH_VALID:CH_VALID + 1, :] > 0.5
+    r2 = meta_ref[0]
 
-    @pl.when(r >= n_rows)
-    def _zero():
-        out_ref[...] = jnp.zeros(out_ref.shape, jnp.float32)
+    acc[...] = jnp.zeros_like(acc)
 
-    @pl.when(r < n_rows)
-    def _():
-        tcopy = pltpu.make_async_copy(tab_ref.at[pl.ds(r, 1)], tabs, tsem)
-        tcopy.start()
-        tcopy.wait()
-        _dma_cols(tabs, packed_ref, cand, qblk, csems, qsem)
-        eye = jnp.eye(C, dtype=jnp.float32)
-        qrow = _query_lanes(qblk[...], eye)
-        qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
-        qnx, qny, qnz = qrow[3:4, :], qrow[4:5, :], qrow[5:6, :]
-        qvalid = qrow[CH_VALID : CH_VALID + 1, :] > 0.5
-        r2 = meta_ref[0]
-        CC = cand.shape[1]
-        jc = jax.lax.broadcasted_iota(jnp.int32, (CC, 1), 0)
+    def body(cc, jc, clen, _):
+        b1, b2, b3, ok = _pair_feature_bins(qx, qy, qz, qnx, qny, qnz, cc, r2)
+        ok = ok & (jc < clen) & (cc[:, 7:8] > 0.5) & qvalid
+        okf = ok.astype(jnp.float32)
+        acc[DIM:DIM + 1, :] += jnp.sum(okf, axis=0, keepdims=True)
+        for which, b in enumerate((b1, b2, b3)):
+            for k in range(NR_BINS):
+                acc[which * NR_BINS + k:which * NR_BINS + k + 1, :] += jnp.sum(
+                    jnp.where(b == k, okf, 0.0), axis=0, keepdims=True
+                )
+        return 0
 
-        acc[...] = jnp.zeros_like(acc)
-
-        def body(c, _):
-            cc = cand[c]
-            clen = tabs[0, 16 + c]
-            b1, b2, b3, ok = _pair_feature_bins(qx, qy, qz, qnx, qny, qnz, cc, r2)
-            ok = ok & (jc < clen) & (cc[:, 7:8] > 0.5) & qvalid
-            okf = ok.astype(jnp.float32)
-            acc[DIM : DIM + 1, :] += jnp.sum(okf, axis=0, keepdims=True)
-            for which, b in enumerate((b1, b2, b3)):
-                for k in range(NR_BINS):
-                    acc[which * NR_BINS + k : which * NR_BINS + k + 1, :] += jnp.sum(
-                        jnp.where(b == k, okf, 0.0), axis=0, keepdims=True
-                    )
-            return 0
-
-        jax.lax.fori_loop(0, 9, body, 0)
-        cnt = acc[DIM : DIM + 1, :]
-        incr = jnp.where(cnt > 0, 100.0 / jnp.maximum(cnt, 1.0), 0.0)
-        out_ref[0, 0:DIM, :] = acc[0:DIM, :] * incr
-        out_ref[0, DIM, :] = cnt[0]
+    _fold_cols_chunked(tab_ref, g, cand_slot, CC, body, 0)
+    cnt = acc[DIM:DIM + 1, :]
+    incr = jnp.where(cnt > 0, 100.0 / jnp.maximum(cnt, 1.0), 0.0)
+    out_g[0:DIM, :] = acc[0:DIM, :] * incr
+    out_g[DIM, :] = cnt[0]
 
 
-def _combine_kernel(meta_ref, tab_ref, packed_ref, out_ref, cand, qblk, wsum, tabs, csems, qsem, tsem):
+def _combine_cell(meta_ref, tab_ref, g, cand_slot, qrow, out_g, scratch):
     """FPFH combine: the SPFH of every point rides in packed lanes
     CH_EXTRA..CH_EXTRA+33 (written back between passes), so the weighted
-    neighbor sum is 9 small MXU matmuls over the same candidate columns."""
-    r = pl.program_id(0)
-    C = qblk.shape[0]
-    n_rows = meta_ref[1].astype(jnp.int32)
+    neighbor sum is a small MXU matmul per candidate chunk."""
+    (wsum,) = scratch
+    C = qrow.shape[1]
+    CC = cand_slot.shape[1]
+    qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
+    qvalid = qrow[CH_VALID:CH_VALID + 1, :] > 0.5
+    q_spfh = qrow[CH_EXTRA:CH_EXTRA + DIM, :]  # [33, C]
+    r2 = meta_ref[0]
 
-    @pl.when(r >= n_rows)
-    def _zero():
-        out_ref[...] = jnp.zeros(out_ref.shape, jnp.float32)
+    wsum[...] = jnp.zeros_like(wsum)
 
-    @pl.when(r < n_rows)
-    def _():
-        tcopy = pltpu.make_async_copy(tab_ref.at[pl.ds(r, 1)], tabs, tsem)
-        tcopy.start()
-        tcopy.wait()
-        _dma_cols(tabs, packed_ref, cand, qblk, csems, qsem)
-        eye = jnp.eye(C, dtype=jnp.float32)
-        qrow = _query_lanes(qblk[...], eye)
-        qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
-        qvalid = qrow[CH_VALID : CH_VALID + 1, :] > 0.5
-        q_spfh = qrow[CH_EXTRA : CH_EXTRA + DIM, :]  # [33, C]
-        r2 = meta_ref[0]
-        CC = cand.shape[1]
-        jc = jax.lax.broadcasted_iota(jnp.int32, (CC, 1), 0)
+    def body(cc, jc, clen, _):
+        cx, cy, cz = cc[:, 0:1], cc[:, 1:2], cc[:, 2:3]
+        d2 = (cx - qx) ** 2 + (cy - qy) ** 2 + (cz - qz) ** 2
+        ok = (
+            (d2 > 0.0)
+            & (d2 <= r2)
+            & (jc < clen)
+            & (cc[:, 7:8] > 0.5)
+            & qvalid
+        )
+        w = jnp.where(ok, 1.0 / jnp.maximum(d2, 1e-30), 0.0)  # [CHUNK, C]
+        wsum[DIM:DIM + 1, :] += jnp.sum(
+            ok.astype(jnp.float32), axis=0, keepdims=True
+        )
+        # [33, C] += SPFH_cand^T [33, CHUNK] @ W [CHUNK, C]
+        wsum[0:DIM, :] += jax.lax.dot_general(
+            cc[:, CH_EXTRA:CH_EXTRA + DIM],
+            w,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return 0
 
-        wsum[...] = jnp.zeros_like(wsum)
-
-        def body(c, _):
-            cc = cand[c]
-            clen = tabs[0, 16 + c]
-            cx, cy, cz = cc[:, 0:1], cc[:, 1:2], cc[:, 2:3]
-            d2 = (cx - qx) ** 2 + (cy - qy) ** 2 + (cz - qz) ** 2
-            ok = (
-                (d2 > 0.0)
-                & (d2 <= r2)
-                & (jc < clen)
-                & (cc[:, 7:8] > 0.5)
-                & qvalid
-            )
-            w = jnp.where(ok, 1.0 / jnp.maximum(d2, 1e-30), 0.0)  # [CC, C]
-            wsum[DIM : DIM + 1, :] += jnp.sum(
-                ok.astype(jnp.float32), axis=0, keepdims=True
-            )
-            # [33, C] += SPFH_cand^T [33, CC] @ W [CC, C]
-            wsum[0:DIM, :] += jax.lax.dot_general(
-                cc[:, CH_EXTRA : CH_EXTRA + DIM],
-                w,
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return 0
-
-        jax.lax.fori_loop(0, 9, body, 0)
-        kcnt = wsum[DIM : DIM + 1, :]
-        mean = wsum[0:DIM, :] / jnp.maximum(kcnt, 1.0)
-        feat = q_spfh + mean
-        blocks = []
-        for blk in range(3):
-            f = feat[blk * NR_BINS : (blk + 1) * NR_BINS, :]
-            s = jnp.sum(f, axis=0, keepdims=True)
-            blocks.append(jnp.where(s > 0, 100.0 * f / jnp.maximum(s, 1e-30), f))
-        out_ref[0, :, :] = jnp.concatenate(blocks + [kcnt], axis=0)  # [34, C]
+    _fold_cols_chunked(tab_ref, g, cand_slot, CC, body, 0)
+    kcnt = wsum[DIM:DIM + 1, :]
+    mean = wsum[0:DIM, :] / jnp.maximum(kcnt, 1.0)
+    feat = q_spfh + mean
+    blocks = []
+    for blk in range(3):
+        f = feat[blk * NR_BINS:(blk + 1) * NR_BINS, :]
+        s = jnp.sum(f, axis=0, keepdims=True)
+        blocks.append(jnp.where(s > 0, 100.0 * f / jnp.maximum(s, 1e-30), f))
+    out_g[:, :] = jnp.concatenate(blocks + [kcnt], axis=0)  # [34, C]
 
 
 # ---------------------------------------------------------------------------
-# pass runner + wrappers
+# jitted pass drivers (consume the sorted state; statics fixed by the plan)
 # ---------------------------------------------------------------------------
-def _run_pass(kernel, meta, tab, packed, R_pad, C, n_out_ch, interpret, extra_scratch=()):
-    CC = 3 * C
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(R_pad,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, n_out_ch, C), lambda r, *_: (r, 0, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((9, CC, 128), jnp.float32),
-            pltpu.VMEM((C, 128), jnp.float32),
-            *extra_scratch,
-            pltpu.SMEM((1, TAB_LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA((9,)),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((R_pad, n_out_ch, C), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(meta, tab, packed)
+def _default_interpret(interpret):
+    if interpret is None:
+        return jax.default_backend() not in ("tpu", "axon")
+    return interpret
 
 
-def _round_up(n, m):
-    return ((n + m - 1) // m) * m
-
-
-OCC_TARGET = 48  # grow the cell until the median point's cell holds ~this
-
-
-def _sizes(xyz, valid, radius, grow_cell: bool = True, exact: bool = False):
-    """Host-pulled grid sizing: (R_pad, C bucket, cell_size).
-
-    The kernels mask by the true radius; the CELL may be any size >= radius
-    (the 27-stencil stays envelope-complete).  Sparse grids (median cell
-    occupancy far below OCC_TARGET) pay per-step overhead on hundreds of
-    thousands of near-empty cells, so the cell is grown an integer factor
-    toward the target.  The candidate bucket is sized by the p99.9 POINT
-    occupancy rather than the max: isolated dense junction cells (face
-    intersections) would otherwise force the largest block on everyone;
-    points beyond the bucket in such cells are truncated, the same cap
-    semantics as the reference's max_neighbors_ (iss_debug.cpp:47-54)."""
-    if exact:
-        grow_cell = False
-    factors = (1, 2, 3, 4) if grow_cell else (1,)
-    all_stats = np.asarray(
-        _grid_stats(xyz, valid, radius, factors=factors)
-    ).astype(np.int64).tolist()
-    n_rows, maxocc, q50, q999 = all_stats[0]
-    m = 1
-    if grow_cell and q50 > 0:
-        import math
-
-        m = int(min(4, max(1, round(math.sqrt(OCC_TARGET / max(q50, 1))))))
-        if m > 1:
-            n_rows, maxocc, q50, q999 = all_stats[factors.index(m)]
-    R_pad = max(512, _round_up(max(n_rows, 1), 512))
-    R_pad = min(R_pad, xyz.shape[0] + 1)
-    target = maxocc if exact else min(max(q999, 1), maxocc)
-    C = next((b for b in C_BUCKETS if b >= target), None)
-    return R_pad, C, m
-
-
-def _slot_gather(out_ch, rank, pos, vs, order, R_pad, C):
-    """Map one [R_pad, C] output channel back to original point order."""
-    slot, kept = _slot_map(rank, pos, vs, R_pad, C)
-    vals_sorted = jnp.where(kept, out_ch.reshape(-1)[slot], 0.0)
-    return vals_sorted, kept
-
-
-@functools.partial(jax.jit, static_argnames=("m", "C", "R_pad", "interpret"))
-def _surface_impl(xyz, valid, radius, m, C, R_pad, interpret):
-    packed, order, rank, pos, vs, tab, n_rows = prep_cell_columns(
-        xyz, jnp.zeros_like(xyz), valid, radius, m, C, R_pad
-    )
-    meta = jnp.stack([radius * radius, jnp.minimum(n_rows, R_pad).astype(jnp.float32)])
-    out = _run_pass(_surface_kernel, meta, tab, packed, R_pad, C, N_CH_SURF, interpret)
+@functools.partial(
+    jax.jit,
+    static_argnames=("C", "CC", "R_pad", "interpret", "do_surface", "do_iss",
+                     "min_neighbors"),
+)
+def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
+                      C, CC, R_pad, interpret, do_surface, do_iss,
+                      min_neighbors):
+    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
+    N = ks.shape[0]
+    packed, tab, n_rows = _build_tables(state, C, CC, R_pad)
+    nrows_f = jnp.minimum(n_rows, R_pad).astype(jnp.float32)
     inv = jnp.argsort(order)
-    chans = []
-    for ch in range(10):
-        vals_sorted, _kept = _slot_gather(out[:, ch, :], rank, pos, vs, order, R_pad, C)
-        chans.append(vals_sorted[inv])
-    return chans
+    out = {}
+
+    if do_surface:
+        meta = jnp.stack([normal_r2, nrows_f, jnp.float32(0), jnp.float32(0),
+                          jnp.float32(0)])
+        srf = _run_pass(_surface_cell, meta, tab, packed, R_pad, C, CC,
+                        N_CH_SURF, interpret)
+        chans = []
+        for ch in range(10):
+            v, _ = _slot_gather(srf[:, ch, :], rank, pos, vs, R_pad, C)
+            chans.append(v[inv])
+        nx, ny, nz, curv, l0, l1, l2, cnt, dmin, nnid_f = chans
+        normal = jnp.stack([nx, ny, nz], axis=1)
+        eigvals = jnp.stack([l0, l1, l2], axis=1)
+        nnid = jnp.clip(nnid_f.astype(jnp.int32), 0, N - 1)
+        has_nn = (nnid_f >= 0) & (dmin < BIG / 2)
+        valid_o = vs[inv]  # vs is sorted-order; inv maps back to input order
+        ok = valid_o & (cnt >= 3)
+        to_vp = viewpoint[None, :] - jnp.stack(
+            [xs[inv], ys[inv], zs[inv]], axis=1
+        )
+        flip = jnp.sum(normal * to_vp, axis=-1) < 0.0
+        normal = jnp.where(flip[:, None], -normal, normal)
+        normal = jnp.where(ok[:, None], normal, 0.0)
+        d_raw = jnp.where(valid_o & has_nn, dmin, 0.0)
+        d_nn = jnp.where(has_nn, d_raw[nnid], d_raw)
+        density = jnp.where(
+            valid_o & has_nn,
+            jnp.minimum(d_raw, jnp.where(d_nn > 0, d_nn, d_raw)),
+            0.0,
+        )
+        out.update(normal=normal, curv=curv, density=density,
+                   eigvals=eigvals, ok=ok)
+
+    if do_iss:
+        meta = jnp.stack([iss_r2, nrows_f, gamma21, gamma32,
+                          jnp.float32(min_neighbors)])
+        o1 = _run_pass(_iss_count_cell, meta, tab, packed, R_pad, C, CC, 8,
+                       interpret)
+        counts_sorted, _ = _slot_gather(o1[:, 0, :], rank, pos, vs, R_pad, C)
+        packed = packed.at[:N, CH_EXTRA].set(counts_sorted)
+
+        o2 = _run_pass(_iss_saliency_cell, meta, tab, packed, R_pad, C, CC, 8,
+                       interpret)
+        sal_sorted, _ = _slot_gather(o2[:, 0, :], rank, pos, vs, R_pad, C)
+        ok_sorted, _ = _slot_gather(o2[:, 1, :], rank, pos, vs, R_pad, C)
+        packed = packed.at[:N, CH_SAL].set(sal_sorted)
+        packed = packed.at[:N, CH_OK].set(ok_sorted)
+
+        o3 = _run_pass(_iss_nms_cell, meta, tab, packed, R_pad, C, CC, 8,
+                       interpret)
+        kp_sorted, _ = _slot_gather(o3[:, 0, :], rank, pos, vs, R_pad, C)
+        valid_o = vs[inv]
+        out.update(
+            kp=(kp_sorted[inv] > 0.5) & valid_o,
+            saliency=jnp.where(valid_o, sal_sorted[inv], 0.0),
+        )
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("C", "CC", "R_pad", "interpret"))
+def _fpfh_impl(state, r2, C, CC, R_pad, interpret):
+    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
+    N = ks.shape[0]
+    packed, tab, n_rows = _build_tables(state, C, CC, R_pad)
+    nrows_f = jnp.minimum(n_rows, R_pad).astype(jnp.float32)
+    meta = jnp.stack([r2, nrows_f])
+    spfh = _run_pass(
+        _spfh_cell, meta, tab, packed, R_pad, C, CC, DIM + 1, interpret,
+        extra_scratch=(pltpu.VMEM((DIM + 1, C), jnp.float32),),
+    )
+    # write each point's SPFH into its packed lanes for the combine pass
+    slot, kept = _slot_map(rank, pos, vs, R_pad, C)
+    spfh_lanes = jnp.swapaxes(spfh[:, 0:DIM, :], 1, 2).reshape(R_pad * C, DIM)
+    spfh_sorted = jnp.where(kept[:, None], spfh_lanes[slot], 0.0)
+    packed = packed.at[:N, CH_EXTRA:CH_EXTRA + DIM].set(spfh_sorted)
+
+    outp = _run_pass(
+        _combine_cell, meta, tab, packed, R_pad, C, CC, DIM + 1, interpret,
+        extra_scratch=(pltpu.VMEM((DIM + 1, C), jnp.float32),),
+    )
+    flat = jnp.swapaxes(outp, 1, 2).reshape(R_pad * C, DIM + 1)
+    feats_sorted = jnp.where(kept[:, None], flat[slot], 0.0)
+    inv = jnp.argsort(order)
+    feats = feats_sorted[inv]
+    feat = feats[:, :DIM]
+    k_cnt = feats[:, DIM]
+    valid_o = vs[inv]
+    feat_valid = valid_o & (k_cnt > 0)
+    feat = jnp.where(feat_valid[:, None], feat, 0.0)
+    return feat, feat_valid
+
+
+# ---------------------------------------------------------------------------
+# public wrappers
+# ---------------------------------------------------------------------------
+def surface_iss_cells(xyz, valid, normal_radius, iss_radius, viewpoint=None,
+                      gamma21: float = 0.975, gamma32: float = 0.975,
+                      min_neighbors: int = 4, interpret=None,
+                      exact: bool = False):
+    """Surface pass + ISS keypoints over ONE shared grid (cell = max of the
+    radii; each kernel masks its own radius).  Returns dict with normal,
+    curv, density, eigvals, ok, kp, saliency."""
+    interpret = _default_interpret(interpret)
+    cell = float(np.maximum(np.asarray(normal_radius), np.asarray(iss_radius)))
+    plan = plan_grid(xyz, jnp.zeros_like(xyz), valid, cell, exact=exact)
+    if viewpoint is None:
+        viewpoint = jnp.zeros((3,), jnp.float32)
+    else:
+        viewpoint = jnp.asarray(viewpoint, jnp.float32)
+    nr = jnp.asarray(normal_radius, jnp.float32)
+    ir = jnp.asarray(iss_radius, jnp.float32)
+    return _surface_iss_impl(
+        plan.state, nr * nr, ir * ir, jnp.float32(gamma21),
+        jnp.float32(gamma32), viewpoint, plan.C, plan.CC, plan.R_pad,
+        interpret, True, True, min_neighbors,
+    )
 
 
 def surface_cells(xyz, valid, radius, viewpoint=None, interpret=None,
                   exact: bool = False):
     """Self-join surface pass: (normal oriented to viewpoint, curvature,
     k=2-smoothed density, eigvals ascending [N,3], ok)."""
-    if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
-    radius = jnp.asarray(radius, jnp.float32)
-    R_pad, Cb, m = _sizes(xyz, valid, radius, exact=exact)
-    if Cb is None:
-        raise ValueError(
-            f"cell occupancy exceeds the {C_BUCKETS[-1]} kernel cap; "
-            "use the XLA path for this cloud"
-        )
-    nx, ny, nz, curv, l0, l1, l2, cnt, dmin, nnid_f = _surface_impl(
-        xyz, valid, radius, m, Cb, R_pad, interpret
-    )
-    normal = jnp.stack([nx, ny, nz], axis=1)
-    eigvals = jnp.stack([l0, l1, l2], axis=1)
-    nnid = jnp.clip(nnid_f.astype(jnp.int32), 0, xyz.shape[0] - 1)
-    has_nn = (nnid_f >= 0) & (dmin < BIG / 2)
-
-    ok = valid & (cnt >= 3)
+    interpret = _default_interpret(interpret)
+    plan = plan_grid(xyz, jnp.zeros_like(xyz), valid, float(np.asarray(radius)),
+                     exact=exact)
     if viewpoint is None:
         viewpoint = jnp.zeros((3,), jnp.float32)
     else:
         viewpoint = jnp.asarray(viewpoint, jnp.float32)
-    to_vp = viewpoint[None, :] - xyz
-    flip = jnp.sum(normal * to_vp, axis=-1) < 0.0
-    normal = jnp.where(flip[:, None], -normal, normal)
-    normal = jnp.where(ok[:, None], normal, 0.0)
-
-    d_raw = jnp.where(valid & has_nn, dmin, 0.0)
-    d_nn = jnp.where(has_nn, d_raw[nnid], d_raw)
-    density = jnp.where(
-        valid & has_nn, jnp.minimum(d_raw, jnp.where(d_nn > 0, d_nn, d_raw)), 0.0
+    r = jnp.asarray(radius, jnp.float32)
+    out = _surface_iss_impl(
+        plan.state, r * r, r * r, jnp.float32(0.975), jnp.float32(0.975),
+        viewpoint, plan.C, plan.CC, plan.R_pad, interpret, True, False, 4,
     )
-    return normal, curv, density, eigvals, ok
-
-
-@functools.partial(
-    jax.jit, static_argnames=("m", "C", "R_pad", "interpret", "min_neighbors")
-)
-def _iss_impl(xyz, valid, radius, m, gamma21, gamma32, C, R_pad, interpret, min_neighbors):
-    N = xyz.shape[0]
-    packed, order, rank, pos, vs, tab, n_rows = prep_cell_columns(
-        xyz, jnp.zeros_like(xyz), valid, radius, m, C, R_pad
-    )
-    meta = jnp.stack(
-        [
-            radius * radius,
-            jnp.minimum(n_rows, R_pad).astype(jnp.float32),
-            jnp.asarray(gamma21, jnp.float32),
-            jnp.asarray(gamma32, jnp.float32),
-            jnp.float32(min_neighbors),
-        ]
-    )
-    out1 = _run_pass(_iss_count_kernel, meta, tab, packed, R_pad, C, 8, interpret)
-    counts_sorted, _ = _slot_gather(out1[:, 0, :], rank, pos, vs, order, R_pad, C)
-    packed = packed.at[:N, CH_EXTRA].set(counts_sorted)
-
-    out2 = _run_pass(_iss_saliency_kernel, meta, tab, packed, R_pad, C, 8, interpret)
-    sal_sorted, _ = _slot_gather(out2[:, 0, :], rank, pos, vs, order, R_pad, C)
-    ok_sorted, _ = _slot_gather(out2[:, 1, :], rank, pos, vs, order, R_pad, C)
-    packed = packed.at[:N, CH_SAL].set(sal_sorted)
-    packed = packed.at[:N, CH_OK].set(ok_sorted)
-
-    out3 = _run_pass(_iss_nms_kernel, meta, tab, packed, R_pad, C, 8, interpret)
-    kp_sorted, _ = _slot_gather(out3[:, 0, :], rank, pos, vs, order, R_pad, C)
-
-    inv = jnp.argsort(order)
-    return (kp_sorted[inv] > 0.5) & valid, jnp.where(valid, sal_sorted[inv], 0.0)
+    return out["normal"], out["curv"], out["density"], out["eigvals"], out["ok"]
 
 
 def iss_cells(
@@ -953,63 +1169,22 @@ def iss_cells(
     exact: bool = False,
 ):
     """Self-join ISS keypoints: (is_keypoint bool[N], saliency f32[N])."""
-    if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
-    radius = jnp.asarray(iss_radius, jnp.float32)
-    R_pad, Cb, m = _sizes(xyz, valid, radius, exact=exact)
-    if Cb is None:
-        raise ValueError(
-            f"cell occupancy exceeds the {C_BUCKETS[-1]} kernel cap; "
-            "use the XLA path for this cloud"
-        )
-    return _iss_impl(
-        xyz, valid, radius, m, gamma21, gamma32, Cb, R_pad,
-        interpret, min_neighbors,
+    interpret = _default_interpret(interpret)
+    plan = plan_grid(xyz, jnp.zeros_like(xyz), valid,
+                     float(np.asarray(iss_radius)), exact=exact)
+    r = jnp.asarray(iss_radius, jnp.float32)
+    out = _surface_iss_impl(
+        plan.state, r * r, r * r, jnp.float32(gamma21), jnp.float32(gamma32),
+        jnp.zeros((3,), jnp.float32), plan.C, plan.CC, plan.R_pad, interpret,
+        False, True, min_neighbors,
     )
-
-
-@functools.partial(jax.jit, static_argnames=("m", "C", "R_pad", "interpret"))
-def _fpfh_impl(xyz, normal, valid, radius, m, C, R_pad, interpret):
-    N = xyz.shape[0]
-    packed, order, rank, pos, vs, tab, n_rows = prep_cell_columns(
-        xyz, normal, valid, radius, m, C, R_pad
-    )
-    meta = jnp.stack([radius * radius, jnp.minimum(n_rows, R_pad).astype(jnp.float32)])
-    spfh = _run_pass(
-        _spfh_kernel, meta, tab, packed, R_pad, C, DIM + 1, interpret,
-        extra_scratch=(pltpu.VMEM((DIM + 1, C), jnp.float32),),
-    )
-    # write each point's SPFH into its packed lanes for the combine pass
-    slot, kept = _slot_map(rank, pos, vs, R_pad, C)
-    spfh_lanes = jnp.swapaxes(spfh[:, 0:DIM, :], 1, 2).reshape(R_pad * C, DIM)
-    spfh_sorted = jnp.where(kept[:, None], spfh_lanes[slot], 0.0)
-    packed = packed.at[:N, CH_EXTRA : CH_EXTRA + DIM].set(spfh_sorted)
-
-    out = _run_pass(
-        _combine_kernel, meta, tab, packed, R_pad, C, DIM + 1, interpret,
-        extra_scratch=(pltpu.VMEM((DIM + 1, C), jnp.float32),),
-    )
-    flat = jnp.swapaxes(out, 1, 2).reshape(R_pad * C, DIM + 1)
-    feats_sorted = jnp.where(kept[:, None], flat[slot], 0.0)
-    inv = jnp.argsort(order)
-    feats = feats_sorted[inv]
-    feat = feats[:, :DIM]
-    k_cnt = feats[:, DIM]
-    feat_valid = valid & (k_cnt > 0)
-    feat = jnp.where(feat_valid[:, None], feat, 0.0)
-    return feat, feat_valid
+    return out["kp"], out["saliency"]
 
 
 def fpfh_cells(xyz, normal, valid, radius, interpret=None,
                exact: bool = False):
     """Self-join FPFH: (feat f32[N,33], feat_valid bool[N])."""
-    if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
-    radius = jnp.asarray(radius, jnp.float32)
-    R_pad, Cb, m = _sizes(xyz, valid, radius, exact=exact)
-    if Cb is None:
-        raise ValueError(
-            f"cell occupancy exceeds the {C_BUCKETS[-1]} kernel cap; "
-            "use the XLA path for this cloud"
-        )
-    return _fpfh_impl(xyz, normal, valid, radius, m, Cb, R_pad, interpret)
+    interpret = _default_interpret(interpret)
+    plan = plan_grid(xyz, normal, valid, float(np.asarray(radius)), exact=exact)
+    r = jnp.asarray(radius, jnp.float32)
+    return _fpfh_impl(plan.state, r * r, plan.C, plan.CC, plan.R_pad, interpret)
