@@ -59,6 +59,19 @@ class FlagshipConfig:
     cluster_k: int = 40  # MATCHING_CLUSTER_K (common.h:49)
     cluster_threshold: float = 0.95  # MATCHING_CLUSTER_THRESHOLD
     max_correspondences: int = 1024  # keep the most cluster-consistent
+    metric: str = "correspondences"  # hypothesis score: correspondences|uniformity
+    descriptor: str = "fpfh"  # staged path: fpfh | shot (the reference's
+    # shipped sweep is `descriptor: shot`, data/tests.yaml)
+    lrf: str = "gravity"  # SHOT frames: gravity (+SHOT-LRF fallback) | default
+    shot_k: int = 512  # SHOT neighbor budget per keypoint
+    shot_cap: int = 128  # per-cell candidate cap for the SHOT radius query
+    uniformity_top: int = 64  # uniformity: rescore this many count-ranked
+    # hypotheses per round (the 3-axis entropy over all B would be
+    # scatter-bound; the reference subsamples points for its expensive
+    # metrics (SPARSE_POINTS_FRACTION), we subsample hypotheses)
+    ransac_compact: int = 4096  # staged path: compact correspondences to this
+    # many rows before the RANSAC stage (0 = off); the adaptive threshold
+    # arrays stay per-correspondence
 
 
 def _knn_fixed(xyz, valid, queries, qvalid, cell, k, cap, include_self, qidx=None,
@@ -126,10 +139,10 @@ def _fpfh_fixed(xyz, normal, valid, kp_mask, radius, cfg: FlagshipConfig):
 
 
 def ransac_solve(p, q, thr, cvalid, key, cfg: FlagshipConfig):
-    """Batched prerejective RANSAC over masked correspondence arrays
-    (correspondences metric, constant score) — THE shared round body used by
-    register_pair_step, _ransac_stage and parallel.batch._pair_step_tp, so
-    the single-chip and mesh-sharded paths cannot drift.
+    """Batched prerejective RANSAC over masked correspondence arrays —
+    THE shared round body used by register_pair_step, _ransac_stage and
+    parallel.batch._pair_step_tp, so the single-chip and mesh-sharded paths
+    cannot drift.
 
     Each round draws B sample triples from the valid prefix, prerejects by
     polygon edge-length similarity (sac_prerejective_omp.cpp:105-108,
@@ -137,11 +150,55 @@ def ransac_solve(p, q, thr, cvalid, key, cfg: FlagshipConfig):
     correspondences against per-pair thresholds and keeps the argmax.  The
     adaptive iteration estimate (metric.cpp:103-123) is carried ON DEVICE in
     a lax.while_loop — zero host round-trips, early exit once the confidence
-    budget is met.  Ref: sac_prerejective_omp.cpp:115-314."""
+    budget is met.  Ref: sac_prerejective_omp.cpp:115-314.
+
+    cfg.metric selects the hypothesis score: "correspondences" (count/n,
+    metric.cpp:125) or "uniformity" (3-axis projected entropy of the inlier
+    source points, metric.cpp:167-179 — the reference's SHIPPED sweep
+    metric, data/tests.yaml) with its min-tolerable 0.3 convergence gate
+    (metric.h:98).  The entropy is evaluated for the cfg.uniformity_top
+    count-ranked hypotheses per round."""
+    if cfg.ransac_compact and cfg.ransac_compact < p.shape[0]:
+        # compact the correspondence set to a static prefix: every round's
+        # [B, M] inlier test (and the entropy scatter) shrinks from the
+        # padded cloud length to the actual correspondence budget.  The
+        # stable argsort keeps row order, so the cluster path's
+        # consensus-ranked cap stays intact.
+        sel = jnp.argsort(~cvalid)[: cfg.ransac_compact]
+        p, q, thr, cvalid = p[sel], q[sel], thr[sel], cvalid[sel]
+    uniformity = cfg.metric == "uniformity"
+    if uniformity:
+        from lidar_global_registration_tpu.ops.metrics import (
+            uniformity_bins,
+            uniformity_entropy,
+        )
+
+        big = jnp.float32(3.0e37)
+        lo = jnp.min(jnp.where(cvalid[:, None], p, big), axis=0)
+        hi = jnp.max(jnp.where(cvalid[:, None], p, -big), axis=0)
+        ok_bb = lo <= hi
+        lo = jnp.where(ok_bb, lo, 0.0)
+        hi = jnp.where(ok_bb, hi, 1.0)
+        bins3 = uniformity_bins(p, lo, hi)
+    min_tolerable = jnp.float32(0.3 if uniformity else 0.0)
     n_corr = jnp.sum(cvalid.astype(jnp.float32))
     order = jnp.argsort(~cvalid)  # valid rows first
     nvalid_i = jnp.maximum(n_corr.astype(jnp.int32), 1)
     B, S = cfg.hypothesis_batch, cfg.n_samples
+
+    def score(alive, cnt, inl_mask):
+        """Hypothesis metric [B] (-1 for dead rows)."""
+        if not uniformity:
+            return jnp.where(
+                alive, cnt.astype(jnp.float32) / jnp.maximum(n_corr, 1.0), -1.0
+            )
+        T = min(cfg.uniformity_top, B)
+        cnt_r = jnp.where(alive, cnt, -1)
+        _v, top = jax.lax.top_k(cnt_r, T)
+        ent = uniformity_entropy(inl_mask[top], bins3)  # [T]
+        metric = jnp.full((B,), -1.0, jnp.float32)
+        metric = metric.at[top].set(jnp.where(alive[top], ent, -1.0))
+        return metric
 
     def one_round(rkey, best_metric, best_R, best_t):
         samp = jax.random.randint(rkey, (B, S), 0, nvalid_i)
@@ -165,11 +222,10 @@ def ransac_solve(p, q, thr, cvalid, key, cfg: FlagshipConfig):
             + (tz - q[:, 2][None]) ** 2
         )
         d = jnp.sqrt(jnp.maximum(d2, 0.0))
-        cnt = jnp.sum((d < thr[None]) & cvalid[None], axis=1)
+        inl_mask = (d < thr[None]) & cvalid[None]
+        cnt = jnp.sum(inl_mask, axis=1)
         alive = ok & (cnt >= MIN_NR_INLIERS)
-        metric = jnp.where(
-            alive, cnt.astype(jnp.float32) / jnp.maximum(n_corr, 1.0), -1.0
-        )
+        metric = score(alive, cnt, inl_mask)
         bi = jnp.argmax(metric)
         better = metric[bi] > best_metric
         support = jnp.max(jnp.where(alive, cnt, 0))
@@ -216,13 +272,17 @@ def ransac_solve(p, q, thr, cvalid, key, cfg: FlagshipConfig):
     T = to_matrix4(Rf[0], tf[0])
     tp2 = p @ Rf[0].T + tf[0]
     d2 = jnp.sqrt(jnp.maximum(jnp.sum((tp2 - q) ** 2, axis=-1), 0.0))
-    inl2 = jnp.sum((d2 < thr) & cvalid)
-    metric = inl2.astype(jnp.float32) / jnp.maximum(n_corr, 1.0)
+    inl2_mask = (d2 < thr) & cvalid
+    inl2 = jnp.sum(inl2_mask)
+    if uniformity:
+        metric = uniformity_entropy(inl2_mask[None], bins3)[0]
+    else:
+        metric = inl2.astype(jnp.float32) / jnp.maximum(n_corr, 1.0)
     converged = (
         (n_inl > MIN_NR_FINAL_INLIERS)
         | (n_inl.astype(jnp.float32) > MIN_INLIER_RATE * n_corr)
-    ) & (best_metric > 0)
-    T = jnp.where(best_metric > 0, T, jnp.eye(4))
+    ) & (best_metric > min_tolerable)
+    T = jnp.where(best_metric > min_tolerable, T, jnp.eye(4))
     return {
         "transformation": T,
         "metric": metric,
@@ -359,6 +419,20 @@ def _ransac_stage(p, q, thr, cvalid, key, cfg: FlagshipConfig):
     return ransac_solve(p, q, thr, cvalid, key, cfg)
 
 
+@jax.jit
+def _kp_counts(a, b):
+    return jnp.stack([jnp.sum(a.astype(jnp.int32)), jnp.sum(b.astype(jnp.int32))])
+
+
+@partial(jax.jit, static_argnames=("m",))
+def _compact_rows(v, n, m: int):
+    """First m row ids of the valid prefix (stable: ascending original
+    order, like np.nonzero); padding entries get the out-of-bounds sentinel
+    v.shape[0] so scatters with mode='drop' ignore them."""
+    idx = jnp.argsort(~v)[:m]
+    return jnp.where(jnp.arange(m) < n, idx, v.shape[0])
+
+
 def register_pair_staged(
     src_xyz, src_valid, tgt_xyz, tgt_valid, key,
     normal_cell, density_cell_src, density_cell_tgt,
@@ -402,28 +476,50 @@ def register_pair_staged(
     def _side_stage_host(xyz, valid, iss_radius, vp):
         if use_cells:
           try:
-            # fused Pallas surface pass (normals + curvature + density,
-            # ops/pallas/cellgrid.py, parity tests in
-            # tests/test_cell_surface.py); ISS stays on the XLA grid path
+            # fused Pallas passes (normals + curvature + density + ISS,
+            # ops/pallas/cellgrid.py, parity tests in tests/test_cell_*.py);
+            # surface and ISS share ONE sorted grid (cell = max radius)
             from lidar_global_registration_tpu.ops.pallas.cellgrid import (
                 surface_cells,
+                surface_iss_cells,
             )
 
+            if cfg.use_iss:
+                out = surface_iss_cells(xyz, valid, normal_cell, iss_radius, vp)
+                return out["normal"], out["kp"], out["density"]
             normal, _curv, density, _eig, _ok = surface_cells(
                 xyz, valid, normal_cell, vp
             )
-            if cfg.use_iss:
-                from lidar_global_registration_tpu.ops.pallas.cellgrid import (
-                    iss_cells,
-                )
-
-                kp, _sal = iss_cells(xyz, valid, iss_radius)
-            else:
-                kp = valid
-            return normal, kp, density
+            return normal, valid, density
           except ValueError as e:  # cell occupancy beyond the kernel cap
             print(f"# cell side pass -> XLA fallback: {e}", flush=True)
         return _side_stage(xyz, valid, normal_cell, iss_radius, cfg, vp)
+
+    def _shot_stage(kp_xyz, kp_normal, kpv, surf_xyz, surf_normal, surf_valid):
+        """SHOT-352 at (compacted) keypoints over the full-cloud support
+        (shot_debug.cpp:24-219).  cfg.lrf='gravity': z = keypoint normal,
+        y = gravity x z (common.cpp:712-734), with the SHOT-LRF fallback for
+        normals within 0.04 rad of gravity — on flat ground that is MOST
+        keypoints, so the fallback frames are computed unconditionally and
+        blended on device (no host sync)."""
+        from lidar_global_registration_tpu.ops import grid as gridmod
+        from lidar_global_registration_tpu.ops import lrf as lrfmod
+        from lidar_global_registration_tpu.ops.shot import shot as shot_full
+
+        frames = None
+        if cfg.lrf == "gravity":
+            frames, needs_fb = lrfmod.gravity_lrf(kp_normal)
+            g = gridmod.build_grid(kp_xyz, kpv, feature_radius, cell_cap=32)
+            idx, _d, mask = gridmod.radius_neighbors(
+                g, kp_xyz, kpv, feature_radius, k=64, cap=32,
+            )
+            fb, _ok = lrfmod.shot_lrf(kp_xyz, feature_radius, kp_xyz, idx, mask)
+            frames = jnp.where(needs_fb[:, None, None], fb, frames)
+        return shot_full(
+            kp_xyz, kpv, surf_xyz, surf_normal, surf_valid, feature_radius,
+            frames=frames, k_neighbors=cfg.shot_k, cap=cfg.shot_cap,
+            chunk=cfg.query_chunk,
+        )
 
     def _fpfh_stage(xyz, normal, valid, kp_mask, vp):
         if use_cells:
@@ -450,20 +546,30 @@ def register_pair_staged(
     tgt_normal, tgt_kp, dens_t = _t(
         "side_tgt", _side_stage_host(tgt_xyz, tgt_valid, iss_radius_tgt, vp_tgt)
     )
-    fq, fq_valid = _t("fpfh_src", _fpfh_stage(src_xyz, src_normal, src_valid, src_kp, vp_src))
-    ft, ft_valid = _t("fpfh_tgt", _fpfh_stage(tgt_xyz, tgt_normal, tgt_valid, tgt_kp, vp_tgt))
+    shot_mode = cfg.descriptor == "shot"
+    if shot_mode:
+        # SHOT is computed ONLY at the compacted keypoint rows (below) —
+        # the full-row pass FPFH uses would waste 25-100x the work on a
+        # descriptor 10x wider.  Validity here is just the keypoint mask.
+        fq = ft = None
+        fq_valid = src_valid & src_kp
+        ft_valid = tgt_valid & tgt_kp
+    else:
+        fq, fq_valid = _t("fpfh_src", _fpfh_stage(src_xyz, src_normal, src_valid, src_kp, vp_src))
+        ft, ft_valid = _t("fpfh_tgt", _fpfh_stage(tgt_xyz, tgt_normal, tgt_valid, tgt_kp, vp_tgt))
 
     # keypoint compaction: with ISS (or heavy masking) only a fraction of
     # rows carry descriptors; matching the compact rows replaces the full
     # N x N distance matmul with an M x M one (matching keypoints, not
     # points, exactly like the reference matcher operates on keypoint
-    # descriptors only).  One host pull of the two validity masks decides.
+    # descriptors only).  The only host sync is ONE pull of the two
+    # keypoint COUNTS (round 2 pulled the full [N] validity masks — two
+    # megabyte-scale transfers per pair on tunneled runtimes); the index
+    # layout itself is built on device.
     import numpy as np_
 
-    fqv_np = np_.asarray(fq_valid)
-    ftv_np = np_.asarray(ft_valid)
-    N_all = fqv_np.shape[0]
-    n_q, n_t = int(fqv_np.sum()), int(ftv_np.sum())
+    N_all = fq_valid.shape[0]
+    n_q, n_t = (int(x) for x in np_.asarray(_kp_counts(fq_valid, ft_valid)))
     if min(n_q, n_t) > 0 and max(n_q, n_t) <= N_all // 2:
         def pad_to(a, m):
             return int(-(-max(a, 1) // m) * m)
@@ -471,21 +577,31 @@ def register_pair_staged(
         mq, mt = pad_to(n_q, 1024), pad_to(n_t, 1024)
         # padding rows point at N_all: gathers clamp harmlessly (row is
         # masked), scatters drop them instead of clobbering row 0
-        sq = np_.full(mq, N_all, np_.int64)
-        st = np_.full(mt, N_all, np_.int64)
-        sq[:n_q] = np_.nonzero(fqv_np)[0]
-        st[:n_t] = np_.nonzero(ftv_np)[0]
-        sqj, stj = jnp.asarray(sq), jnp.asarray(st)
+        sqj = _compact_rows(fq_valid, n_q, mq)
+        stj = _compact_rows(ft_valid, n_t, mt)
         sq_g = jnp.minimum(sqj, N_all - 1)
         st_g = jnp.minimum(stj, N_all - 1)
-        qv = jnp.asarray(np_.arange(mq) < n_q)
-        tv = jnp.asarray(np_.arange(mt) < n_t)
+        qv = jnp.arange(mq) < n_q
+        tv = jnp.arange(mt) < n_t
+        if shot_mode:
+            fqc, fqc_ok = _t("shot_src", _shot_stage(
+                src_xyz[sq_g], src_normal[sq_g], qv,
+                src_xyz, src_normal, src_valid,
+            ))
+            ftc, ftc_ok = _t("shot_tgt", _shot_stage(
+                tgt_xyz[st_g], tgt_normal[st_g], tv,
+                tgt_xyz, tgt_normal, tgt_valid,
+            ))
+            qv = qv & fqc_ok
+            tv = tv & ftc_ok
+        else:
+            fqc, ftc = fq[sq_g], ft[st_g]
         ic_st, _dc1, mc_st = matchers.match_bf(
-            fq[sq_g], ft[st_g], qv, tv, k=1, tile=cfg.match_tile,
+            fqc, ftc, qv, tv, k=1, tile=cfg.match_tile,
             bf16=cfg.bf16_matching,
         )
         ic_ts, _dc2, mc_ts = matchers.match_bf(
-            ft[st_g], fq[sq_g], tv, qv, k=1, tile=cfg.match_tile,
+            ftc, fqc, tv, qv, k=1, tile=cfg.match_tile,
             bf16=cfg.bf16_matching,
         )
         if cfg.use_iss and cfg.cluster_matching:
@@ -582,6 +698,24 @@ def register_pair_staged(
         _t("match_compact", (idx_st, mask_st, idx_ts, mask_ts))
     else:
         clustered = False
+        if cfg.use_iss and cfg.cluster_matching:
+            # the compaction precondition failed (too many keypoint rows to
+            # compact) — say so instead of silently changing strategy
+            print(
+                f"# cluster matching -> mutual 1-NN fallback: "
+                f"{n_q}/{n_t} keypoints of {N_all} rows exceed the "
+                "compaction precondition",
+                flush=True,
+            )
+        if shot_mode:
+            # no compaction: SHOT over every masked row (the expensive path;
+            # only reachable when keypoints are a majority of the cloud)
+            fq, fq_valid = _t("shot_src", _shot_stage(
+                src_xyz, src_normal, fq_valid, src_xyz, src_normal, src_valid
+            ))
+            ft, ft_valid = _t("shot_tgt", _shot_stage(
+                tgt_xyz, tgt_normal, ft_valid, tgt_xyz, tgt_normal, tgt_valid
+            ))
         idx_st, _d1, mask_st = _t("match_st", matchers.match_bf(
             fq, ft, fq_valid, ft_valid, k=1, tile=cfg.match_tile, bf16=cfg.bf16_matching
         ))

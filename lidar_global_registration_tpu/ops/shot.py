@@ -33,10 +33,17 @@ MAX_ANGULAR = 32
 MIN_NEIGHBORS = 5
 
 
-@partial(jax.jit, static_argnames=())
-def shot_from_neighbors(kp_xyz, kp_frames, surface_xyz, surface_normal, idx, mask, radius):
+@partial(jax.jit, static_argnames=("use_scatter",))
+def shot_from_neighbors(kp_xyz, kp_frames, surface_xyz, surface_normal, idx, mask,
+                        radius, use_scatter: bool = True):
     """kp_xyz f32[M,3]; kp_frames f32[M,3,3] rows (x,y,z); idx i32[M,K] into
-    the surface arrays.  Returns (desc f32[M,352], ok bool[M])."""
+    the surface arrays.  Returns (desc f32[M,352], ok bool[M]).
+
+    use_scatter selects the accumulation lowering: segment-sum scatters are
+    fast on CPU but serialize on TPU; the TPU path (use_scatter=False)
+    histograms by 352 fused masked reductions per contribution instead
+    (compare+select+reduce rides the VPU — same design as the FPFH
+    histograms, round-1 measurement)."""
     M, K = mask.shape
     # per-coordinate gathers (SoA)
     d = [surface_xyz[:, c][idx] - kp_xyz[:, c][:, None] for c in range(3)]  # [M,K]
@@ -146,22 +153,38 @@ def shot_from_neighbors(kp_xyz, kp_frames, surface_xyz, surface_normal, idx, mas
 
     main_idx = volume_index + step_index
 
-    rows = jnp.arange(M, dtype=jnp.int32)[:, None]
-    desc = jnp.zeros((M * DIM,), jnp.float32)
-    # 5 contributions, each its own [M,K] segment-sum (no [M,K,5] stack)
-    for tgt_idx, val in (
+    ways = (
         (main_idx, int_weight),
         (binterp_idx, binterp_val),
         (rinterp_idx, rinterp_val),
         (einterp_idx, einterp_val),
         (ainterp_idx, ainterp_val),
-    ):
-        flat = rows * DIM + jnp.clip(tgt_idx, 0, DIM - 1)
-        v = jnp.where(use, val, 0.0)
-        desc = desc + jax.ops.segment_sum(
-            v.reshape(-1), flat.reshape(-1), num_segments=M * DIM
-        )
-    desc = desc.reshape(M, DIM)
+    )
+    if use_scatter:
+        rows = jnp.arange(M, dtype=jnp.int32)[:, None]
+        desc = jnp.zeros((M * DIM,), jnp.float32)
+        # 5 contributions, each its own [M,K] segment-sum (no [M,K,5] stack)
+        for tgt_idx, val in ways:
+            flat = rows * DIM + jnp.clip(tgt_idx, 0, DIM - 1)
+            v = jnp.where(use, val, 0.0)
+            desc = desc + jax.ops.segment_sum(
+                v.reshape(-1), flat.reshape(-1), num_segments=M * DIM
+            )
+        desc = desc.reshape(M, DIM)
+    else:
+        # scatter-free: per output slot d, sum the contributions whose
+        # target index equals d (5 masked [M,K] reductions per slot)
+        masked = [
+            (jnp.clip(ti, 0, DIM - 1), jnp.where(use, v, 0.0)) for ti, v in ways
+        ]
+        cols = []
+        for dslot in range(DIM):
+            acc = None
+            for ti, v in masked:
+                c = jnp.sum(jnp.where(ti == dslot, v, 0.0), axis=1)
+                acc = c if acc is None else acc + c
+            cols.append(acc)
+        desc = jnp.stack(cols, axis=1)
 
     n_nb = jnp.sum(mask & (dist > 1e-12), axis=1)
     ok = n_nb >= MIN_NEIGHBORS
@@ -182,6 +205,7 @@ def shot(
     cap: int = 128,
     chunk: int | None = None,
     approx: bool | None = None,
+    use_scatter: bool | None = None,
 ):
     """Full SHOT pipeline: neighbors + (optional external) LRFs + histogram.
 
@@ -189,6 +213,8 @@ def shot(
     common.h:394-415 setInputReferenceFrames); default = SHOT LRF."""
     if approx is None:
         approx = gridmod.approx_topk_default()
+    if use_scatter is None:
+        use_scatter = jax.default_backend() not in ("tpu", "axon")
     g = gridmod.build_grid(surface_xyz, surface_valid, radius, cell_cap=cap)
     idx, _dist, mask = gridmod.radius_neighbors(
         g, kp_xyz, kp_valid, radius, k=k_neighbors, cap=cap, chunk=chunk, approx=approx
@@ -198,7 +224,8 @@ def shot(
     else:
         frames_ok = jnp.ones((kp_xyz.shape[0],), bool)
     desc, ok = shot_from_neighbors(
-        kp_xyz, jnp.asarray(frames), surface_xyz, surface_normal, idx, mask, radius
+        kp_xyz, jnp.asarray(frames), surface_xyz, surface_normal, idx, mask, radius,
+        use_scatter=use_scatter,
     )
     ok = ok & frames_ok & kp_valid
     return jnp.where(ok[:, None], desc, 0.0), ok
