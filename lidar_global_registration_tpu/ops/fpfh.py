@@ -107,13 +107,18 @@ def _spfh_histogram(f1, f2, f3, ok):
 
 
 @partial(jax.jit, static_argnames=())
-def spfh(xyz, normal, idx, mask):
+def spfh(xyz, normal, idx, mask, query_xyz=None, query_normal=None):
     """Simplified point feature histograms for all points (SoA gathers).
 
-    xyz/normal f32[N,3]; idx i32[N,K] radius neighbors (self excluded);
-    mask bool[N,K].  Returns f32[N,33]."""
-    dp = [xyz[:, c][idx] - xyz[:, c][:, None] for c in range(3)]
-    n1 = [normal[:, c][:, None] for c in range(3)]
+    xyz/normal f32[N,3]; idx i32[Q,K] radius neighbors (self excluded);
+    mask bool[Q,K].  Returns f32[Q,33].  query_xyz/query_normal decouple
+    the query rows from the cloud for row-sharded (tp) execution."""
+    if query_xyz is None:
+        query_xyz = xyz
+    if query_normal is None:
+        query_normal = normal
+    dp = [xyz[:, c][idx] - query_xyz[:, c][:, None] for c in range(3)]
+    n1 = [query_normal[:, c][:, None] for c in range(3)]
     n2 = [normal[:, c][idx] for c in range(3)]
     f1, f2, f3, ok = pair_features_soa(dp, n1, n2)
     ok = ok & mask

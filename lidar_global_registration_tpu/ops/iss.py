@@ -30,15 +30,23 @@ from lidar_global_registration_tpu.types import Cloud
 
 @partial(jax.jit, static_argnames=("gamma21", "gamma32", "min_neighbors"))
 def _iss_saliency(
-    xyz, valid, idx, mask, counts, gamma21=0.975, gamma32=0.975, min_neighbors=4
+    xyz, valid, idx, mask, counts, gamma21=0.975, gamma32=0.975, min_neighbors=4,
+    query_xyz=None, query_valid=None,
 ):
     """Third-eigenvalue saliency per point given salient-radius neighbors.
 
     Per-coordinate gathers (SoA): [N,K,3] intermediates pad their last dim
-    to 128 lanes on TPU."""
+    to 128 lanes on TPU.  query_xyz/query_valid decouple the query rows from
+    the full cloud (the tp-sharded path computes a row shard per device:
+    idx/mask are then [shard, K] while xyz/counts stay full-length)."""
+    if query_xyz is None:
+        query_xyz = xyz
+    if query_valid is None:
+        query_valid = valid
+    valid = query_valid
     w = jnp.where(mask, 1.0 / jnp.maximum(counts[idx].astype(jnp.float32), 1.0), 0.0)
     wsum = jnp.sum(w, axis=1)
-    diffs = [xyz[:, d][idx] - xyz[:, d][:, None] for d in range(3)]  # [N,K] x3
+    diffs = [xyz[:, d][idx] - query_xyz[:, d][:, None] for d in range(3)]  # [Q,K] x3
     rows = []
     for i in range(3):
         row = []
@@ -63,12 +71,17 @@ def _iss_saliency(
 
 
 @partial(jax.jit, static_argnames=("min_neighbors",))
-def _nms(saliency, ok, idx, mask, min_neighbors=4):
+def _nms(saliency, ok, idx, mask, min_neighbors=4, query_saliency=None):
+    """query_saliency: per-query-row saliency when idx covers only a row
+    shard (tp path); `saliency` stays the full-length array for the
+    neighbor gather."""
+    if query_saliency is None:
+        query_saliency = saliency
     nb_sal = jnp.where(mask, saliency[idx], -jnp.inf)
     nb_max = jnp.max(nb_sal, axis=1)
     n_nb = jnp.sum(mask, axis=1)
     # strict local max over the non-max neighborhood (self excluded from idx)
-    is_kp = ok & (n_nb >= min_neighbors) & (saliency > nb_max)
+    is_kp = ok & (n_nb >= min_neighbors) & (query_saliency > nb_max)
     return is_kp
 
 

@@ -52,10 +52,19 @@ def match_bf_tp(fq, ft, fq_valid, ft_valid, k: int, tile: int, bf16: bool, axis:
 
 
 def _pair_step_tp(src_xyz, src_valid, tgt_xyz, tgt_valid, key, scalars, cfg):
-    """Flagship step with tp-sharded matching; runs INSIDE shard_map with
-    axis 'tp' live.  Per-pair arrays are replicated across tp; only the
-    matching splits work."""
+    """Flagship step with every heavy stage tp-sharded; runs INSIDE
+    shard_map with axis 'tp' live.
+
+    The cloud arrays are replicated across tp (the grid build is cheap and
+    every query needs the full neighbor structure), but the QUERY ROWS of
+    normals, density, ISS and FPFH are split across the axis — each peer
+    computes N/tp rows and the per-point products are re-assembled with an
+    all_gather over ICI.  Matching then splits the train side as before.
+    This is the 'shard one pair across chips' lever: at 10M points the
+    feature stages dominate, and they are embarrassingly parallel in the
+    query rows (SURVEY §2.12)."""
     from lidar_global_registration_tpu.models import flagship as fs
+    from lidar_global_registration_tpu.ops import fpfh as fpfh_mod
     from lidar_global_registration_tpu.ops import grid as gridmod
     from lidar_global_registration_tpu.ops.normals import normals_from_neighbors
 
@@ -69,36 +78,87 @@ def _pair_step_tp(src_xyz, src_valid, tgt_xyz, tgt_valid, key, scalars, cfg):
         distance_thr,
     ) = scalars
     N = src_xyz.shape[0]
+    tp_size = jax.lax.axis_size("tp")
+    ti = jax.lax.axis_index("tp")
+    assert N % tp_size == 0, f"pad N={N} to a multiple of tp={tp_size}"
+    shard = N // tp_size
+
+    def shard_rows(x):
+        return jax.lax.dynamic_slice_in_dim(x, ti * shard, shard, axis=0)
+
+    def gather_rows(x_l):
+        g = jax.lax.all_gather(x_l, "tp")  # [tp, shard, ...]
+        return g.reshape((N,) + x_l.shape[1:])
+
+    big = jnp.float32(3.0e38)
 
     def side(xyz, valid, iss_radius):
-        idx, dist, mask = fs._knn_fixed(
-            xyz, valid, xyz, valid, normal_cell, cfg.normal_k, cfg.neighbor_cap, True
+        xyz_l, valid_l = shard_rows(xyz), shard_rows(valid)
+        qidx_l = ti * shard + jnp.arange(shard, dtype=jnp.int32)
+        g = gridmod.build_grid(xyz, valid, normal_cell, cell_cap=cfg.neighbor_cap)
+        idx, dist, mask = gridmod.radius_neighbors(
+            g, xyz_l, valid_l, normal_cell, k=cfg.normal_k, cap=cfg.neighbor_cap,
+            include_self=True,
         )
-        normal, _c, _o = normals_from_neighbors(xyz, xyz, idx, mask)
-        density = fs._density_from_knn(idx, dist, mask, valid)
+        normal_l, _c, _o = normals_from_neighbors(xyz_l, xyz, idx, mask)
+        normal = gather_rows(normal_l)
+        # k=2 smoothed density (common.cpp:531-547): the smoothing neighbor
+        # may live on another peer's row shard -> gather the raw distances
+        dmat = jnp.where(mask & (dist > 1e-12), dist, big)
+        a = jnp.argmin(dmat, axis=1)
+        d_raw_l = jnp.take_along_axis(dmat, a[:, None], axis=1)[:, 0]
+        nn_l = jnp.take_along_axis(idx, a[:, None], axis=1)[:, 0]
+        d_raw = gather_rows(d_raw_l)
+        d_nn = d_raw[nn_l]
+        out_l = jnp.minimum(d_raw_l, jnp.where(d_nn < big, d_nn, d_raw_l))
+        density_l = jnp.where(valid_l & (out_l < big), out_l, 0.0)
+        density = gather_rows(density_l)
         if cfg.use_iss:
-            qidx = jnp.arange(xyz.shape[0], dtype=jnp.int32)
-            g = gridmod.build_grid(xyz, valid, iss_radius, cell_cap=cfg.neighbor_cap)
+            gi = gridmod.build_grid(xyz, valid, iss_radius, cell_cap=cfg.neighbor_cap)
             iidx, _d, imask = gridmod.radius_neighbors(
-                g, xyz, valid, iss_radius, k=cfg.iss_neighbors, cap=cfg.neighbor_cap,
-                include_self=False, query_index=qidx,
+                gi, xyz_l, valid_l, iss_radius, k=cfg.iss_neighbors,
+                cap=cfg.neighbor_cap, include_self=False, query_index=qidx_l,
             )
-            counts = jnp.sum(imask, axis=1).astype(jnp.int32) + 1
-            sal, ok = fs._iss_saliency(xyz, valid, iidx, imask, counts)
-            kp = fs._nms(sal, ok, iidx, imask)
+            counts_l = jnp.sum(imask, axis=1).astype(jnp.int32) + 1
+            counts = gather_rows(counts_l)  # saliency weighs by NEIGHBOR counts
+            sal_l, ok_l = fs._iss_saliency(
+                xyz, valid, iidx, imask, counts,
+                query_xyz=xyz_l, query_valid=valid_l,
+            )
+            sal = gather_rows(sal_l)  # NMS compares against NEIGHBOR saliency
+            kp_l = fs._nms(sal, ok_l, iidx, imask, query_saliency=sal_l)
+            kp = gather_rows(kp_l)
         else:
             kp = valid
         return normal, kp, density
 
+    def fpfh_side(xyz, normal, valid, kp_mask):
+        xyz_l, valid_l = shard_rows(xyz), shard_rows(valid)
+        normal_l = shard_rows(normal)
+        qidx_l = ti * shard + jnp.arange(shard, dtype=jnp.int32)
+        g = gridmod.build_grid(xyz, valid, feature_radius, cell_cap=cfg.feature_cap)
+        idx, dist, mask = gridmod.radius_neighbors(
+            g, xyz_l, valid_l, feature_radius, k=cfg.feature_neighbors,
+            cap=cfg.feature_cap, include_self=False, query_index=qidx_l,
+            approx=gridmod.approx_topk_default(),
+        )
+        spfh_l = fpfh_mod.spfh(
+            xyz, normal, idx, mask, query_xyz=xyz_l, query_normal=normal_l
+        )
+        spfh_all = gather_rows(spfh_l)  # the combine needs NEIGHBOR SPFHs
+        feat_l, k_cnt_l = fpfh_mod.combine_spfh(
+            xyz_l, normal_l, xyz, normal, spfh_all, idx, dist, mask
+        )
+        fv_l = valid_l & shard_rows(kp_mask) & (k_cnt_l > 0)
+        feat_l = jnp.where(fv_l[:, None], feat_l, 0.0)
+        return gather_rows(feat_l), gather_rows(fv_l)
+
     src_normal, src_kp, dens_s = side(src_xyz, src_valid, iss_radius_src)
     tgt_normal, tgt_kp, dens_t = side(tgt_xyz, tgt_valid, iss_radius_tgt)
-    fq, fqv = fs._fpfh_fixed(src_xyz, src_normal, src_valid, src_kp, feature_radius, cfg)
-    ft, ftv = fs._fpfh_fixed(tgt_xyz, tgt_normal, tgt_valid, tgt_kp, feature_radius, cfg)
+    fq, fqv = fpfh_side(src_xyz, src_normal, src_valid, src_kp)
+    ft, ftv = fpfh_side(tgt_xyz, tgt_normal, tgt_valid, tgt_kp)
 
-    # ---- tp split of the train side ----
-    tp_size = jax.lax.axis_size("tp")
-    ti = jax.lax.axis_index("tp")
-    shard = N // tp_size
+    # ---- tp split of the train side for matching ----
     ft_l = jax.lax.dynamic_slice_in_dim(ft, ti * shard, shard, axis=0)
     ftv_l = jax.lax.dynamic_slice_in_dim(ftv, ti * shard, shard, axis=0)
     fq_l = jax.lax.dynamic_slice_in_dim(fq, ti * shard, shard, axis=0)
