@@ -1,12 +1,27 @@
 """Benchmark: scan pairs registered per second, end-to-end on one chip.
 
-Runs the flagship fully-jittable registration step (normals -> ISS -> FPFH
--> mutual matching -> batched RANSAC -> refit) on a synthetic bump-terrain
-pair of N points per side, on whatever platform JAX selects (the real TPU
-under the driver).  vs_baseline compares against a self-measured CPU run of
-the same step at the same size (the reference publishes no numbers,
+Runs the staged flagship registration step (normals -> ISS -> FPFH ->
+cluster/mutual matching -> batched RANSAC -> refit) on a synthetic pair of
+N points per side, on whatever platform JAX selects (the real TPU under
+the driver).  vs_baseline compares against a self-measured CPU run of the
+same step at the same size (the reference publishes no numbers,
 BASELINE.md; its own C++/PCL stack is not buildable in this image, so the
 CPU XLA path is the stand-in host baseline).
+
+The radii are NOT hand constants: they are derived from the measured cloud
+density exactly like the reference's auto-derivation (common.cpp:268,
+327-333 via utils/config.expand_parameters semantics):
+  distance_thr   = 4 * max(density_src, density_tgt)
+  iss_radius     = 2 * density (per side)
+  feature_radius = sqrt(FEATURE_NR_POINTS * d^2 / pi)   (pyramid.py:205)
+  normal_radius  = sqrt(NORMAL_NR_POINTS * d^2 / pi)
+so the benched configuration is what a user YAML with no explicit radii
+would produce.
+
+A run only counts if it CONVERGES with the correct pose: convergence and
+the rotation error against the known synthetic ground truth are checked
+per repeat, and the metric reports value 0.0 if any repeat fails — a
+non-registering configuration cannot post a pairs/s number.
 
 Prints ONE json line:
   {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N}
@@ -26,13 +41,7 @@ REPEATS = int(os.environ.get("LGR_BENCH_REPEATS", 5))
 CPU_N = int(os.environ.get("LGR_BENCH_CPU_N", N))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_cache.json")
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-
-
-def _pair(n):
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from __graft_entry__ import _synthetic_pair
-
-    return _synthetic_pair(n)
+R_ERR_MAX = 0.05  # rad; success = converged AND pose within this of GT
 
 
 def _enable_compile_cache():
@@ -48,8 +57,45 @@ def _enable_compile_cache():
         pass
 
 
-def run_step(n: int, repeats: int) -> float:
-    """Returns seconds per pair (min over repeats)."""
+def _derive_radii(a, b, valid_n):
+    """Density-derived parameters, reference auto-derivation semantics."""
+    import jax.numpy as jnp
+
+    from lidar_global_registration_tpu.ops.density import cloud_density
+    from lidar_global_registration_tpu.types import (
+        FEATURE_NR_POINTS,
+        NORMAL_NR_POINTS,
+        Cloud,
+    )
+
+    def _cloud(x):
+        x = jnp.asarray(x)
+        z = jnp.zeros((valid_n,), jnp.float32)
+        return Cloud(
+            xyz=x, normal=jnp.zeros_like(x), weight=z + 1.0, curvature=z,
+            valid=jnp.ones((valid_n,), bool),
+        )
+
+    ca = _cloud(a)
+    cb = _cloud(b)
+    ds = cloud_density(ca)
+    dt = cloud_density(cb)
+    d = max(ds, dt)
+    radii = dict(
+        normal_cell=float(np.sqrt(NORMAL_NR_POINTS * d * d / np.pi)),
+        iss_src=2.0 * ds,
+        iss_tgt=2.0 * dt,
+        feature=float(np.sqrt(FEATURE_NR_POINTS * d * d / np.pi)),
+        thr=4.0 * d,
+        density_src=ds,
+        density_tgt=dt,
+    )
+    print(f"# derived: {radii}", file=sys.stderr)
+    return radii
+
+
+def run_step(n: int, repeats: int):
+    """Returns (median seconds per pair, all_ok bool)."""
     import jax
     import jax.numpy as jnp
 
@@ -59,32 +105,30 @@ def run_step(n: int, repeats: int) -> float:
         FlagshipConfig,
         register_pair_staged,
     )
+    from lidar_global_registration_tpu.ops.transform import (
+        rotation_translation_error,
+    )
+    from __graft_entry__ import _synthetic_pair, _synthetic_scene_pair_device
 
     use_iss = os.environ.get("LGR_BENCH_ISS", "0") == "1"
     if use_iss:
         # feature-rich scene (ground + boxes + mounds): ISS keypoints
         # co-locate, the matcher runs on compacted keypoint rows -- the
         # scaling regime of the reference's shipped ISS+cluster sweep.
-        # Generated ON DEVICE: the tunnel moves host arrays at ~0.2 MB/s,
-        # which would add minutes of untimed setup per million points.
-        from __graft_entry__ import _synthetic_scene_pair_device
-
-        a, b, vp_a, vp_b = _synthetic_scene_pair_device(n)
-        area = 30.0 * 30.0 + 250.0  # ground + box faces (approx)
-        spacing = float(np.sqrt(area / n))
-        radii = dict(
-            normal_cell=4.0 * spacing,
-            iss=3.0 * spacing,
-            feature=8.0 * spacing,
-            thr=4.0 * spacing,
-        )
+        # Generated ON DEVICE: the tunnel moves host arrays at ~0.2 MB/s.
+        # The scene extent scales with N beyond 1M points so the sampled
+        # density (and thus the derived radii) stays in the regime of a
+        # real TLS scan instead of collapsing toward zero spacing.
+        extent = float(os.environ.get(
+            "LGR_BENCH_EXTENT", 30.0 * max(1.0, np.sqrt(n / 2**20))
+        ))
+        a, b, vp_a, vp_b = _synthetic_scene_pair_device(n, extent=extent)
     else:
         # keypoint=any (reference `keypoint: any` mode, like its corner e2e
         # fixture): dense descriptor matching dominates, and the synthetic
         # pair registers successfully (ISS keypoints of two independent
         # samplings of a smooth surface rarely co-locate).
-        a, b = _pair(n)
-        spacing = 30.0 / np.sqrt(n)
+        a, b = _synthetic_pair(n)
         ang = 0.4
         Rb = np.array(
             [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
@@ -93,6 +137,22 @@ def run_step(n: int, repeats: int) -> float:
         tb = np.array([2.0, -1.0, 0.5], np.float32)
         vp_a = np.array([15.0, 15.0, 120.0], np.float32)
         vp_b = Rb.T @ (vp_a - tb)
+
+    radii = _derive_radii(a, b, n)
+
+    # known GT of both synthetic generators: q = R^T (p - t)
+    ang = 0.4
+    Rgt = np.array(
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
+        np.float32,
+    )
+    T_gt = np.eye(4, dtype=np.float32)
+    T_gt[:3, :3] = Rgt.T
+    T_gt[:3, 3] = -Rgt.T @ np.array([2.0, -1.0, 0.5], np.float32)
+
+    metric_id = os.environ.get(
+        "LGR_BENCH_METRIC", "uniformity" if use_iss else "correspondences"
+    )
     cfg = FlagshipConfig(
         # ISS mode keeps the reference's 1e6-ish sampling headroom (the
         # on-device adaptive loop exits early once a pose is found)
@@ -100,12 +160,8 @@ def run_step(n: int, repeats: int) -> float:
         hypothesis_batch=1024,
         use_iss=use_iss,
         match_tile=4096,
+        metric=metric_id,
     )
-    if not use_iss:
-        radii = dict(
-            normal_cell=spacing * 4.0, iss=spacing * 3.0,
-            feature=spacing * 8.0, thr=spacing * 4.0,
-        )
     args = (
         jnp.asarray(a),
         jnp.ones((n,), bool),
@@ -113,10 +169,10 @@ def run_step(n: int, repeats: int) -> float:
         jnp.ones((n,), bool),
         jax.random.PRNGKey(566),
         jnp.float32(radii["normal_cell"]),
-        jnp.float32(spacing * 2.0),
-        jnp.float32(spacing * 2.0),
-        jnp.float32(radii["iss"]),
-        jnp.float32(radii["iss"]),
+        jnp.float32(radii["density_src"]),
+        jnp.float32(radii["density_tgt"]),
+        jnp.float32(radii["iss_src"]),
+        jnp.float32(radii["iss_tgt"]),
         jnp.float32(radii["feature"]),
         jnp.float32(radii["thr"]),
     )
@@ -129,26 +185,32 @@ def run_step(n: int, repeats: int) -> float:
     for r in range(repeats):
         eps = jnp.float32(1e-5 * (r + 1))
         variants.append((args[0] + eps,) + args[1:])
-    best = float("inf")
+    times, oks = [], []
     for r in range(repeats):
         t0 = time.perf_counter()
         out = register_pair_staged(*variants[r], cfg=cfg, **kwargs)
         # force a host transfer: block_until_ready returns before device
         # completion on some tunneled runtimes
-        np.asarray(out["transformation"])
+        T = np.asarray(out["transformation"])
         dt = time.perf_counter() - t0
-        print(f"# repeat {r}: {dt:.3f}s", file=sys.stderr)
-        best = min(best, dt)
-    print(
-        f"# staged run: converged={bool(out['converged'])} "
-        f"corr={float(out['n_correspondences']):.0f} inliers={int(out['inliers'])}",
-        file=sys.stderr,
-    )
-    return best
+        conv = bool(np.asarray(out["converged"]))
+        r_err, t_err = (float(x) for x in rotation_translation_error(
+            jnp.asarray(T), jnp.asarray(T_gt)
+        ))
+        ok = conv and r_err < R_ERR_MAX
+        times.append(dt)
+        oks.append(ok)
+        print(
+            f"# repeat {r}: {dt:.3f}s converged={conv} r_err={r_err:.4f} "
+            f"t_err={t_err:.3f} corr={float(out['n_correspondences']):.0f} "
+            f"inliers={int(out['inliers'])} ok={ok}",
+            file=sys.stderr,
+        )
+    return float(np.median(times)), all(oks)
 
 
 def cpu_baseline(n: int) -> float:
-    key = f"cpu_{n}"
+    key = f"cpu_{n}_v3"  # keyed per radii-derivation scheme
     if os.path.exists(CACHE):
         try:
             cache = json.load(open(CACHE))
@@ -168,7 +230,7 @@ def cpu_baseline(n: int) -> float:
         env=env,
         capture_output=True,
         text=True,
-        timeout=3600,
+        timeout=7200,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     secs = json.loads(line)["seconds_per_pair"]
@@ -185,14 +247,28 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        secs = run_step(N, REPEATS)
+        secs, _ok = run_step(N, REPEATS)
         print(json.dumps({"seconds_per_pair": secs}))
         return
 
-    secs = run_step(N, REPEATS)
+    secs, all_ok = run_step(N, REPEATS)
+    if not all_ok:
+        # a non-registering configuration may not post a throughput number
+        print(
+            json.dumps(
+                {
+                    "metric": f"register_{N//1024}k_pt_pair_e2e",
+                    "value": 0.0,
+                    "unit": "pairs/s",
+                    "vs_baseline": 0.0,
+                    "error": "not all repeats converged with correct pose",
+                }
+            )
+        )
+        return
     try:
         base = cpu_baseline(CPU_N)
-        vs = (base / secs) * (N / CPU_N) ** 0  # same-size comparison
+        vs = base / secs  # same-size comparison
     except Exception:
         base = None
         vs = float("nan")
