@@ -62,7 +62,10 @@ PAD = 3.0e18
 BIG = 3.0e38
 _BIG_KEY = np.int32(1 << 30)
 TAB_LANES = 128  # col_start @0:9, col_len @16:25, own @32/33; 128-lane DMA tile
-C_BUCKETS = (32, 64, 96, 128, 192, 256, 384, 512)
+# C is the LANE dimension of every compute array: sub-128 buckets would
+# waste VREG lanes AND Mosaic rejects lane-unaligned sub-ref slices, so
+# blocks are whole 128-lane tiles.
+C_BUCKETS = (128, 256, 384, 512)
 CC_BUCKETS = (128, 256, 384, 512, 768)
 CHUNK = 128  # candidate DMA/compute granularity (sublane rows)
 G_CELLS = 8  # cells per grid step (tab rows per auto-pipelined SMEM block)
@@ -286,7 +289,9 @@ class GridPlan:
         self.state = state
 
 
-OCC_TARGET = 64  # grow the cell until the median point's cell holds ~this
+OCC_TARGET = 96  # grow the cell until the median point's cell holds ~this
+# (the query block is a full 128-lane tile; near-full median occupancy
+# keeps the lanes busy without inflating the stencil volume too much)
 _DROP_TOL = 2e-3  # accepted silently-capped point fraction (exact mode: 0)
 
 
