@@ -66,8 +66,6 @@ TAB_LANES = 128  # col_start @0:9, col_len @16:25, own @32/33; 128-lane DMA tile
 # waste VREG lanes AND Mosaic rejects lane-unaligned sub-ref slices, so
 # blocks are whole 128-lane tiles.
 C_BUCKETS = (128, 256, 384, 512)
-CC_BUCKETS = (128, 256, 384, 512, 768)
-CHUNK = 128  # candidate DMA/compute granularity (sublane rows)
 G_CELLS = 8  # cells per grid step (tab rows per auto-pipelined SMEM block)
 
 # packed lane assignments
@@ -185,9 +183,10 @@ _ST_NVALID = 1
 _ST_MAXOCC = 2
 _ST_COLMAX = 3
 _ST_BITS = 4
-_ST_DROPC = 5  # len(C_BUCKETS) entries
-_ST_DROPCC = _ST_DROPC + len(C_BUCKETS)  # len(CC_BUCKETS) entries
-_ST_LEN = _ST_DROPCC + len(CC_BUCKETS)
+_ST_COLQ50 = 5
+_ST_OVER = 6  # len(C_BUCKETS) entries: points with in-cell pos >= bucket
+_ST_BLOCKS = _ST_OVER + len(C_BUCKETS)  # len(C_BUCKETS): total query blocks
+_ST_LEN = _ST_BLOCKS + len(C_BUCKETS)
 
 
 @jax.jit
@@ -204,8 +203,8 @@ def _sort_stats(xyz, normal, valid, cell, m):
                occupancy, total key bits,
                per C bucket: #points with in-cell position >= bucket
                (queries that would lose their slot),
-               per CC bucket: #points whose own 3-z column run exceeds the
-               bucket (candidates that would be truncated)]."""
+               sampled median column occupancy,
+               per C bucket: overflow point count and total query blocks]."""
     origin, inv, bits = _grid_frame(xyz, valid, cell)
     fkeys, _, clips = _lex_keys(xyz, valid, origin, inv, bits)
     keys = jnp.where(fkeys < _BIG_KEY, _coarsen_key(fkeys, bits, m), _BIG_KEY)
@@ -255,9 +254,16 @@ def _sort_stats(xyz, normal, valid, cell, m):
     # window is occ(r) + occ(next) when the next run is exactly 2 z-cells up
     gap = occ + jnp.where(last & (kz + 2 <= clip_z) & (next_k == ks + 2), next_occ, 0)
     colmax = jnp.maximum(jnp.max(colocc), jnp.max(jnp.where(vs, gap, 0)))
+    samp = (jnp.arange(_N_SAMPLE, dtype=jnp.int32) * jnp.maximum(n_valid, 1)) // _N_SAMPLE
+    colq50 = jnp.sort(colocc[samp])[_N_SAMPLE // 2]
 
-    drops_c = [jnp.sum((vs & (pos >= b)).astype(jnp.int32)) for b in C_BUCKETS]
-    drops_cc = [jnp.sum((vs & (colocc > b)).astype(jnp.int32)) for b in CC_BUCKETS]
+    over_c = [jnp.sum((vs & (pos >= b)).astype(jnp.int32)) for b in C_BUCKETS]
+    # total query blocks if cells split every `b` points: run-firsts plus
+    # every in-cell position that is a positive multiple of b
+    blocks_c = [
+        n_rows + jnp.sum((vs & (pos > 0) & (pos % b == 0)).astype(jnp.int32))
+        for b in C_BUCKETS
+    ]
     stats = jnp.stack(
         [
             n_rows.astype(jnp.float32),
@@ -265,9 +271,10 @@ def _sort_stats(xyz, normal, valid, cell, m):
             maxocc.astype(jnp.float32),
             colmax.astype(jnp.float32),
             (bx + by + bz).astype(jnp.float32),
+            colq50.astype(jnp.float32),
         ]
-        + [d.astype(jnp.float32) for d in drops_c]
-        + [d.astype(jnp.float32) for d in drops_cc]
+        + [d.astype(jnp.float32) for d in over_c]
+        + [d.astype(jnp.float32) for d in blocks_c]
     )
     state = (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos,
              jnp.stack([bx, by, bz]), jnp.asarray(m, jnp.int32))
@@ -275,16 +282,19 @@ def _sort_stats(xyz, normal, valid, cell, m):
 
 
 class GridPlan:
-    """Host-side sizing decisions + device-resident sorted state."""
+    """Host-side sizing decisions + device-resident sorted state.
 
-    __slots__ = ("C", "CC", "R_pad", "m", "n_rows", "n_valid", "dropped_q",
-                 "dropped_cc", "maxocc", "colmax", "state")
+    Nothing is ever capped or truncated: cells denser than C split into
+    multiple query blocks, and candidate columns of any length stream
+    through a fixed SEG-row window — C and SEG are pure performance knobs."""
 
-    def __init__(self, C, CC, R_pad, m, n_rows, n_valid, dropped_q,
-                 dropped_cc, maxocc, colmax, state):
-        self.C, self.CC, self.R_pad, self.m = C, CC, R_pad, m
+    __slots__ = ("C", "SEG", "R_pad", "m", "n_rows", "n_valid",
+                 "maxocc", "colmax", "state")
+
+    def __init__(self, C, SEG, R_pad, m, n_rows, n_valid, maxocc, colmax,
+                 state):
+        self.C, self.SEG, self.R_pad, self.m = C, SEG, R_pad, m
         self.n_rows, self.n_valid = n_rows, n_valid
-        self.dropped_q, self.dropped_cc = dropped_q, dropped_cc
         self.maxocc, self.colmax = maxocc, colmax
         self.state = state
 
@@ -292,20 +302,19 @@ class GridPlan:
 OCC_TARGET = 96  # grow the cell until the median point's cell holds ~this
 # (the query block is a full 128-lane tile; near-full median occupancy
 # keeps the lanes busy without inflating the stencil volume too much)
-_DROP_TOL = 2e-3  # accepted silently-capped point fraction (exact mode: 0)
+SEG_BUCKETS = (128, 256, 512)
 
 
 def plan_grid(xyz, normal, valid, cell, exact: bool = False,
-              m: int | None = None, drop_tol: float = _DROP_TOL):
-    """Sort + size one grid.  Raises ValueError when the cloud does not fit
-    the kernel format (too many key bits / occupancy beyond every bucket) —
-    callers fall back to the XLA path.
+              m: int | None = None):
+    """Sort + size one grid.  Raises ValueError only when the cloud does
+    not fit the kernel format (too many key bits / too many points for
+    f32-exact ids) — callers fall back to the XLA path.
 
-    Cap semantics (same spirit as the reference's max_neighbors_,
-    iss_debug.cpp:47-54) are now EXPLICIT: the C/CC buckets are the
-    smallest whose measured overflow point count is within drop_tol, and
-    the overflow counts are reported on the plan (and printed when they are
-    nonzero) instead of silently truncating."""
+    C (query-block lanes) is the smallest bucket holding >= 90% of points
+    in their cell's first block — denser cells just get more blocks; SEG
+    (candidate stream window) tracks the median column occupancy so small
+    columns do not pay a huge window's masked compute."""
     if xyz.shape[0] >= (1 << 24):
         # point ids ride in f32 packed lanes: exact only below 2^24
         raise ValueError(
@@ -323,71 +332,75 @@ def plan_grid(xyz, normal, valid, cell, exact: bool = False,
     )
     st = np.asarray(stats).astype(np.int64)
     n_rows, n_valid, maxocc, colmax, bits = st[0], st[1], st[2], st[3], st[4]
+    colq50 = int(st[_ST_COLQ50])
     if bits > 30:
         raise ValueError(f"grid needs {bits} key bits (> 30); XLA fallback")
-    tol = 0 if exact else max(int(drop_tol * max(n_valid, 1)), 0)
-    C = next(
-        (b for b, d in zip(C_BUCKETS, st[_ST_DROPC:_ST_DROPC + len(C_BUCKETS)])
-         if d <= tol),
-        None,
+    over = st[_ST_OVER:_ST_OVER + len(C_BUCKETS)]
+    blocks = st[_ST_BLOCKS:_ST_BLOCKS + len(C_BUCKETS)]
+    ci = next(
+        (i for i, b in enumerate(C_BUCKETS) if over[i] <= 0.1 * max(n_valid, 1)),
+        len(C_BUCKETS) - 1,
     )
-    CC = next(
-        (b for b, d in zip(CC_BUCKETS, st[_ST_DROPCC:_ST_DROPCC + len(CC_BUCKETS)])
-         if d <= tol),
-        None,
-    )
-    if C is None or CC is None:
-        raise ValueError(
-            f"cell occupancy (max {maxocc}, column max {colmax}) exceeds the "
-            f"kernel caps at drop tolerance {tol}; use the XLA path"
-        )
-    dropped_q = int(st[_ST_DROPC + C_BUCKETS.index(C)])
-    dropped_cc = int(st[_ST_DROPCC + CC_BUCKETS.index(CC)])
-    if dropped_q or dropped_cc:
-        print(
-            f"# cellgrid plan: capping {dropped_q} query slots / "
-            f"{dropped_cc} column candidates of {n_valid} points "
-            f"(C={C}, CC={CC})",
-            flush=True,
-        )
-    R_pad = max(G_CELLS, _round_up(max(int(n_rows), 1), G_CELLS))
-    R_pad = min(R_pad, _round_up(xyz.shape[0] + 1, G_CELLS))
-    return GridPlan(int(C), int(CC), int(R_pad), int(m), int(n_rows),
-                    int(n_valid), dropped_q, dropped_cc, int(maxocc),
-                    int(colmax), state)
+    C = C_BUCKETS[ci]
+    n_blocks = int(blocks[ci])
+    SEG = next((s for s in SEG_BUCKETS if s >= colq50), SEG_BUCKETS[-1])
+    # geometric R_pad ladder: each distinct R_pad is a fresh XLA+Mosaic
+    # compile (~minutes over the remote-compile tunnel), so quantize the
+    # grid length instead of rounding to the next multiple of G
+    nsteps = 1
+    while nsteps * G_CELLS < max(n_blocks, 1):
+        nsteps = nsteps + max(nsteps // 2, 1)  # 1.5x ladder
+    R_pad = nsteps * G_CELLS
+    return GridPlan(int(C), int(SEG), int(R_pad), int(m), int(n_rows),
+                    int(n_valid), int(maxocc), int(colmax), state)
 
 
 # ---------------------------------------------------------------------------
 # table build (from the sorted state; no further sorts)
 # ---------------------------------------------------------------------------
-def _build_tables(state, C: int, CC: int, R_pad: int):
-    """Per-cell 9-column run table + packed [N + CC + CHUNK, 128] lanes.
+def _build_tables(state, C: int, SEG: int, R_pad: int):
+    """Per-QUERY-BLOCK 9-column span table + packed [N + 2*SEG, 128] lanes.
 
-    tab row r: for each of the 9 (dx, dy) stencil columns, the sorted-point
-    offset and length of the contiguous (z-1, z, z+1) cell run union, plus
-    the row's own run (start, len)."""
+    A cell with more than C points occupies ceil(occ/C) consecutive table
+    rows (query blocks) sharing the same stencil columns — NO query is ever
+    dropped.  tab row r: for each of the 9 (dx, dy) stencil columns, the
+    sorted-point offset and TRUE length of the contiguous (z-1, z, z+1)
+    cell-run union (streamed in SEG-row windows by the kernels — no
+    truncation), plus the block's own run (start, len <= C)."""
     (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
     N = ks.shape[0]
     bx, by, bz = bits_arr[0], bits_arr[1], bits_arr[2]
     n_valid = jnp.sum(vs.astype(jnp.int32))
-    n_rows = jnp.maximum(jnp.max(jnp.where(vs, rank, -1)) + 1, 0)
+    idx = jnp.arange(N, dtype=jnp.int32)
 
-    rank_for_search = jnp.where(vs, rank, jnp.int32(2**30))
+    # query-block id per point: a new block starts at every run first AND
+    # every in-cell position that is a multiple of C
+    first = vs & jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    bfirst = vs & (first | (pos % C == 0))
+    prow = jnp.cumsum(bfirst.astype(jnp.int32)) - 1
+    posb = pos % C
+    n_blocks = jnp.maximum(prow[-1] + 1, 0)
+
+    prow_search = jnp.where(vs, prow, jnp.int32(2**30))
     rows = jnp.arange(R_pad, dtype=jnp.int32)
-    row_start = jnp.searchsorted(rank_for_search, rows, side="left").astype(jnp.int32)
+    row_start = jnp.searchsorted(prow_search, rows, side="left").astype(jnp.int32)
     row_key = ks[jnp.minimum(row_start, N - 1)]
-    row_key = jnp.where(rows < n_rows, row_key, _BIG_KEY)
-    row_start = jnp.where(rows < n_rows, row_start, n_valid)
+    row_key = jnp.where(rows < n_blocks, row_key, _BIG_KEY)
+    row_start = jnp.where(rows < n_blocks, row_start, n_valid)
     row_end = jnp.concatenate([row_start[1:], n_valid[None]])
     row_len = jnp.maximum(row_end - row_start, 0)
 
-    # coarse per-axis bounds (ids are fine//m, fields keep the fine widths)
+    # point offsets of cell boundaries, for the column spans: cells may span
+    # several blocks, so column ends come from key searches over the points
+    # (2 searches per column: first point of the z-1 cell, one past the last
+    # point of the z+1 cell — the three z cells are adjacent in key order)
     clip_cx = ((1 << bx) - 1) // m
     clip_cy = ((1 << by) - 1) // m
     clip_cz = ((1 << bz) - 1) // m
     kx = row_key >> (by + bz)
     ky = (row_key >> bz) & ((1 << by) - 1)
     kz = row_key & ((1 << bz) - 1)
+    ks_search = ks  # invalid keys are _BIG_KEY and sort last
     col_offs = [(i, j) for i in (-1, 0, 1) for j in (-1, 0, 1)]
     col_start = jnp.zeros((R_pad, 9), jnp.int32)
     col_len = jnp.zeros((R_pad, 9), jnp.int32)
@@ -395,26 +408,15 @@ def _build_tables(state, C: int, CC: int, R_pad: int):
         nkx = kx + di
         nky = ky + dj
         xy_ok = (nkx >= 0) & (nkx <= clip_cx) & (nky >= 0) & (nky <= clip_cy)
-        starts = []
-        lens = []
-        exists = []
-        for dk in (-1, 0, 1):
-            nkz = kz + dk
-            z_ok = (nkz >= 0) & (nkz <= clip_cz)
-            nkey = (nkx << (by + bz)) | (nky << bz) | nkz
-            nrow = jnp.searchsorted(row_key, nkey, side="left")
-            nrow = jnp.minimum(nrow, R_pad - 1).astype(jnp.int32)
-            found = (row_key[nrow] == nkey) & xy_ok & z_ok & (rows < n_rows)
-            starts.append(jnp.where(found, row_start[nrow], jnp.int32(2**30)))
-            lens.append(jnp.where(found, row_start[nrow] + row_len[nrow], -1))
-            exists.append(found)
-        lo = jnp.minimum(jnp.minimum(starts[0], starts[1]), starts[2])
-        hi = jnp.maximum(jnp.maximum(lens[0], lens[1]), lens[2])
-        any_found = exists[0] | exists[1] | exists[2]
-        # cells of one (x', y') column with z in {z-1, z, z+1} are adjacent
-        # in key order, so [lo, hi) is a contiguous sorted-point range
-        col_start = col_start.at[:, ci].set(jnp.where(any_found, lo, n_valid))
-        col_len = col_len.at[:, ci].set(jnp.where(any_found, hi - lo, 0))
+        zlo = jnp.maximum(kz - 1, 0)
+        zhi = jnp.minimum(kz + 1, clip_cz)
+        key_lo = (nkx << (by + bz)) | (nky << bz) | zlo
+        key_hi = (nkx << (by + bz)) | (nky << bz) | zhi
+        lo = jnp.searchsorted(ks_search, key_lo, side="left").astype(jnp.int32)
+        hi = jnp.searchsorted(ks_search, key_hi, side="right").astype(jnp.int32)
+        good = xy_ok & (rows < n_blocks) & (hi > lo)
+        col_start = col_start.at[:, ci].set(jnp.where(good, lo, n_valid))
+        col_len = col_len.at[:, ci].set(jnp.where(good, hi - lo, 0))
 
     tab = jnp.zeros((R_pad, TAB_LANES), jnp.int32)
     tab = tab.at[:, 0:9].set(col_start)
@@ -430,22 +432,17 @@ def _build_tables(state, C: int, CC: int, R_pad: int):
     packed = jnp.concatenate(
         [packed, jnp.full((N, 128 - packed.shape[1]), jnp.float32(PAD))], axis=1
     )
-    # tail pad: chunked column DMAs (ceil(len/CHUNK) copies) never overrun
+    # tail pad: the last SEG window and the C-row query copy never overrun
     packed = jnp.concatenate(
-        [packed, jnp.full((CC + CHUNK, 128), jnp.float32(PAD))], axis=0
+        [packed, jnp.full((SEG + max(C, SEG), 128), jnp.float32(PAD))], axis=0
     )
-    return packed, tab, n_rows
+    return packed, tab, n_blocks, prow, posb
 
 
-def _slot_map(rank, pos, vs, R_pad, C):
-    slot = jnp.clip(rank, 0, R_pad - 1) * C + jnp.minimum(pos, C - 1)
-    kept = vs & (rank >= 0) & (rank < R_pad) & (pos < C)
-    return slot, kept
-
-
-def _slot_gather(out_ch, rank, pos, vs, R_pad, C):
+def _slot_gather(out_ch, prow, posb, vs, R_pad, C):
     """Map one [R_pad, C] output channel back to sorted point order."""
-    slot, kept = _slot_map(rank, pos, vs, R_pad, C)
+    slot = jnp.clip(prow, 0, R_pad - 1) * C + posb
+    kept = vs & (prow >= 0) & (prow < R_pad)
     vals_sorted = jnp.where(kept, out_ch.reshape(-1)[slot], 0.0)
     return vals_sorted, kept
 
@@ -458,121 +455,108 @@ def _query_lanes(qblk, eye):
 
 
 # ---------------------------------------------------------------------------
-# blocked pass runner: G cells per step, double-buffered chunked DMAs
+# blocked pass runner: G query blocks per step, candidates STREAMED through
+# a double-buffered SEG-row window (no length caps anywhere)
 # ---------------------------------------------------------------------------
-def _issue_cell(tab_ref, g, packed_ref, cand, qblk, csems, qsem, slot, C, CC):
-    own_start = tab_ref[g, 32]
-    pltpu.make_async_copy(
-        packed_ref.at[pl.ds(own_start, C), :], qblk.at[slot], qsem.at[slot]
-    ).start()
+def _make_stream_fold(tab_ref, g, packed_ref, segbuf, segsems, SEG):
+    """fold(body, init): stream the 9 candidate columns of block g in
+    SEG-row windows, double-buffered (window s+1 is in flight while s
+    computes).  body(cc [SEG,128], jc_global [SEG,1], clen, acc)."""
 
-    def col(c, _):
-        cst = tab_ref[g, c]
-        clen = tab_ref[g, 16 + c]
-        nch = jnp.minimum(pl.cdiv(clen, CHUNK), CC // CHUNK)
+    def fold(body, init):
+        def col_step(c, acc):
+            cst = tab_ref[g, c]
+            clen = tab_ref[g, 16 + c]
+            nseg = pl.cdiv(clen, SEG)
 
-        def one(k, _):
-            pltpu.make_async_copy(
-                packed_ref.at[pl.ds(cst + CHUNK * k, CHUNK), :],
-                cand.at[slot, c, pl.ds(CHUNK * k, CHUNK), :],
-                csems.at[slot, c],
-            ).start()
-            return 0
+            def copy(s, slot):
+                return pltpu.make_async_copy(
+                    packed_ref.at[pl.ds(cst + SEG * s, SEG), :],
+                    segbuf.at[slot],
+                    segsems.at[slot],
+                )
 
-        jax.lax.fori_loop(0, nch, one, 0)
-        return 0
+            @pl.when(nseg > 0)
+            def _():
+                copy(0, 0).start()
 
-    jax.lax.fori_loop(0, 9, col, 0)
+            def seg_step(s, acc):
+                slot = jax.lax.rem(s, 2)
 
+                @pl.when(s + 1 < nseg)
+                def _():
+                    copy(s + 1, jax.lax.rem(s + 1, 2)).start()
 
-def _wait_cell(tab_ref, g, packed_ref, cand, qblk, csems, qsem, slot, C, CC):
-    own_start = tab_ref[g, 32]
-    pltpu.make_async_copy(
-        packed_ref.at[pl.ds(own_start, C), :], qblk.at[slot], qsem.at[slot]
-    ).wait()
+                copy(s, slot).wait()
+                cc = segbuf[slot]
+                jc = jax.lax.broadcasted_iota(jnp.int32, (SEG, 1), 0) + SEG * s
+                return body(cc, jc, clen, acc)
 
-    def col(c, _):
-        cst = tab_ref[g, c]
-        clen = tab_ref[g, 16 + c]
-        nch = jnp.minimum(pl.cdiv(clen, CHUNK), CC // CHUNK)
+            return jax.lax.fori_loop(0, nseg, seg_step, acc)
 
-        def one(k, _):
-            pltpu.make_async_copy(
-                packed_ref.at[pl.ds(cst + CHUNK * k, CHUNK), :],
-                cand.at[slot, c, pl.ds(CHUNK * k, CHUNK), :],
-                csems.at[slot, c],
-            ).wait()
-            return 0
+        return jax.lax.fori_loop(0, 9, col_step, init)
 
-        jax.lax.fori_loop(0, nch, one, 0)
-        return 0
-
-    jax.lax.fori_loop(0, 9, col, 0)
+    return fold
 
 
-def _fold_cols_chunked(tab_ref, g, cand_slot, CC, body, init):
-    """Fold body(cc_chunk [CHUNK,128], jc_global [CHUNK,1], clen, acc) over
-    the occupied CHUNK-row chunks of the 9 candidate columns."""
+def _make_blocked_kernel(cell_fn, n_out: int, C: int, SEG: int):
+    """Wrap a per-query-block compute into the G-blocked driver.
 
-    def col_step(c, acc):
-        clen = tab_ref[g, 16 + c]
-        nch = jnp.minimum(pl.cdiv(clen, CHUNK), CC // CHUNK)
+    cell_fn(meta_ref, tab_ref, g, fold, qrow, out_g, scratch) writes
+    out_g [n_out, C]; qrow is the lane-major [128, C] own block; fold
+    streams the candidate columns."""
 
-        def ch_step(k, acc):
-            cc = cand_slot[c, pl.ds(CHUNK * k, CHUNK), :]
-            jc = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + CHUNK * k
-            return body(cc, jc, clen, acc)
-
-        return jax.lax.fori_loop(0, nch, ch_step, acc)
-
-    return jax.lax.fori_loop(0, 9, col_step, init)
-
-
-def _make_blocked_kernel(cell_fn, n_out: int, C: int, CC: int):
-    """Wrap a per-cell compute into the G-blocked double-buffered driver.
-
-    cell_fn(meta_ref, tab_ref, g, cand_slot, qrow, out_g, scratch) writes
-    out_g [n_out, C]; qrow is the lane-major [128, C] own block."""
-
-    def kernel(meta_ref, tab_ref, packed_ref, out_ref, cand, qblk, *rest):
-        csems, qsem = rest[-2], rest[-1]
+    def kernel(meta_ref, tab_ref, packed_ref, out_ref, segbuf, qblk, *rest):
+        segsems, qsem = rest[-2], rest[-1]
         scratch = rest[:-2]
         rblk = pl.program_id(0)
         n_rows = meta_ref[1].astype(jnp.int32)
         eye = jnp.eye(C, dtype=jnp.float32)
 
+        def q_copy(g, slot):
+            return pltpu.make_async_copy(
+                packed_ref.at[pl.ds(tab_ref[g, 32], C), :], qblk.at[slot],
+                qsem.at[slot],
+            )
+
         @pl.when(rblk * G_CELLS < n_rows)
         def _():
-            _issue_cell(tab_ref, 0, packed_ref, cand, qblk, csems, qsem, 0, C, CC)
+            q_copy(0, 0).start()
 
-        for g in range(G_CELLS):
-            slot = g & 1
-            if g + 1 < G_CELLS:
+        # traced loop over the G blocks of this step (an unrolled python
+        # loop multiplied Mosaic compile time by G)
+        def g_body(g, _):
+            slot = jax.lax.rem(g, 2)
 
-                @pl.when(rblk * G_CELLS + g + 1 < n_rows)
-                def _(g=g):
-                    _issue_cell(
-                        tab_ref, g + 1, packed_ref, cand, qblk, csems, qsem,
-                        (g + 1) & 1, C, CC,
-                    )
+            @pl.when((g + 1 < G_CELLS) & (rblk * G_CELLS + g + 1 < n_rows))
+            def _():
+                q_copy(g + 1, jax.lax.rem(g + 1, 2)).start()
 
             @pl.when(rblk * G_CELLS + g < n_rows)
-            def _(g=g, slot=slot):
-                _wait_cell(tab_ref, g, packed_ref, cand, qblk, csems, qsem, slot, C, CC)
+            def _():
+                q_copy(g, slot).wait()
                 qrow = _query_lanes(qblk[slot], eye)
-                cell_fn(meta_ref, tab_ref, g, cand.at[slot], qrow,
-                        out_ref.at[g], scratch)
+                fold = _make_stream_fold(tab_ref, g, packed_ref, segbuf,
+                                         segsems, SEG)
+                cell_fn(meta_ref, tab_ref, g, fold, qrow, out_ref.at[g],
+                        scratch)
 
             @pl.when(rblk * G_CELLS + g >= n_rows)
-            def _(g=g):
+            def _():
                 out_ref[g] = jnp.zeros((n_out, C), jnp.float32)
+
+            return 0
+
+        jax.lax.fori_loop(0, G_CELLS, g_body, 0)
 
     return kernel
 
 
-def _run_pass(cell_fn, meta, tab, packed, R_pad, C, CC, n_out, interpret,
+def _run_pass(cell_fn, meta, tab, packed, R_pad, C, SEG, n_out, interpret,
               extra_scratch=()):
-    kernel = _make_blocked_kernel(cell_fn, n_out, C, CC)
+    # sub-ref slicing (out_ref.at[g]) requires the sublane dim 8-aligned
+    n_out = _round_up(n_out, 8)
+    kernel = _make_blocked_kernel(cell_fn, n_out, C, SEG)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(R_pad // G_CELLS,),
@@ -587,10 +571,10 @@ def _run_pass(cell_fn, meta, tab, packed, R_pad, C, CC, n_out, interpret,
             (G_CELLS, n_out, C), lambda r, *_: (r, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 9, CC, 128), jnp.float32),
+            pltpu.VMEM((2, SEG, 128), jnp.float32),
             pltpu.VMEM((2, C, 128), jnp.float32),
             *extra_scratch,
-            pltpu.SemaphoreType.DMA((2, 9)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -680,9 +664,8 @@ def _smallest_eig3(a00, a01, a02, a11, a12, a22):
 N_CH_SURF = 16
 
 
-def _surface_cell(meta_ref, tab_ref, g, cand_slot, qrow, out_g, scratch):
+def _surface_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
     C = qrow.shape[1]
-    CC = cand_slot.shape[1]
     qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
     qvalid = qrow[CH_VALID:CH_VALID + 1, :] > 0.5
     r2 = meta_ref[0]
@@ -721,9 +704,7 @@ def _surface_cell(meta_ref, tab_ref, g, cand_slot, qrow, out_g, scratch):
         dmin = jnp.where(better, tmin, dmin)
         return (s1, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz, dmin, nnid)
 
-    (s1, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz, dmin, nnid) = _fold_cols_chunked(
-        tab_ref, g, cand_slot, CC, body, init
-    )
+    (s1, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz, dmin, nnid) = fold(body, init)
     cnt = jnp.maximum(s1, 1.0)
     mx, my, mz = sx / cnt, sy / cnt, sz / cnt
     l0, l1, l2, vx, vy, vz = _smallest_eig3(
@@ -751,9 +732,8 @@ def _surface_cell(meta_ref, tab_ref, g, cand_slot, qrow, out_g, scratch):
 # ---------------------------------------------------------------------------
 # ISS cells
 # ---------------------------------------------------------------------------
-def _iss_count_cell(meta_ref, tab_ref, g, cand_slot, qrow, out_g, scratch):
+def _iss_count_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
     C = qrow.shape[1]
-    CC = cand_slot.shape[1]
     qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
     qvalid = qrow[CH_VALID:CH_VALID + 1, :] > 0.5
     r2 = meta_ref[0]
@@ -766,16 +746,13 @@ def _iss_count_cell(meta_ref, tab_ref, g, cand_slot, qrow, out_g, scratch):
         ok = (d2 <= r2) & (jc < clen) & (cc[:, 7:8] > 0.5) & qvalid
         return s1 + jnp.sum(ok.astype(jnp.float32), axis=0, keepdims=True)
 
-    s1 = _fold_cols_chunked(
-        tab_ref, g, cand_slot, CC, body, jnp.zeros((1, C), jnp.float32)
-    )
+    s1 = fold(body, jnp.zeros((1, C), jnp.float32))
     out_g[0, :] = s1[0]  # includes self (d2 = 0 passes)
     out_g[1:, :] = jnp.zeros((out_g.shape[0] - 1, C), jnp.float32)
 
 
-def _iss_saliency_cell(meta_ref, tab_ref, g, cand_slot, qrow, out_g, scratch):
+def _iss_saliency_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
     C = qrow.shape[1]
-    CC = cand_slot.shape[1]
     qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
     qvalid = qrow[CH_VALID:CH_VALID + 1, :] > 0.5
     r2 = meta_ref[0]
@@ -811,9 +788,7 @@ def _iss_saliency_cell(meta_ref, tab_ref, g, cand_slot, qrow, out_g, scratch):
         nnb += jnp.sum(ok.astype(jnp.float32), axis=0, keepdims=True)
         return (ws, sxx, sxy, sxz, syy, syz, szz, nnb)
 
-    ws, sxx, sxy, sxz, syy, syz, szz, nnb = _fold_cols_chunked(
-        tab_ref, g, cand_slot, CC, body, init
-    )
+    ws, sxx, sxy, sxz, syy, syz, szz, nnb = fold(body, init)
     wsafe = jnp.maximum(ws, 1e-30)
     l3, l2, l1, _vx, _vy, _vz = _smallest_eig3(
         sxx / wsafe, sxy / wsafe, sxz / wsafe, syy / wsafe, syz / wsafe, szz / wsafe
@@ -831,9 +806,8 @@ def _iss_saliency_cell(meta_ref, tab_ref, g, cand_slot, qrow, out_g, scratch):
     out_g[3:, :] = jnp.zeros((out_g.shape[0] - 3, C), jnp.float32)
 
 
-def _iss_nms_cell(meta_ref, tab_ref, g, cand_slot, qrow, out_g, scratch):
+def _iss_nms_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
     C = qrow.shape[1]
-    CC = cand_slot.shape[1]
     qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
     qvalid = qrow[CH_VALID:CH_VALID + 1, :] > 0.5
     q_sal = qrow[CH_SAL:CH_SAL + 1, :]
@@ -867,7 +841,7 @@ def _iss_nms_cell(meta_ref, tab_ref, g, cand_slot, qrow, out_g, scratch):
         nnb += jnp.sum(ok.astype(jnp.float32), axis=0, keepdims=True)
         return (nb_max, nnb)
 
-    nb_max, nnb = _fold_cols_chunked(tab_ref, g, cand_slot, CC, body, init)
+    nb_max, nnb = fold(body, init)
     is_kp = q_ok & (nnb >= min_nb) & (q_sal > nb_max) & qvalid
     out_g[0, :] = is_kp.astype(jnp.float32)[0]
     out_g[1:, :] = jnp.zeros((out_g.shape[0] - 1, C), jnp.float32)
@@ -924,10 +898,9 @@ def _pair_feature_bins(qx, qy, qz, qnx, qny, qnz, cc, r2):
     return b1, b2, b3, ok
 
 
-def _spfh_cell(meta_ref, tab_ref, g, cand_slot, qrow, out_g, scratch):
+def _spfh_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
     (acc,) = scratch
     C = qrow.shape[1]
-    CC = cand_slot.shape[1]
     qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
     qnx, qny, qnz = qrow[3:4, :], qrow[4:5, :], qrow[5:6, :]
     qvalid = qrow[CH_VALID:CH_VALID + 1, :] > 0.5
@@ -947,20 +920,20 @@ def _spfh_cell(meta_ref, tab_ref, g, cand_slot, qrow, out_g, scratch):
                 )
         return 0
 
-    _fold_cols_chunked(tab_ref, g, cand_slot, CC, body, 0)
+    fold(body, 0)
     cnt = acc[DIM:DIM + 1, :]
     incr = jnp.where(cnt > 0, 100.0 / jnp.maximum(cnt, 1.0), 0.0)
     out_g[0:DIM, :] = acc[0:DIM, :] * incr
     out_g[DIM, :] = cnt[0]
+    out_g[DIM + 1:, :] = jnp.zeros((out_g.shape[0] - DIM - 1, C), jnp.float32)
 
 
-def _combine_cell(meta_ref, tab_ref, g, cand_slot, qrow, out_g, scratch):
+def _combine_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
     """FPFH combine: the SPFH of every point rides in packed lanes
     CH_EXTRA..CH_EXTRA+33 (written back between passes), so the weighted
     neighbor sum is a small MXU matmul per candidate chunk."""
     (wsum,) = scratch
     C = qrow.shape[1]
-    CC = cand_slot.shape[1]
     qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
     qvalid = qrow[CH_VALID:CH_VALID + 1, :] > 0.5
     q_spfh = qrow[CH_EXTRA:CH_EXTRA + DIM, :]  # [33, C]
@@ -991,7 +964,7 @@ def _combine_cell(meta_ref, tab_ref, g, cand_slot, qrow, out_g, scratch):
         )
         return 0
 
-    _fold_cols_chunked(tab_ref, g, cand_slot, CC, body, 0)
+    fold(body, 0)
     kcnt = wsum[DIM:DIM + 1, :]
     mean = wsum[0:DIM, :] / jnp.maximum(kcnt, 1.0)
     feat = q_spfh + mean
@@ -1000,7 +973,8 @@ def _combine_cell(meta_ref, tab_ref, g, cand_slot, qrow, out_g, scratch):
         f = feat[blk * NR_BINS:(blk + 1) * NR_BINS, :]
         s = jnp.sum(f, axis=0, keepdims=True)
         blocks.append(jnp.where(s > 0, 100.0 * f / jnp.maximum(s, 1e-30), f))
-    out_g[:, :] = jnp.concatenate(blocks + [kcnt], axis=0)  # [34, C]
+    out_g[0:DIM + 1, :] = jnp.concatenate(blocks + [kcnt], axis=0)  # [34, C]
+    out_g[DIM + 1:, :] = jnp.zeros((out_g.shape[0] - DIM - 1, C), jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -1014,15 +988,15 @@ def _default_interpret(interpret):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("C", "CC", "R_pad", "interpret", "do_surface", "do_iss",
+    static_argnames=("C", "SEG", "R_pad", "interpret", "do_surface", "do_iss",
                      "min_neighbors"),
 )
 def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
-                      C, CC, R_pad, interpret, do_surface, do_iss,
+                      C, SEG, R_pad, interpret, do_surface, do_iss,
                       min_neighbors):
     (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
     N = ks.shape[0]
-    packed, tab, n_rows = _build_tables(state, C, CC, R_pad)
+    packed, tab, n_rows, prow, posb = _build_tables(state, C, SEG, R_pad)
     nrows_f = jnp.minimum(n_rows, R_pad).astype(jnp.float32)
     inv = jnp.argsort(order)
     out = {}
@@ -1030,11 +1004,11 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
     if do_surface:
         meta = jnp.stack([normal_r2, nrows_f, jnp.float32(0), jnp.float32(0),
                           jnp.float32(0)])
-        srf = _run_pass(_surface_cell, meta, tab, packed, R_pad, C, CC,
+        srf = _run_pass(_surface_cell, meta, tab, packed, R_pad, C, SEG,
                         N_CH_SURF, interpret)
         chans = []
         for ch in range(10):
-            v, _ = _slot_gather(srf[:, ch, :], rank, pos, vs, R_pad, C)
+            v, _ = _slot_gather(srf[:, ch, :], prow, posb, vs, R_pad, C)
             chans.append(v[inv])
         nx, ny, nz, curv, l0, l1, l2, cnt, dmin, nnid_f = chans
         normal = jnp.stack([nx, ny, nz], axis=1)
@@ -1062,21 +1036,21 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
     if do_iss:
         meta = jnp.stack([iss_r2, nrows_f, gamma21, gamma32,
                           jnp.float32(min_neighbors)])
-        o1 = _run_pass(_iss_count_cell, meta, tab, packed, R_pad, C, CC, 8,
+        o1 = _run_pass(_iss_count_cell, meta, tab, packed, R_pad, C, SEG, 8,
                        interpret)
-        counts_sorted, _ = _slot_gather(o1[:, 0, :], rank, pos, vs, R_pad, C)
+        counts_sorted, _ = _slot_gather(o1[:, 0, :], prow, posb, vs, R_pad, C)
         packed = packed.at[:N, CH_EXTRA].set(counts_sorted)
 
-        o2 = _run_pass(_iss_saliency_cell, meta, tab, packed, R_pad, C, CC, 8,
+        o2 = _run_pass(_iss_saliency_cell, meta, tab, packed, R_pad, C, SEG, 8,
                        interpret)
-        sal_sorted, _ = _slot_gather(o2[:, 0, :], rank, pos, vs, R_pad, C)
-        ok_sorted, _ = _slot_gather(o2[:, 1, :], rank, pos, vs, R_pad, C)
+        sal_sorted, _ = _slot_gather(o2[:, 0, :], prow, posb, vs, R_pad, C)
+        ok_sorted, _ = _slot_gather(o2[:, 1, :], prow, posb, vs, R_pad, C)
         packed = packed.at[:N, CH_SAL].set(sal_sorted)
         packed = packed.at[:N, CH_OK].set(ok_sorted)
 
-        o3 = _run_pass(_iss_nms_cell, meta, tab, packed, R_pad, C, CC, 8,
+        o3 = _run_pass(_iss_nms_cell, meta, tab, packed, R_pad, C, SEG, 8,
                        interpret)
-        kp_sorted, _ = _slot_gather(o3[:, 0, :], rank, pos, vs, R_pad, C)
+        kp_sorted, _ = _slot_gather(o3[:, 0, :], prow, posb, vs, R_pad, C)
         valid_o = vs[inv]
         out.update(
             kp=(kp_sorted[inv] > 0.5) & valid_o,
@@ -1085,28 +1059,29 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("C", "CC", "R_pad", "interpret"))
-def _fpfh_impl(state, r2, C, CC, R_pad, interpret):
+@functools.partial(jax.jit, static_argnames=("C", "SEG", "R_pad", "interpret"))
+def _fpfh_impl(state, r2, C, SEG, R_pad, interpret):
     (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
     N = ks.shape[0]
-    packed, tab, n_rows = _build_tables(state, C, CC, R_pad)
+    packed, tab, n_rows, prow, posb = _build_tables(state, C, SEG, R_pad)
     nrows_f = jnp.minimum(n_rows, R_pad).astype(jnp.float32)
     meta = jnp.stack([r2, nrows_f])
     spfh = _run_pass(
-        _spfh_cell, meta, tab, packed, R_pad, C, CC, DIM + 1, interpret,
+        _spfh_cell, meta, tab, packed, R_pad, C, SEG, DIM + 1, interpret,
         extra_scratch=(pltpu.VMEM((DIM + 1, C), jnp.float32),),
     )
     # write each point's SPFH into its packed lanes for the combine pass
-    slot, kept = _slot_map(rank, pos, vs, R_pad, C)
+    slot = jnp.clip(prow, 0, R_pad - 1) * C + posb
+    kept = vs & (prow >= 0) & (prow < R_pad)
     spfh_lanes = jnp.swapaxes(spfh[:, 0:DIM, :], 1, 2).reshape(R_pad * C, DIM)
     spfh_sorted = jnp.where(kept[:, None], spfh_lanes[slot], 0.0)
     packed = packed.at[:N, CH_EXTRA:CH_EXTRA + DIM].set(spfh_sorted)
 
     outp = _run_pass(
-        _combine_cell, meta, tab, packed, R_pad, C, CC, DIM + 1, interpret,
+        _combine_cell, meta, tab, packed, R_pad, C, SEG, DIM + 1, interpret,
         extra_scratch=(pltpu.VMEM((DIM + 1, C), jnp.float32),),
     )
-    flat = jnp.swapaxes(outp, 1, 2).reshape(R_pad * C, DIM + 1)
+    flat = jnp.swapaxes(outp[:, : DIM + 1, :], 1, 2).reshape(R_pad * C, DIM + 1)
     feats_sorted = jnp.where(kept[:, None], flat[slot], 0.0)
     inv = jnp.argsort(order)
     feats = feats_sorted[inv]
@@ -1139,7 +1114,7 @@ def surface_iss_cells(xyz, valid, normal_radius, iss_radius, viewpoint=None,
     ir = jnp.asarray(iss_radius, jnp.float32)
     return _surface_iss_impl(
         plan.state, nr * nr, ir * ir, jnp.float32(gamma21),
-        jnp.float32(gamma32), viewpoint, plan.C, plan.CC, plan.R_pad,
+        jnp.float32(gamma32), viewpoint, plan.C, plan.SEG, plan.R_pad,
         interpret, True, True, min_neighbors,
     )
 
@@ -1158,7 +1133,7 @@ def surface_cells(xyz, valid, radius, viewpoint=None, interpret=None,
     r = jnp.asarray(radius, jnp.float32)
     out = _surface_iss_impl(
         plan.state, r * r, r * r, jnp.float32(0.975), jnp.float32(0.975),
-        viewpoint, plan.C, plan.CC, plan.R_pad, interpret, True, False, 4,
+        viewpoint, plan.C, plan.SEG, plan.R_pad, interpret, True, False, 4,
     )
     return out["normal"], out["curv"], out["density"], out["eigvals"], out["ok"]
 
@@ -1180,7 +1155,7 @@ def iss_cells(
     r = jnp.asarray(iss_radius, jnp.float32)
     out = _surface_iss_impl(
         plan.state, r * r, r * r, jnp.float32(gamma21), jnp.float32(gamma32),
-        jnp.zeros((3,), jnp.float32), plan.C, plan.CC, plan.R_pad, interpret,
+        jnp.zeros((3,), jnp.float32), plan.C, plan.SEG, plan.R_pad, interpret,
         False, True, min_neighbors,
     )
     return out["kp"], out["saliency"]
@@ -1192,4 +1167,4 @@ def fpfh_cells(xyz, normal, valid, radius, interpret=None,
     interpret = _default_interpret(interpret)
     plan = plan_grid(xyz, normal, valid, float(np.asarray(radius)), exact=exact)
     r = jnp.asarray(radius, jnp.float32)
-    return _fpfh_impl(plan.state, r * r, plan.C, plan.CC, plan.R_pad, interpret)
+    return _fpfh_impl(plan.state, r * r, plan.C, plan.SEG, plan.R_pad, interpret)

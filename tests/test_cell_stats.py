@@ -43,11 +43,10 @@ def test_plan_coarse_stats_match_bruteforce(rng):
     n_rows_ref, maxocc_ref = _brute_coarse_stats(xyz_np, cell, plan.m)
     assert plan.n_rows == n_rows_ref
     assert plan.maxocc == maxocc_ref
-    # round-2 failure mode: C bucket sized from fragmented (underestimated)
-    # runs -> silent query drops.  With exact accounting the chosen bucket's
-    # overflow must be within the documented tolerance.
-    assert plan.dropped_q <= cg._DROP_TOL * N
     assert plan.colmax >= plan.maxocc
+    # every point must own a query-block slot (round-2 silently dropped
+    # overflow queries; blocks now split instead)
+    assert plan.R_pad * plan.C >= N
 
 
 def test_noexact_coarse_kernels_match_exact(rng):
@@ -67,13 +66,11 @@ def test_noexact_coarse_kernels_match_exact(rng):
                                  exact=False)
     fv_e = np.asarray(fv_e)
     fv_c = np.asarray(fv_c)
-    # at most the documented drop tolerance may differ in validity
-    assert (fv_e != fv_c).mean() <= cg._DROP_TOL
-    both = fv_e & fv_c
-    assert both.mean() > 0.95
-    a = np.asarray(feat_e)[both]
-    b = np.asarray(feat_c)[both]
-    # identical math, identical neighborhoods -> only dropped-neighbor rows
-    # (within tolerance) may differ
+    # nothing is capped or truncated on either grid: identical math over
+    # identical neighborhoods must agree everywhere
+    np.testing.assert_array_equal(fv_e, fv_c)
+    assert fv_e.mean() > 0.95
+    a = np.asarray(feat_e)[fv_e]
+    b = np.asarray(feat_c)[fv_e]
     row_l1 = np.abs(a - b).sum(axis=1)
-    assert (row_l1 > 1e-3).mean() <= cg._DROP_TOL * 4
+    assert np.max(row_l1) < 1e-2, np.max(row_l1)
