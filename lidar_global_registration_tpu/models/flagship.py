@@ -55,6 +55,11 @@ class FlagshipConfig:
     query_chunk: int | None = None  # chunk large neighbor queries (memory)
     density_cap: int = 8  # per-cell cap for the k=1 density search
     use_cell_fpfh: bool = True  # staged path: fused cell kernels on TPU
+    masked_features: bool = True  # ISS mode: run normals/SPFH only on cell
+    # blocks near keypoints and the FPFH combine only on keypoint blocks —
+    # descriptors are only consumed at keypoint rows (the reference computes
+    # features on keypoint clouds only, feature_analysis.cpp); parity:
+    # tests/test_cell_masked.py
     cluster_matching: bool = True  # staged ISS path: spatial-consensus filter
     cluster_k: int = 40  # MATCHING_CLUSTER_K (common.h:49)
     cluster_threshold: float = 0.95  # MATCHING_CLUSTER_THRESHOLD
@@ -467,10 +472,12 @@ def register_pair_staged(
 
     _t.last = _time.perf_counter()
 
+    cells_env = os.environ.get("LGR_CELL_FPFH", "1")
     use_cells = (
         cfg.use_cell_fpfh
-        and os.environ.get("LGR_CELL_FPFH", "1") != "0"
-        and jax.default_backend() in ("tpu", "axon")
+        and cells_env != "0"
+        # "force": run the Pallas cell path in interpret mode off-TPU (tests)
+        and (cells_env == "force" or jax.default_backend() in ("tpu", "axon"))
     )
 
     def _side_stage_host(xyz, valid, iss_radius, vp):
@@ -494,6 +501,34 @@ def register_pair_staged(
           except ValueError as e:  # cell occupancy beyond the kernel cap
             print(f"# cell side pass -> XLA fallback: {e}", flush=True)
         return _side_stage(xyz, valid, normal_cell, iss_radius, cfg, vp)
+
+    def _side_stage_masked(xyz, valid, iss_radius, vp, shot: bool):
+        """Keypoint-regime fast path: ISS first (positions only), then the
+        surface pass ONLY on cell blocks whose normals/density a later
+        stage reads — SPFH support (2 feature cells of a keypoint cell) for
+        FPFH, 1 cell for SHOT.  Identical values at every consumed row
+        (tests/test_cell_masked.py); the reference likewise computes
+        features on keypoint clouds only (feature_analysis.cpp).  Returns
+        (normal, kp, density, feature-grid plan)."""
+        import numpy as np__
+        from lidar_global_registration_tpu.ops.pallas.cellgrid import (
+            iss_pass,
+            plan_grid,
+            point_need,
+            surface_pass,
+        )
+
+        cell_n = float(np__.maximum(np__.asarray(normal_cell),
+                                    np__.asarray(iss_radius)))
+        plan_n = plan_grid(xyz, jnp.zeros_like(xyz), valid, cell_n)
+        kp, _sal = iss_pass(plan_n, iss_radius)
+        plan_f = plan_grid(xyz, jnp.zeros_like(xyz), valid,
+                           float(np__.asarray(feature_radius)))
+        need_n = point_need(plan_f, kp, 1 if shot else 2)
+        normal, _c, density, _e, _ok = surface_pass(
+            plan_n, normal_cell, viewpoint=vp, need=need_n
+        )
+        return normal, kp, density, plan_f
 
     def _shot_stage(kp_xyz, kp_normal, kpv, surf_xyz, surf_normal, surf_valid):
         """SHOT-352 at (compacted) keypoints over the full-cloud support
@@ -540,13 +575,29 @@ def register_pair_staged(
             cap=cfg.feature_cap, chunk=cfg.query_chunk,
         )
 
-    src_normal, src_kp, dens_s = _t(
-        "side_src", _side_stage_host(src_xyz, src_valid, iss_radius_src, vp_src)
-    )
-    tgt_normal, tgt_kp, dens_t = _t(
-        "side_tgt", _side_stage_host(tgt_xyz, tgt_valid, iss_radius_tgt, vp_tgt)
-    )
     shot_mode = cfg.descriptor == "shot"
+    masked = use_cells and cfg.use_iss and cfg.masked_features
+    plan_f_src = plan_f_tgt = None
+    if masked:
+        try:
+            src_normal, src_kp, dens_s, plan_f_src = _side_stage_masked(
+                src_xyz, src_valid, iss_radius_src, vp_src, shot_mode
+            )
+            _t("side_src", (src_normal, src_kp, dens_s))
+            tgt_normal, tgt_kp, dens_t, plan_f_tgt = _side_stage_masked(
+                tgt_xyz, tgt_valid, iss_radius_tgt, vp_tgt, shot_mode
+            )
+            _t("side_tgt", (tgt_normal, tgt_kp, dens_t))
+        except ValueError as e:  # cloud does not fit the kernel format
+            print(f"# masked side pass -> unmasked fallback: {e}", flush=True)
+            masked = False
+    if not masked:
+        src_normal, src_kp, dens_s = _t(
+            "side_src", _side_stage_host(src_xyz, src_valid, iss_radius_src, vp_src)
+        )
+        tgt_normal, tgt_kp, dens_t = _t(
+            "side_tgt", _side_stage_host(tgt_xyz, tgt_valid, iss_radius_tgt, vp_tgt)
+        )
     if shot_mode:
         # SHOT is computed ONLY at the compacted keypoint rows (below) —
         # the full-row pass FPFH uses would waste 25-100x the work on a
@@ -554,6 +605,20 @@ def register_pair_staged(
         fq = ft = None
         fq_valid = src_valid & src_kp
         ft_valid = tgt_valid & tgt_kp
+    elif masked:
+        from lidar_global_registration_tpu.ops.pallas.cellgrid import (
+            fpfh_pass,
+            set_normals,
+        )
+
+        fq, fq_valid = _t("fpfh_src", fpfh_pass(
+            set_normals(plan_f_src, src_normal), feature_radius, kp=src_kp
+        ))
+        ft, ft_valid = _t("fpfh_tgt", fpfh_pass(
+            set_normals(plan_f_tgt, tgt_normal), feature_radius, kp=tgt_kp
+        ))
+        fq_valid = fq_valid & src_kp
+        ft_valid = ft_valid & tgt_kp
     else:
         fq, fq_valid = _t("fpfh_src", _fpfh_stage(src_xyz, src_normal, src_valid, src_kp, vp_src))
         ft, ft_valid = _t("fpfh_tgt", _fpfh_stage(tgt_xyz, tgt_normal, tgt_valid, tgt_kp, vp_tgt))

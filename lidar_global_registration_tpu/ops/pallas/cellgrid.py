@@ -358,20 +358,15 @@ def plan_grid(xyz, normal, valid, cell, exact: bool = False,
 # ---------------------------------------------------------------------------
 # table build (from the sorted state; no further sorts)
 # ---------------------------------------------------------------------------
-def _build_tables(state, C: int, SEG: int, R_pad: int):
-    """Per-QUERY-BLOCK 9-column span table + packed [N + 2*SEG, 128] lanes.
+def _block_layout(state, C: int, R_pad: int):
+    """Query-block layout shared by the span table and the need masks.
 
-    A cell with more than C points occupies ceil(occ/C) consecutive table
-    rows (query blocks) sharing the same stencil columns — NO query is ever
-    dropped.  tab row r: for each of the 9 (dx, dy) stencil columns, the
-    sorted-point offset and TRUE length of the contiguous (z-1, z, z+1)
-    cell-run union (streamed in SEG-row windows by the kernels — no
-    truncation), plus the block's own run (start, len <= C)."""
+    Returns (prow, posb, n_blocks, row_start, row_len, row_key): block id /
+    in-block lane per point, and per-table-row start offset, length and
+    cell key."""
     (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
     N = ks.shape[0]
-    bx, by, bz = bits_arr[0], bits_arr[1], bits_arr[2]
     n_valid = jnp.sum(vs.astype(jnp.int32))
-    idx = jnp.arange(N, dtype=jnp.int32)
 
     # query-block id per point: a new block starts at every run first AND
     # every in-cell position that is a multiple of C
@@ -389,6 +384,82 @@ def _build_tables(state, C: int, SEG: int, R_pad: int):
     row_start = jnp.where(rows < n_blocks, row_start, n_valid)
     row_end = jnp.concatenate([row_start[1:], n_valid[None]])
     row_len = jnp.maximum(row_end - row_start, 0)
+    return prow, posb, n_blocks, row_start, row_len, row_key
+
+
+def _row_stencil_any(state, row_key, flags_sorted, s: int):
+    """Per-table-row bool: does the (2s+1)^3 cell stencil around this row's
+    cell contain any flagged point?  flags_sorted is a bool[N] in sorted
+    order; counts come from one prefix sum + 2 key searches per (dx, dy)
+    (the z range is contiguous in key order)."""
+    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
+    bx, by, bz = bits_arr[0], bits_arr[1], bits_arr[2]
+    clip_cx = ((1 << bx) - 1) // m
+    clip_cy = ((1 << by) - 1) // m
+    clip_cz = ((1 << bz) - 1) // m
+    cum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum((flags_sorted & vs).astype(jnp.int32))]
+    )
+    kx = row_key >> (by + bz)
+    ky = (row_key >> bz) & ((1 << by) - 1)
+    kz = row_key & ((1 << bz) - 1)
+    zlo = jnp.maximum(kz - s, 0)
+    zhi = jnp.minimum(kz + s, clip_cz)
+    valid_row = row_key < _BIG_KEY
+    any_hit = jnp.zeros(row_key.shape, bool)
+    for di in range(-s, s + 1):
+        for dj in range(-s, s + 1):
+            nkx = kx + di
+            nky = ky + dj
+            xy_ok = (nkx >= 0) & (nkx <= clip_cx) & (nky >= 0) & (nky <= clip_cy)
+            key_lo = (nkx << (by + bz)) | (nky << bz) | zlo
+            key_hi = (nkx << (by + bz)) | (nky << bz) | zhi
+            lo = jnp.searchsorted(ks, key_lo, side="left").astype(jnp.int32)
+            hi = jnp.searchsorted(ks, key_hi, side="right").astype(jnp.int32)
+            any_hit = any_hit | (valid_row & xy_ok & (cum[hi] > cum[lo]))
+    return any_hit
+
+
+def _build_tab(state, C: int, SEG: int, R_pad: int, need_sorted=None,
+               flag_stencil=None):
+    """Per-QUERY-BLOCK 9-column span table + packed [N + 2*SEG, 128] lanes.
+
+    A cell with more than C points occupies ceil(occ/C) consecutive table
+    rows (query blocks) sharing the same stencil columns — NO query is ever
+    dropped.  tab row r: for each of the 9 (dx, dy) stencil columns, the
+    sorted-point offset and TRUE length of the contiguous (z-1, z, z+1)
+    cell-run union (streamed in SEG-row windows by the kernels — no
+    truncation), plus the block's own run (start, len <= C).
+
+    Masked queries (the keypoint-regime fast path): tab lane 34 is a
+    per-row compute flag.  `need_sorted` (bool[N], sorted order) keeps a
+    row iff any of its points is needed; `flag_stencil=(flags_sorted, s)`
+    keeps a row iff the (2s+1)^3 cell stencil around it contains a flagged
+    point.  Skipped rows cost one grid iteration and an output zero-fill —
+    no DMA, no candidate streaming — and their points read back as invalid,
+    so masking never changes the values of kept queries (parity test:
+    tests/test_cell_masked.py)."""
+    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
+    N = ks.shape[0]
+    bx, by, bz = bits_arr[0], bits_arr[1], bits_arr[2]
+    n_valid = jnp.sum(vs.astype(jnp.int32))
+    prow, posb, n_blocks, row_start, row_len, row_key = _block_layout(
+        state, C, R_pad
+    )
+    rows = jnp.arange(R_pad, dtype=jnp.int32)
+
+    run = rows < n_blocks
+    if need_sorted is not None:
+        cumn = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum((need_sorted & vs).astype(jnp.int32))]
+        )
+        row_end_n = row_start + row_len
+        run = run & (cumn[row_end_n] > cumn[row_start])
+    if flag_stencil is not None:
+        flags_sorted, s = flag_stencil
+        run = run & _row_stencil_any(state, row_key, flags_sorted, int(s))
 
     # point offsets of cell boundaries, for the column spans: cells may span
     # several blocks, so column ends come from key searches over the points
@@ -423,7 +494,37 @@ def _build_tables(state, C: int, SEG: int, R_pad: int):
     tab = tab.at[:, 16:25].set(col_len)
     tab = tab.at[:, 32].set(row_start)
     tab = tab.at[:, 33].set(row_len)
+    tab = tab.at[:, 34].set(run.astype(jnp.int32))
+    return tab, n_blocks, prow, posb
 
+
+def _retab(tab, state, C: int, R_pad: int, need_sorted=None,
+           flag_stencil=None):
+    """Re-derive ONLY the lane-34 compute flags of an existing span table
+    for a different query mask (the spans themselves are mask-invariant).
+    Saves rebuilding the searchsorted column spans between the SPFH and
+    combine passes."""
+    prow, posb, n_blocks, row_start, row_len, row_key = _block_layout(
+        state, C, R_pad
+    )
+    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
+    rows = jnp.arange(R_pad, dtype=jnp.int32)
+    run = rows < n_blocks
+    if need_sorted is not None:
+        cumn = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum((need_sorted & vs).astype(jnp.int32))]
+        )
+        run = run & (cumn[row_start + row_len] > cumn[row_start])
+    if flag_stencil is not None:
+        flags_sorted, s = flag_stencil
+        run = run & _row_stencil_any(state, row_key, flags_sorted, int(s))
+    return tab.at[:, 34].set(run.astype(jnp.int32))
+
+
+def _build_packed(state, C: int, SEG: int):
+    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
+    N = ks.shape[0]
     vflag = vs.astype(jnp.float32)
     packed = jnp.stack(
         [xs, ys, zs, nxs, nys, nzs, order.astype(jnp.float32), vflag], axis=1
@@ -436,6 +537,15 @@ def _build_tables(state, C: int, SEG: int, R_pad: int):
     packed = jnp.concatenate(
         [packed, jnp.full((SEG + max(C, SEG), 128), jnp.float32(PAD))], axis=0
     )
+    return packed
+
+
+def _build_tables(state, C: int, SEG: int, R_pad: int, need_sorted=None,
+                  flag_stencil=None):
+    tab, n_blocks, prow, posb = _build_tab(
+        state, C, SEG, R_pad, need_sorted, flag_stencil
+    )
+    packed = _build_packed(state, C, SEG)
     return packed, tab, n_blocks, prow, posb
 
 
@@ -519,7 +629,15 @@ def _make_blocked_kernel(cell_fn, n_out: int, C: int, SEG: int):
                 qsem.at[slot],
             )
 
-        @pl.when(rblk * G_CELLS < n_rows)
+        def live(g):
+            # tab lane 34: per-row compute flag (masked-query fast path).
+            # The index clamp keeps the eager predicate read in bounds when
+            # called with g+1 == G_CELLS (the caller's `g + 1 < G_CELLS`
+            # conjunct already forces the result false there).
+            flag = tab_ref[jnp.minimum(g, G_CELLS - 1), 34]
+            return (rblk * G_CELLS + g < n_rows) & (flag > 0)
+
+        @pl.when(live(0))
         def _():
             q_copy(0, 0).start()
 
@@ -528,11 +646,11 @@ def _make_blocked_kernel(cell_fn, n_out: int, C: int, SEG: int):
         def g_body(g, _):
             slot = jax.lax.rem(g, 2)
 
-            @pl.when((g + 1 < G_CELLS) & (rblk * G_CELLS + g + 1 < n_rows))
+            @pl.when((g + 1 < G_CELLS) & live(g + 1))
             def _():
                 q_copy(g + 1, jax.lax.rem(g + 1, 2)).start()
 
-            @pl.when(rblk * G_CELLS + g < n_rows)
+            @pl.when(live(g))
             def _():
                 q_copy(g, slot).wait()
                 qrow = _query_lanes(qblk[slot], eye)
@@ -541,7 +659,7 @@ def _make_blocked_kernel(cell_fn, n_out: int, C: int, SEG: int):
                 cell_fn(meta_ref, tab_ref, g, fold, qrow, out_ref.at[g],
                         scratch)
 
-            @pl.when(rblk * G_CELLS + g >= n_rows)
+            @pl.when(jnp.logical_not(live(g)))
             def _():
                 out_ref[g] = jnp.zeros((n_out, C), jnp.float32)
 
@@ -993,7 +1111,7 @@ def _default_interpret(interpret):
 )
 def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
                       C, SEG, R_pad, interpret, do_surface, do_iss,
-                      min_neighbors):
+                      min_neighbors, surface_need=None):
     (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
     N = ks.shape[0]
     packed, tab, n_rows, prow, posb = _build_tables(state, C, SEG, R_pad)
@@ -1002,9 +1120,16 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
     out = {}
 
     if do_surface:
+        tab_s = tab
+        if surface_need is not None:
+            # masked-query fast path: only blocks holding a needed point
+            # stream candidates (keypoint-regime surfaces — the need mask
+            # marks points whose normals/density any later stage reads)
+            tab_s = _retab(tab, state, C, R_pad,
+                           need_sorted=surface_need[order])
         meta = jnp.stack([normal_r2, nrows_f, jnp.float32(0), jnp.float32(0),
                           jnp.float32(0)])
-        srf = _run_pass(_surface_cell, meta, tab, packed, R_pad, C, SEG,
+        srf = _run_pass(_surface_cell, meta, tab_s, packed, R_pad, C, SEG,
                         N_CH_SURF, interpret)
         chans = []
         for ch in range(10):
@@ -1060,14 +1185,27 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
 
 
 @functools.partial(jax.jit, static_argnames=("C", "SEG", "R_pad", "interpret"))
-def _fpfh_impl(state, r2, C, SEG, R_pad, interpret):
+def _fpfh_impl(state, r2, C, SEG, R_pad, interpret, kp=None):
+    """kp (input-order bool[N] or None): the keypoint-regime fast path.
+    FPFH is consumed only at keypoint rows, so SPFH runs only on blocks
+    within ONE cell of a keypoint cell (every neighbor the combine pass
+    reads — cell == radius makes |q-k| <= r imply adjacent cells) and the
+    combine pass only on blocks whose own 1-cell stencil holds a keypoint
+    (i.e. cells that can contain one; block granularity is conservative)."""
     (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
     N = ks.shape[0]
-    packed, tab, n_rows, prow, posb = _build_tables(state, C, SEG, R_pad)
+    packed = _build_packed(state, C, SEG)
+    tab, n_rows, prow, posb = _build_tab(state, C, SEG, R_pad)
     nrows_f = jnp.minimum(n_rows, R_pad).astype(jnp.float32)
     meta = jnp.stack([r2, nrows_f])
+    tab_spfh = tab
+    tab_comb = tab
+    if kp is not None:
+        kp_sorted = kp[order] & vs
+        tab_spfh = _retab(tab, state, C, R_pad, flag_stencil=(kp_sorted, 1))
+        tab_comb = _retab(tab, state, C, R_pad, need_sorted=kp_sorted)
     spfh = _run_pass(
-        _spfh_cell, meta, tab, packed, R_pad, C, SEG, DIM + 1, interpret,
+        _spfh_cell, meta, tab_spfh, packed, R_pad, C, SEG, DIM + 1, interpret,
         extra_scratch=(pltpu.VMEM((DIM + 1, C), jnp.float32),),
     )
     # write each point's SPFH into its packed lanes for the combine pass
@@ -1078,7 +1216,7 @@ def _fpfh_impl(state, r2, C, SEG, R_pad, interpret):
     packed = packed.at[:N, CH_EXTRA:CH_EXTRA + DIM].set(spfh_sorted)
 
     outp = _run_pass(
-        _combine_cell, meta, tab, packed, R_pad, C, SEG, DIM + 1, interpret,
+        _combine_cell, meta, tab_comb, packed, R_pad, C, SEG, DIM + 1, interpret,
         extra_scratch=(pltpu.VMEM((DIM + 1, C), jnp.float32),),
     )
     flat = jnp.swapaxes(outp[:, : DIM + 1, :], 1, 2).reshape(R_pad * C, DIM + 1)
@@ -1162,9 +1300,98 @@ def iss_cells(
 
 
 def fpfh_cells(xyz, normal, valid, radius, interpret=None,
-               exact: bool = False):
-    """Self-join FPFH: (feat f32[N,33], feat_valid bool[N])."""
+               exact: bool = False, kp=None):
+    """Self-join FPFH: (feat f32[N,33], feat_valid bool[N]).
+
+    kp (bool[N], input order): keypoint-regime fast path — descriptors are
+    exact at keypoint rows and undefined elsewhere (SPFH runs only within
+    one cell of keypoint cells; the combine pass only on keypoint blocks).
+    Callers must AND feat_valid with the keypoint mask, as the reference
+    computes FPFH on keypoint clouds only (fpfh_debug.cpp / feature
+    estimation over keypoint indices)."""
     interpret = _default_interpret(interpret)
     plan = plan_grid(xyz, normal, valid, float(np.asarray(radius)), exact=exact)
     r = jnp.asarray(radius, jnp.float32)
-    return _fpfh_impl(plan.state, r * r, plan.C, plan.SEG, plan.R_pad, interpret)
+    return _fpfh_impl(plan.state, r * r, plan.C, plan.SEG, plan.R_pad,
+                      interpret, kp=kp)
+
+
+@functools.partial(jax.jit, static_argnames=("C", "R_pad", "s"))
+def _point_need_impl(state, C, R_pad, flags, s):
+    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
+    N = ks.shape[0]
+    prow, posb, n_blocks, row_start, row_len, row_key = _block_layout(
+        state, C, R_pad
+    )
+    hit = _row_stencil_any(state, row_key, flags[order] & vs, s)
+    need_sorted = vs & hit[jnp.clip(prow, 0, R_pad - 1)] & (prow < R_pad)
+    return jnp.zeros((N,), bool).at[order].set(need_sorted)
+
+
+def point_need(plan, flags, s: int):
+    """Input-order bool[N]: point's cell is within `s` cells (Chebyshev, on
+    this plan's grid) of a cell containing a flagged point.  Block-granular
+    and conservative: every point whose true distance to a flagged point is
+    <= s * cell is marked (plus some extras on the same blocks)."""
+    return _point_need_impl(plan.state, plan.C, plan.R_pad, flags, int(s))
+
+
+# ---------------------------------------------------------------------------
+# plan-level passes (one plan_grid sort, several passes — the staged
+# keypoint-regime pipeline: ISS first, then masked surface / FPFH)
+# ---------------------------------------------------------------------------
+def iss_pass(plan, iss_radius, gamma21: float = 0.975, gamma32: float = 0.975,
+             min_neighbors: int = 4, interpret=None):
+    """ISS keypoints on an existing plan: (kp bool[N], saliency f32[N])."""
+    interpret = _default_interpret(interpret)
+    r = jnp.asarray(iss_radius, jnp.float32)
+    out = _surface_iss_impl(
+        plan.state, r * r, r * r, jnp.float32(gamma21), jnp.float32(gamma32),
+        jnp.zeros((3,), jnp.float32), plan.C, plan.SEG, plan.R_pad, interpret,
+        False, True, min_neighbors,
+    )
+    return out["kp"], out["saliency"]
+
+
+def surface_pass(plan, normal_radius, viewpoint=None, need=None,
+                 interpret=None):
+    """Surface pass on an existing plan: (normal, curv, density, eigvals,
+    ok).  need (bool[N] input order): only blocks holding a needed point
+    compute; other points return ok=False / zeros."""
+    interpret = _default_interpret(interpret)
+    if viewpoint is None:
+        viewpoint = jnp.zeros((3,), jnp.float32)
+    else:
+        viewpoint = jnp.asarray(viewpoint, jnp.float32)
+    r = jnp.asarray(normal_radius, jnp.float32)
+    out = _surface_iss_impl(
+        plan.state, r * r, r * r, jnp.float32(0.975), jnp.float32(0.975),
+        viewpoint, plan.C, plan.SEG, plan.R_pad, interpret, True, False, 4,
+        surface_need=need,
+    )
+    return out["normal"], out["curv"], out["density"], out["eigvals"], out["ok"]
+
+
+@jax.jit
+def _set_normals_impl(state, normal):
+    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
+    ns = normal[order]
+    return (ks, xs, ys, zs, ns[:, 0], ns[:, 1], ns[:, 2], order, vs, rank,
+            pos, bits_arr, m)
+
+
+def set_normals(plan, normal):
+    """New GridPlan with `normal` (input order) injected into the sorted
+    state — lets the feature grid be planned before normals exist."""
+    return GridPlan(plan.C, plan.SEG, plan.R_pad, plan.m, plan.n_rows,
+                    plan.n_valid, plan.maxocc, plan.colmax,
+                    _set_normals_impl(plan.state, normal))
+
+
+def fpfh_pass(plan, radius, kp=None, interpret=None):
+    """FPFH on an existing plan (normals already in the state):
+    (feat f32[N,33], feat_valid bool[N]).  See fpfh_cells for kp."""
+    interpret = _default_interpret(interpret)
+    r = jnp.asarray(radius, jnp.float32)
+    return _fpfh_impl(plan.state, r * r, plan.C, plan.SEG, plan.R_pad,
+                      interpret, kp=kp)
