@@ -41,6 +41,38 @@ K_OPTIMAL = 800  # alignment.cpp:31
 TWO_PI = 2.0 * np.pi
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def _degrees_only(p, q, valid, resolution, chunk: int = 1024):
+    """Degrees of the length-consistency graph WITHOUT materializing the
+    [n, n] adjacency (ia_gror.hpp:126-194 computes only the counts too).
+    Row-chunked: peak memory is [chunk, n] however large the
+    correspondence set, so any-mode at 1M points (10^5 correspondences)
+    stays well under HBM instead of allocating 2x40 GB."""
+    n = p.shape[0]
+    n_blocks = -(-n // chunk)
+    rows = jnp.arange(n_blocks * chunk, dtype=jnp.int32).reshape(n_blocks, chunk)
+    col = jnp.arange(n, dtype=jnp.int32)
+
+    def blk(r):
+        rc = jnp.clip(r, 0, n - 1)
+        dp = jnp.sqrt(jnp.maximum(
+            jnp.sum((p[rc][:, None, :] - p[None, :, :]) ** 2, axis=-1), 0.0
+        ))
+        dq = jnp.sqrt(jnp.maximum(
+            jnp.sum((q[rc][:, None, :] - q[None, :, :]) ** 2, axis=-1), 0.0
+        ))
+        ok = (
+            (jnp.abs(dp - dq) < 2.0 * resolution)
+            & valid[rc][:, None]
+            & valid[None, :]
+            & (r[:, None] != col[None, :])
+            & (r[:, None] < n)
+        )
+        return jnp.sum(ok, axis=1)
+
+    return jax.lax.map(blk, rows).reshape(-1)[:n]
+
+
 @partial(jax.jit, static_argnames=())
 def _node_degrees(p, q, valid, resolution):
     """Degree in the length-consistency graph (ia_gror.hpp:126-194)."""
@@ -321,7 +353,8 @@ def align_gror(
     q_all = tgt.xyz[corrs.match]
 
     # 1. node reliability, keep top K among nodes with >=1 consistent pair
-    deg, adj = _node_degrees(p_all, q_all, corrs.valid, resolution)
+    # (chunked: only the degrees are needed here, never the [n, n] graph)
+    deg = _degrees_only(p_all, q_all, corrs.valid, resolution)
     deg_np = np.asarray(deg)
     order = np.argsort(-deg_np, kind="stable")
     keep = order[: min(k_optimal, n)]

@@ -164,3 +164,19 @@ def test_gror_all_outliers_does_not_converge(rng):
     params = AlignmentParameters(distance_thr=0.02)
     res = align_gror(src, tgt, corrs, params)
     assert not res.converged
+
+
+def test_degrees_chunked_parity(rng):
+    """_degrees_only (row-chunked, no [n,n] adjacency) == _node_degrees."""
+    from lidar_global_registration_tpu.models.gror import (
+        _degrees_only,
+        _node_degrees,
+    )
+
+    n = 517  # not a chunk multiple: exercises the padded tail
+    p = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    valid = jnp.asarray(rng.random(n) < 0.85)
+    got = np.asarray(_degrees_only(p, q, valid, 0.4, chunk=128))
+    want, _ = _node_degrees(p, q, valid, 0.4)
+    np.testing.assert_array_equal(got, np.asarray(want))
