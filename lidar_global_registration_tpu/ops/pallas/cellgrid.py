@@ -475,6 +475,9 @@ def _build_tab(state, C: int, SEG: int, R_pad: int, need_sorted=None,
     col_offs = [(i, j) for i in (-1, 0, 1) for j in (-1, 0, 1)]
     col_start = jnp.zeros((R_pad, 9), jnp.int32)
     col_len = jnp.zeros((R_pad, 9), jnp.int32)
+    lo_raw = [None] * 9
+    hi_raw = [None] * 9
+    ok_raw = [None] * 9
     for ci, (di, dj) in enumerate(col_offs):
         nkx = kx + di
         nky = ky + dj
@@ -485,9 +488,45 @@ def _build_tab(state, C: int, SEG: int, R_pad: int, need_sorted=None,
         key_hi = (nkx << (by + bz)) | (nky << bz) | zhi
         lo = jnp.searchsorted(ks_search, key_lo, side="left").astype(jnp.int32)
         hi = jnp.searchsorted(ks_search, key_hi, side="right").astype(jnp.int32)
+        lo_raw[ci], hi_raw[ci], ok_raw[ci] = lo, hi, xy_ok
         good = xy_ok & (rows < n_blocks) & (hi > lo)
         col_start = col_start.at[:, ci].set(jnp.where(good, lo, n_valid))
         col_len = col_len.at[:, ci].set(jnp.where(good, hi - lo, 0))
+
+    # merged spans: for each dx, the (y-1, y, y+1) columns are CONTIGUOUS
+    # in key order, so they can stream as ONE span [lo(dx,y-1), hi(dx,y+1))
+    # per block -- 3 DMA windows instead of 9 on thin (2.5D scan) grids.
+    # The slack cells swept in between (middle column z outside [z-1,z+1])
+    # are just extra candidates; every kernel distance-filters, so values
+    # are unchanged.  Chosen PER ROW: merged iff it needs no more SEG
+    # windows than the 9 exact columns (volumetric clouds with deep z
+    # columns keep the exact layout).  The kernel is agnostic: it streams
+    # whatever (start, len) pairs the table holds.
+    m_start = jnp.zeros((R_pad, 9), jnp.int32)
+    m_len = jnp.zeros((R_pad, 9), jnp.int32)
+    for di_i, di in enumerate((-1, 0, 1)):
+        cis = [di_i * 3 + dj_i for dj_i in range(3)]  # dj = -1, 0, +1
+        lo3 = jnp.full(rows.shape, 0, jnp.int32)
+        hi3 = jnp.full(rows.shape, 0, jnp.int32)
+        any_ok = jnp.zeros(rows.shape, bool)
+        for ci in cis:  # first valid dj gives the low bound
+            take = ok_raw[ci] & ~any_ok
+            lo3 = jnp.where(take, lo_raw[ci], lo3)
+            any_ok = any_ok | ok_raw[ci]
+        seen = jnp.zeros(rows.shape, bool)
+        for ci in reversed(cis):  # last valid dj gives the high bound
+            take = ok_raw[ci] & ~seen
+            hi3 = jnp.where(take, hi_raw[ci], hi3)
+            seen = seen | ok_raw[ci]
+        good = any_ok & (rows < n_blocks) & (hi3 > lo3)
+        m_start = m_start.at[:, di_i].set(jnp.where(good, lo3, n_valid))
+        m_len = m_len.at[:, di_i].set(jnp.where(good, hi3 - lo3, 0))
+
+    w9 = jnp.sum(-(-col_len // SEG), axis=1)
+    w3 = jnp.sum(-(-m_len // SEG), axis=1)
+    use3 = (w3 <= w9)[:, None]
+    col_start = jnp.where(use3, m_start, col_start)
+    col_len = jnp.where(use3, m_len, col_len)
 
     tab = jnp.zeros((R_pad, TAB_LANES), jnp.int32)
     tab = tab.at[:, 0:9].set(col_start)
