@@ -165,6 +165,9 @@ def run_step(n: int, repeats: int):
         use_iss=use_iss,
         match_tile=4096,
         metric=metric_id,
+        # LGR_BENCH_DESC=shot benches the reference's shipped descriptor
+        # (data/tests.yaml: `descriptor: shot, lrf: gravity`)
+        descriptor=os.environ.get("LGR_BENCH_DESC", "fpfh"),
     )
     args = (
         jnp.asarray(a),

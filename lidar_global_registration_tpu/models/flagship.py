@@ -206,20 +206,13 @@ def ransac_solve(p, q, thr, cvalid, key, cfg: FlagshipConfig):
         return metric
 
     def one_round(rkey, best_metric, best_R, best_t):
-        samp = jax.random.randint(rkey, (B, S), 0, nvalid_i)
-        rows = order[samp]  # [B,S]
-        ok = jnp.ones((B,), bool)
-        for a in range(S):
-            for b in range(a + 1, S):
-                ok = ok & (rows[:, a] != rows[:, b])
-        p3, q3 = p[rows], q[rows]
-        for a in range(S):
-            b = (a + 1) % S
-            ds = jnp.sum((p3[:, a] - p3[:, b]) ** 2, axis=-1)
-            dt = jnp.sum((q3[:, a] - q3[:, b]) ** 2, axis=-1)
-            ok = ok & (jnp.minimum(ds, dt) >= (cfg.edge_thr**2) * jnp.maximum(ds, dt))
-            ok = ok & (jnp.maximum(ds, dt) > 0)
-        R, t = kabsch(p3, q3)
+        # THE shared draw/prereject/solve body (models/ransac.py) — the
+        # host align_ransac round and this staged/mesh round cannot drift
+        from lidar_global_registration_tpu.models.ransac import draw_hypotheses
+
+        R, t, ok = draw_hypotheses(
+            p, q, rkey, nvalid_i, B, S, cfg.edge_thr, order=order
+        )
         tx, ty, tz = transform_points_soa(R, t, p)
         d2 = (
             (tx - q[:, 0][None]) ** 2
@@ -577,17 +570,38 @@ def register_pair_staged(
 
     shot_mode = cfg.descriptor == "shot"
     masked = use_cells and cfg.use_iss and cfg.masked_features
-    plan_f_src = plan_f_tgt = None
     if masked:
+        # Per-side side+descriptor sequencing: the side stage holds TWO
+        # sorted grids (normal/ISS + feature, ~0.5 KB/point each in packed
+        # lanes).  Finishing a side's FPFH before starting the other side
+        # frees its feature grid early — at 10M points/side both sides'
+        # grids alive at once would exceed a v5e's 16 GB HBM.
+        def _masked_side_full(xyz, valid, iss_radius, vp, which):
+            normal, kp, dens, plan_f = _side_stage_masked(
+                xyz, valid, iss_radius, vp, shot_mode
+            )
+            _t(f"side_{which}", (normal, kp, dens))
+            if shot_mode:
+                # SHOT runs later at the compacted keypoint rows only; the
+                # feature grid (used for the need mask) frees right here
+                return normal, kp, dens, None, valid & kp
+            from lidar_global_registration_tpu.ops.pallas.cellgrid import (
+                fpfh_pass,
+                set_normals,
+            )
+
+            feat, fv = _t(f"fpfh_{which}", fpfh_pass(
+                set_normals(plan_f, normal), feature_radius, kp=kp
+            ))
+            return normal, kp, dens, feat, fv & kp
+
         try:
-            src_normal, src_kp, dens_s, plan_f_src = _side_stage_masked(
-                src_xyz, src_valid, iss_radius_src, vp_src, shot_mode
+            src_normal, src_kp, dens_s, fq, fq_valid = _masked_side_full(
+                src_xyz, src_valid, iss_radius_src, vp_src, "src"
             )
-            _t("side_src", (src_normal, src_kp, dens_s))
-            tgt_normal, tgt_kp, dens_t, plan_f_tgt = _side_stage_masked(
-                tgt_xyz, tgt_valid, iss_radius_tgt, vp_tgt, shot_mode
+            tgt_normal, tgt_kp, dens_t, ft, ft_valid = _masked_side_full(
+                tgt_xyz, tgt_valid, iss_radius_tgt, vp_tgt, "tgt"
             )
-            _t("side_tgt", (tgt_normal, tgt_kp, dens_t))
         except ValueError as e:  # cloud does not fit the kernel format
             print(f"# masked side pass -> unmasked fallback: {e}", flush=True)
             masked = False
@@ -598,30 +612,16 @@ def register_pair_staged(
         tgt_normal, tgt_kp, dens_t = _t(
             "side_tgt", _side_stage_host(tgt_xyz, tgt_valid, iss_radius_tgt, vp_tgt)
         )
-    if shot_mode:
-        # SHOT is computed ONLY at the compacted keypoint rows (below) —
-        # the full-row pass FPFH uses would waste 25-100x the work on a
-        # descriptor 10x wider.  Validity here is just the keypoint mask.
-        fq = ft = None
-        fq_valid = src_valid & src_kp
-        ft_valid = tgt_valid & tgt_kp
-    elif masked:
-        from lidar_global_registration_tpu.ops.pallas.cellgrid import (
-            fpfh_pass,
-            set_normals,
-        )
-
-        fq, fq_valid = _t("fpfh_src", fpfh_pass(
-            set_normals(plan_f_src, src_normal), feature_radius, kp=src_kp
-        ))
-        ft, ft_valid = _t("fpfh_tgt", fpfh_pass(
-            set_normals(plan_f_tgt, tgt_normal), feature_radius, kp=tgt_kp
-        ))
-        fq_valid = fq_valid & src_kp
-        ft_valid = ft_valid & tgt_kp
-    else:
-        fq, fq_valid = _t("fpfh_src", _fpfh_stage(src_xyz, src_normal, src_valid, src_kp, vp_src))
-        ft, ft_valid = _t("fpfh_tgt", _fpfh_stage(tgt_xyz, tgt_normal, tgt_valid, tgt_kp, vp_tgt))
+        if shot_mode:
+            # SHOT is computed ONLY at the compacted keypoint rows (below) —
+            # the full-row pass FPFH uses would waste 25-100x the work on a
+            # descriptor 10x wider.  Validity here is just the keypoint mask.
+            fq = ft = None
+            fq_valid = src_valid & src_kp
+            ft_valid = tgt_valid & tgt_kp
+        else:
+            fq, fq_valid = _t("fpfh_src", _fpfh_stage(src_xyz, src_normal, src_valid, src_kp, vp_src))
+            ft, ft_valid = _t("fpfh_tgt", _fpfh_stage(tgt_xyz, tgt_normal, tgt_valid, tgt_kp, vp_tgt))
 
     # keypoint compaction: with ISS (or heavy masking) only a fraction of
     # rows carry descriptors; matching the compact rows replaces the full
@@ -636,10 +636,17 @@ def register_pair_staged(
     N_all = fq_valid.shape[0]
     n_q, n_t = (int(x) for x in np_.asarray(_kp_counts(fq_valid, ft_valid)))
     if min(n_q, n_t) > 0 and max(n_q, n_t) <= N_all // 2:
-        def pad_to(a, m):
-            return int(-(-max(a, 1) // m) * m)
+        def pad_to(a):
+            # pad quantum scales with the count (~12.5% granularity): a
+            # fixed 1024-quantum put bucket boundaries every 1024 rows, so
+            # run-to-run keypoint-count jitter (e.g. 13.3k vs 13.4k at 1M)
+            # could cross a boundary and recompile the match/RANSAC
+            # programs (~30 s remote) mid-benchmark
+            a = max(a, 1)
+            m = max(1024, 1 << max(a.bit_length() - 3, 0))
+            return int(-(-a // m) * m)
 
-        mq, mt = pad_to(n_q, 1024), pad_to(n_t, 1024)
+        mq, mt = pad_to(n_q), pad_to(n_t)
         # padding rows point at N_all: gathers clamp harmlessly (row is
         # masked), scatters drop them instead of clobbering row 0
         sqj = _compact_rows(fq_valid, n_q, mq)

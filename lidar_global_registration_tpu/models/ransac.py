@@ -122,34 +122,46 @@ def build_metric_context(
     return ctx
 
 
+def draw_hypotheses(p, q, rkey, nvalid_i, B: int, S: int, edge_thr: float,
+                    order=None):
+    """THE shared hypothesis body: draw B sample S-tuples from the valid
+    prefix, reject duplicate draws (instead of the reference's shift dance,
+    sac_prerejective_omp.cpp:33-77), prereject by polygonal edge-length
+    similarity (pcl::registration::CorrespondenceRejectorPoly,
+    sac:105-108,214-217) and solve B closed-form Kabsch poses.
+
+    Used by BOTH the host align_ransac round and flagship.ransac_solve
+    (staged/mesh paths) so the two cannot drift.  `order` optionally maps
+    sampled slots to correspondence rows (valid-first permutation); when
+    None the arrays are already valid-prefix-compacted.
+
+    Returns (R [B,3,3], t [B,3], ok [B])."""
+    samp = jax.random.randint(rkey, (B, S), 0, nvalid_i)
+    rows = samp if order is None else order[samp]
+    ok = jnp.ones((B,), bool)
+    for a in range(S):
+        for b in range(a + 1, S):
+            ok = ok & (rows[:, a] != rows[:, b])
+    p3, q3 = p[rows], q[rows]
+    for a in range(S):
+        b = (a + 1) % S
+        ds = jnp.sum((p3[:, a] - p3[:, b]) ** 2, axis=-1)
+        dt = jnp.sum((q3[:, a] - q3[:, b]) ** 2, axis=-1)
+        ok = ok & (jnp.minimum(ds, dt) >= (edge_thr ** 2) * jnp.maximum(ds, dt))
+        ok = ok & (jnp.maximum(ds, dt) > 0)
+    R, t = kabsch(p3, q3)
+    return R, t, ok
+
+
 @partial(jax.jit, static_argnames=("B", "n_samples", "edge_thr"))
 def _ransac_round(ctx: MetricContext, key, n_corr, B: int, n_samples: int, edge_thr: float):
     """One batch of B hypotheses -> per-round best + max supporting count."""
-    samp = jax.random.randint(key, (B, n_samples), 0, jnp.maximum(n_corr, 1))
-    # reject duplicate draws instead of the reference's shift dance
-    dup = jnp.zeros((B,), bool)
-    for a in range(n_samples):
-        for b in range(a + 1, n_samples):
-            dup = dup | (samp[:, a] == samp[:, b])
-
-    p3 = ctx.p[samp]  # [B,S,3]
-    q3 = ctx.q[samp]
-
-    # polygonal prerejection: all edge length ratios >= edge_thr
-    # (pcl::registration::CorrespondenceRejectorPoly, sac:105-108,214-217)
-    ok_edges = jnp.ones((B,), bool)
-    for a in range(n_samples):
-        b = (a + 1) % n_samples
-        ds = jnp.sum((p3[:, a] - p3[:, b]) ** 2, axis=-1)
-        dt = jnp.sum((q3[:, a] - q3[:, b]) ** 2, axis=-1)
-        lo = jnp.minimum(ds, dt)
-        hi = jnp.maximum(ds, dt)
-        ok_edges = ok_edges & (lo >= edge_thr * edge_thr * hi) & (hi > 0)
-
-    R, t = kabsch(p3, q3)
+    R, t, ok = draw_hypotheses(
+        ctx.p, ctx.q, key, jnp.maximum(n_corr, 1), B, n_samples, edge_thr
+    )
     ev = metricsmod.evaluate(ctx, R, t)
 
-    alive = (~dup) & ok_edges & (ev["inliers"] >= MIN_NR_INLIERS)
+    alive = ok & (ev["inliers"] >= MIN_NR_INLIERS)
     metric = jnp.where(alive, ev["metric"], -jnp.inf)
     best = jnp.argmax(metric)
     support_max = jnp.max(jnp.where(alive, ev["support"], 0))
@@ -158,7 +170,7 @@ def _ransac_round(ctx: MetricContext, key, n_corr, B: int, n_samples: int, edge_
         R[best],
         t[best],
         support_max,
-        jnp.sum(ok_edges & ~dup),  # non-prerejected count (debug)
+        jnp.sum(ok),  # non-prerejected count (debug)
     )
 
 
