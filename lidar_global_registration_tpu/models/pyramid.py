@@ -361,22 +361,26 @@ def match_multiscale(
             idx, dist, mask = matchers.match_bf(
                 fq, ft, vq, vt, k=k, tile=tile, bf16=params.bf16_matching
             )
-        # map level-local rows to global kp rows, scatter into [Mq, k]
+        # map level-local rows to global kp rows, scatter into [Mq, k] ON
+        # DEVICE: round 2 pulled idx/dist/mask to host per level per
+        # direction (3 tunnel round-trips each); the only transfer now is
+        # the single pull of the voted winner below
         rows_q = side_q.level_kp_rows[iq]
         rows_t = side_t.level_kp_rows[it]
-        idx_np = np.asarray(idx)
-        dist_np = np.asarray(dist)
-        mask_np = np.asarray(mask)
         nq = len(rows_q)
-        gi = np.zeros((Mq, k), np.int64)
-        gd = np.full((Mq, k), np.float32(3.0e38), np.float32)
-        gm = np.zeros((Mq, k), bool)
-        m_ok = mask_np[:nq]
-        # clamp level-local train rows into rows_t range before mapping
-        tloc = np.clip(idx_np[:nq], 0, max(len(rows_t) - 1, 0))
-        gi[rows_q] = np.where(m_ok, rows_t[tloc] if len(rows_t) else 0, 0)
-        gd[rows_q] = np.where(m_ok, dist_np[:nq], np.float32(3.0e38))
-        gm[rows_q] = m_ok
+        m_ok = mask[:nq]
+        rq = jnp.asarray(rows_q.astype(np.int32))
+        if len(rows_t):
+            tloc = jnp.clip(idx[:nq], 0, len(rows_t) - 1)
+            tglob = jnp.asarray(rows_t.astype(np.int32))[tloc]
+        else:
+            tglob = jnp.zeros((nq, k), jnp.int32)
+        big = jnp.float32(3.0e38)
+        gi = jnp.zeros((Mq, k), jnp.int32).at[rq].set(jnp.where(m_ok, tglob, 0))
+        gd = jnp.full((Mq, k), big, jnp.float32).at[rq].set(
+            jnp.where(m_ok, dist[:nq], big)
+        )
+        gm = jnp.zeros((Mq, k), bool).at[rq].set(m_ok)
         cand_i.append(gi)
         cand_d.append(gd)
         cand_m.append(gm)
@@ -390,9 +394,9 @@ def match_multiscale(
             big.copy(),
             np.zeros((Mq,), bool),
         )
-    ci = jnp.asarray(np.concatenate(cand_i, axis=1))
-    cd = jnp.asarray(np.concatenate(cand_d, axis=1))
-    cm = jnp.asarray(np.concatenate(cand_m, axis=1))
+    ci = jnp.concatenate(cand_i, axis=1)
+    cd = jnp.concatenate(cand_d, axis=1)
+    cm = jnp.concatenate(cand_m, axis=1)
     bi, bd, bm, sd, sm = _consensus_vote(
         ci.astype(jnp.int32), cd, cm, side_t.kps.xyz, jnp.float32(side_t.iss_radius)
     )
