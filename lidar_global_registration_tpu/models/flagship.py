@@ -74,6 +74,9 @@ class FlagshipConfig:
     # hypotheses per round (the 3-axis entropy over all B would be
     # scatter-bound; the reference subsamples points for its expensive
     # metrics (SPARSE_POINTS_FRACTION), we subsample hypotheses)
+    degree_top: int = 800  # GROR-style node-reliability prefilter before
+    # RANSAC: keep the correspondences with the most pairwise-length-
+    # consistent partners (K_optimal=800, ia_gror.hpp:126-194); 0 = off
     ransac_compact: int = 4096  # staged path: compact correspondences to this
     # many rows before the RANSAC stage (0 = off); the adaptive threshold
     # arrays stay per-correspondence
@@ -171,6 +174,41 @@ def ransac_solve(p, q, thr, cvalid, key, cfg: FlagshipConfig):
         # consensus-ranked cap stays intact.
         sel = jnp.argsort(~cvalid)[: cfg.ransac_compact]
         p, q, thr, cvalid = p[sel], q[sel], thr[sel], cvalid[sel]
+    if cfg.degree_top and cfg.degree_top < p.shape[0] <= 8192:
+        # (the shape bound keeps the [M, M] consistency matrix to compacted
+        # correspondence sets — without ransac_compact, M is the padded
+        # cloud length and a dense pairwise pass would be O(N^2))
+        # GROR-style node-reliability prefilter (ia_gror.hpp:126-194, the
+        # reference keeps the K_optimal=800 most reliable nodes): a
+        # correspondence's degree counts partners whose source and target
+        # pairwise distances agree within 2x the (per-pair adaptive)
+        # threshold.  Spatial-consensus filtering upstream cannot reject
+        # repetitive-structure ALIASING — a neighborhood coherently matched
+        # to the wrong one of many identical structures has perfect local
+        # consensus; pairwise length consistency against the whole set is
+        # what kills it (measured at 4M pts/side: aliased box matches
+        # flooded the consensus cap and left 0 true inliers).
+        pv = cvalid.astype(jnp.float32)
+        nv = jnp.maximum(jnp.sum(pv), 1.0)
+        # center before the Gram trick: f32 cancellation loses geometry
+        # for georeferenced coordinates far from the origin
+        pc = (p - jnp.sum(p * pv[:, None], axis=0) / nv) * pv[:, None]
+        qc = (q - jnp.sum(q * pv[:, None], axis=0) / nv) * pv[:, None]
+
+        def _pdist(a):
+            g = a @ a.T
+            n2 = jnp.diagonal(g)
+            return jnp.sqrt(jnp.maximum(n2[:, None] + n2[None, :] - 2.0 * g, 0.0))
+
+        eps_ij = 2.0 * jnp.maximum(thr[:, None], thr[None, :])
+        consistent = (
+            (jnp.abs(_pdist(pc) - _pdist(qc)) < eps_ij)
+            & cvalid[None, :]
+            & cvalid[:, None]
+        )
+        deg = jnp.sum(consistent, axis=1)
+        kth = jnp.sort(deg)[-cfg.degree_top]
+        cvalid = cvalid & (deg >= jnp.maximum(kth, 3))
     uniformity = cfg.metric == "uniformity"
     if uniformity:
         from lidar_global_registration_tpu.ops.metrics import (
@@ -465,6 +503,23 @@ def register_pair_staged(
 
     _t.last = _time.perf_counter()
 
+    # ONE stacked pull of the scalar radii: the host orchestration below
+    # makes cell-size decisions from them, and pulling each scalar on its
+    # own is a full round-trip on tunneled runtimes.  The floats are passed
+    # straight back into the stage jits (a Python float is a traced f32
+    # argument, not a baked constant — no per-value recompiles).
+    import numpy as _np0
+
+    (normal_cell, density_cell_src, density_cell_tgt, iss_radius_src,
+     iss_radius_tgt, feature_radius, distance_thr) = (
+        float(v) for v in _np0.asarray(jnp.stack([
+            jnp.asarray(v, jnp.float32)
+            for v in (normal_cell, density_cell_src, density_cell_tgt,
+                      iss_radius_src, iss_radius_tgt, feature_radius,
+                      distance_thr)
+        ]))
+    )
+
     cells_env = os.environ.get("LGR_CELL_FPFH", "1")
     use_cells = (
         cfg.use_cell_fpfh
@@ -503,20 +558,21 @@ def register_pair_staged(
         (tests/test_cell_masked.py); the reference likewise computes
         features on keypoint clouds only (feature_analysis.cpp).  Returns
         (normal, kp, density, feature-grid plan)."""
-        import numpy as np__
         from lidar_global_registration_tpu.ops.pallas.cellgrid import (
             iss_pass,
-            plan_grid,
+            plan_grid_many,
             point_need,
             surface_pass,
         )
 
-        cell_n = float(np__.maximum(np__.asarray(normal_cell),
-                                    np__.asarray(iss_radius)))
-        plan_n = plan_grid(xyz, jnp.zeros_like(xyz), valid, cell_n)
+        cell_n = max(normal_cell, iss_radius)
+        z = jnp.zeros_like(xyz)
+        # both grids planned with ONE host sync (plan_grid_many)
+        plan_n, plan_f = plan_grid_many([
+            (xyz, z, valid, cell_n),
+            (xyz, z, valid, feature_radius),
+        ])
         kp, _sal = iss_pass(plan_n, iss_radius)
-        plan_f = plan_grid(xyz, jnp.zeros_like(xyz), valid,
-                           float(np__.asarray(feature_radius)))
         need_n = point_need(plan_f, kp, 1 if shot else 2)
         normal, _c, density, _e, _ok = surface_pass(
             plan_n, normal_cell, viewpoint=vp, need=need_n
@@ -605,7 +661,45 @@ def register_pair_staged(
         except ValueError as e:  # cloud does not fit the kernel format
             print(f"# masked side pass -> unmasked fallback: {e}", flush=True)
             masked = False
-    if not masked:
+    fused_any = False
+    if not masked and use_cells and not cfg.use_iss and not shot_mode:
+        # keypoint=any cell path: both of a side's grids planned with ONE
+        # host sync, surface + FPFH sequenced per side (same memory
+        # argument as the masked branch above)
+        def _side_fpfh_cells(xyz, valid, vp, which):
+            from lidar_global_registration_tpu.ops.pallas.cellgrid import (
+                fpfh_pass,
+                plan_grid_many,
+                set_normals,
+                surface_pass,
+            )
+
+            z = jnp.zeros_like(xyz)
+            plan_n, plan_f = plan_grid_many([
+                (xyz, z, valid, normal_cell),
+                (xyz, z, valid, feature_radius),
+            ])
+            normal, _c, density, _e, _ok = surface_pass(
+                plan_n, normal_cell, viewpoint=vp
+            )
+            _t(f"side_{which}", (normal, density))
+            feat, fv = _t(f"fpfh_{which}", fpfh_pass(
+                set_normals(plan_f, normal), feature_radius
+            ))
+            return normal, density, feat, fv & valid
+
+        try:
+            src_normal, dens_s, fq, fq_valid = _side_fpfh_cells(
+                src_xyz, src_valid, vp_src, "src"
+            )
+            tgt_normal, dens_t, ft, ft_valid = _side_fpfh_cells(
+                tgt_xyz, tgt_valid, vp_tgt, "tgt"
+            )
+            src_kp, tgt_kp = src_valid, tgt_valid
+            fused_any = True
+        except ValueError as e:  # cloud does not fit the kernel format
+            print(f"# cell side pass -> XLA fallback: {e}", flush=True)
+    if not masked and not fused_any:
         src_normal, src_kp, dens_s = _t(
             "side_src", _side_stage_host(src_xyz, src_valid, iss_radius_src, vp_src)
         )

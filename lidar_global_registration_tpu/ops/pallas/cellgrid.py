@@ -152,31 +152,6 @@ def _coarsen_key(key, bits, m):
 _N_SAMPLE = 4096
 
 
-@jax.jit
-def _light_stats(xyz, valid, cell):
-    """Cheap m-choice pass: 1-operand key sort at m=1, sampled median cell
-    occupancy.  Returns f32[2] = (occ_q50, n_valid)."""
-    origin, inv, bits = _grid_frame(xyz, valid, cell)
-    keys, _, _ = _lex_keys(xyz, valid, origin, inv, bits)
-    ks = jnp.sort(keys)
-    N = ks.shape[0]
-    vs = ks < _BIG_KEY
-    n_valid = jnp.sum(vs.astype(jnp.int32))
-    idx = jnp.arange(N, dtype=jnp.int32)
-    first = vs & jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
-    run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, -1))
-    last = vs & jnp.concatenate([ks[1:] != ks[:-1], jnp.ones((1,), bool)])
-    run_end = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(last, idx, jnp.int32(2**30)), reverse=True
-    )
-    occ = jnp.where(vs, run_end - run_start + 1, 0)
-    samp = (jnp.arange(_N_SAMPLE, dtype=jnp.int32) * jnp.maximum(n_valid, 1)) // _N_SAMPLE
-    occ_s = jnp.sort(occ[samp])
-    return jnp.stack(
-        [occ_s[_N_SAMPLE // 2].astype(jnp.float32), n_valid.astype(jnp.float32)]
-    )
-
-
 # stats vector layout (host parses by these offsets)
 _ST_NROWS = 0
 _ST_NVALID = 1
@@ -186,17 +161,21 @@ _ST_BITS = 4
 _ST_COLQ50 = 5
 _ST_OVER = 6  # len(C_BUCKETS) entries: points with in-cell pos >= bucket
 _ST_BLOCKS = _ST_OVER + len(C_BUCKETS)  # len(C_BUCKETS): total query blocks
-_ST_LEN = _ST_BLOCKS + len(C_BUCKETS)
+_ST_M = _ST_BLOCKS + len(C_BUCKETS)  # the chosen cell-growth factor
+_ST_LEN = _ST_M + 1
 
 
-@jax.jit
-def _sort_stats(xyz, normal, valid, cell, m):
+@functools.partial(jax.jit, static_argnames=("auto_m",))
+def _sort_stats(xyz, normal, valid, cell, m, auto_m: bool = False):
     """THE grid sort (8 operands, stable) + exact occupancy statistics.
 
     m is a traced cell-growth factor: the grid cell is m*cell but ids are
     the fine ids integer-divided by m (same origin), and the SORT is by the
     coarse key, so every downstream consumer (stats, column table, kernels)
-    sees the identical partition.  Returns (state tuple kept on device,
+    sees the identical partition.  With auto_m the factor itself is chosen
+    ON DEVICE from the sampled median fine-cell occupancy (the former
+    _light_stats program + host pull, folded in here so planning a grid
+    costs ONE host sync, not two).  Returns (state tuple kept on device,
     stats f32[_ST_LEN] pulled once by the host):
 
       stats = [n_rows, n_valid, max occupancy, max column (z-union)
@@ -204,9 +183,34 @@ def _sort_stats(xyz, normal, valid, cell, m):
                per C bucket: #points with in-cell position >= bucket
                (queries that would lose their slot),
                sampled median column occupancy,
-               per C bucket: overflow point count and total query blocks]."""
+               per C bucket: overflow point count and total query blocks,
+               the cell-growth factor m]."""
     origin, inv, bits = _grid_frame(xyz, valid, cell)
     fkeys, _, clips = _lex_keys(xyz, valid, origin, inv, bits)
+    if auto_m:
+        # m-choice on device: 1-operand fine-key sort, sampled median
+        # occupancy, 2.5D growth model (occupancy ~ m^2 for surface scans)
+        fs = jnp.sort(fkeys)
+        Nf = fs.shape[0]
+        fvs = fs < _BIG_KEY
+        fn_valid = jnp.sum(fvs.astype(jnp.int32))
+        fidx = jnp.arange(Nf, dtype=jnp.int32)
+        ffirst = fvs & jnp.concatenate([jnp.ones((1,), bool), fs[1:] != fs[:-1]])
+        frs = jax.lax.associative_scan(jnp.maximum, jnp.where(ffirst, fidx, -1))
+        flast = fvs & jnp.concatenate([fs[1:] != fs[:-1], jnp.ones((1,), bool)])
+        fre = jax.lax.associative_scan(
+            jnp.minimum, jnp.where(flast, fidx, jnp.int32(2**30)), reverse=True
+        )
+        focc = jnp.where(fvs, fre - frs + 1, 0)
+        fsamp = (
+            jnp.arange(_N_SAMPLE, dtype=jnp.int32) * jnp.maximum(fn_valid, 1)
+        ) // _N_SAMPLE
+        q50 = jnp.sort(focc[fsamp])[_N_SAMPLE // 2].astype(jnp.float32)
+        m = jnp.clip(
+            jnp.round(jnp.sqrt(OCC_TARGET / jnp.maximum(q50, 1.0))), 1, 4
+        ).astype(jnp.int32)
+    else:
+        m = jnp.asarray(m, jnp.int32)
     keys = jnp.where(fkeys < _BIG_KEY, _coarsen_key(fkeys, bits, m), _BIG_KEY)
     N = xyz.shape[0]
     ks, xs, ys, zs, nxs, nys, nzs, order = jax.lax.sort(
@@ -275,6 +279,7 @@ def _sort_stats(xyz, normal, valid, cell, m):
         ]
         + [d.astype(jnp.float32) for d in over_c]
         + [d.astype(jnp.float32) for d in blocks_c]
+        + [m.astype(jnp.float32)]
     )
     state = (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos,
              jnp.stack([bx, by, bz]), jnp.asarray(m, jnp.int32))
@@ -305,16 +310,9 @@ OCC_TARGET = 96  # grow the cell until the median point's cell holds ~this
 SEG_BUCKETS = (128, 256, 512)
 
 
-def plan_grid(xyz, normal, valid, cell, exact: bool = False,
-              m: int | None = None):
-    """Sort + size one grid.  Raises ValueError only when the cloud does
-    not fit the kernel format (too many key bits / too many points for
-    f32-exact ids) — callers fall back to the XLA path.
-
-    C (query-block lanes) is the smallest bucket holding >= 90% of points
-    in their cell's first block — denser cells just get more blocks; SEG
-    (candidate stream window) tracks the median column occupancy so small
-    columns do not pay a huge window's masked compute."""
+def _stats_device(xyz, normal, valid, cell, exact: bool = False,
+                  m: int | None = None):
+    """Launch the (sort + stats) program; NO host pull happens here."""
     if xyz.shape[0] >= (1 << 24):
         # point ids ride in f32 packed lanes: exact only below 2^24
         raise ValueError(
@@ -323,14 +321,14 @@ def plan_grid(xyz, normal, valid, cell, exact: bool = False,
         )
     if exact:
         m = 1
-    if m is None:
-        q50, _nv = np.asarray(_light_stats(xyz, valid, jnp.asarray(cell, jnp.float32)))
-        # 2.5D growth model: occupancy ~ m^2 for surface-like scans
-        m = int(np.clip(round(float(np.sqrt(OCC_TARGET / max(q50, 1.0)))), 1, 4))
-    state, stats = _sort_stats(
-        xyz, normal, valid, jnp.asarray(cell, jnp.float32), jnp.int32(m)
+    return _sort_stats(
+        xyz, normal, valid, jnp.asarray(cell, jnp.float32),
+        jnp.int32(m if m is not None else 1), auto_m=m is None,
     )
-    st = np.asarray(stats).astype(np.int64)
+
+
+def _plan_from_stats(state, st):
+    """Host sizing decisions from a pulled stats vector (int64[_ST_LEN])."""
     n_rows, n_valid, maxocc, colmax, bits = st[0], st[1], st[2], st[3], st[4]
     colq50 = int(st[_ST_COLQ50])
     if bits > 30:
@@ -351,8 +349,35 @@ def plan_grid(xyz, normal, valid, cell, exact: bool = False,
     while nsteps * G_CELLS < max(n_blocks, 1):
         nsteps = nsteps + max(nsteps // 2, 1)  # 1.5x ladder
     R_pad = nsteps * G_CELLS
-    return GridPlan(int(C), int(SEG), int(R_pad), int(m), int(n_rows),
+    return GridPlan(int(C), int(SEG), int(R_pad), int(st[_ST_M]), int(n_rows),
                     int(n_valid), int(maxocc), int(colmax), state)
+
+
+def plan_grid(xyz, normal, valid, cell, exact: bool = False,
+              m: int | None = None):
+    """Sort + size one grid in ONE host sync.  Raises ValueError only when
+    the cloud does not fit the kernel format (too many key bits / too many
+    points for f32-exact ids) — callers fall back to the XLA path.
+
+    C (query-block lanes) is the smallest bucket holding >= 90% of points
+    in their cell's first block — denser cells just get more blocks; SEG
+    (candidate stream window) tracks the median column occupancy so small
+    columns do not pay a huge window's masked compute."""
+    state, stats = _stats_device(xyz, normal, valid, cell, exact, m)
+    return _plan_from_stats(state, np.asarray(stats).astype(np.int64))
+
+
+def plan_grid_many(specs):
+    """Plan several grids with ONE host sync total: specs is a list of
+    (xyz, normal, valid, cell[, exact[, m]]) tuples; all stats vectors are
+    stacked on device and pulled together.  On tunneled TPU runtimes every
+    pull is a full round-trip, so the staged registration path plans both
+    of a side's grids (normal/ISS + feature) through here."""
+    launched = [_stats_device(*s) for s in specs]
+    all_stats = np.asarray(jnp.stack([sv for _st, sv in launched])).astype(np.int64)
+    return [
+        _plan_from_stats(st, all_stats[i]) for i, (st, _sv) in enumerate(launched)
+    ]
 
 
 # ---------------------------------------------------------------------------
