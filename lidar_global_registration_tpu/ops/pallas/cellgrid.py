@@ -613,6 +613,14 @@ def _build_tables(state, C: int, SEG: int, R_pad: int, need_sorted=None,
     return packed, tab, n_blocks, prow, posb
 
 
+def _inverse_perm(order):
+    """Inverse of a permutation via O(N) scatter (argsort is a full sort)."""
+    N = order.shape[0]
+    return jnp.zeros((N,), order.dtype).at[order].set(
+        jnp.arange(N, dtype=order.dtype), unique_indices=True
+    )
+
+
 def _slot_gather(out_ch, prow, posb, vs, R_pad, C):
     """Map one [R_pad, C] output channel back to sorted point order."""
     slot = jnp.clip(prow, 0, R_pad - 1) * C + posb
@@ -1180,7 +1188,7 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
     N = ks.shape[0]
     packed, tab, n_rows, prow, posb = _build_tables(state, C, SEG, R_pad)
     nrows_f = jnp.minimum(n_rows, R_pad).astype(jnp.float32)
-    inv = jnp.argsort(order)
+    inv = _inverse_perm(order)
     out = {}
 
     if do_surface:
@@ -1195,11 +1203,15 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
                           jnp.float32(0)])
         srf = _run_pass(_surface_cell, meta, tab_s, packed, R_pad, C, SEG,
                         N_CH_SURF, interpret)
-        chans = []
-        for ch in range(10):
-            v, _ = _slot_gather(srf[:, ch, :], prow, posb, vs, R_pad, C)
-            chans.append(v[inv])
-        nx, ny, nz, curv, l0, l1, l2, cnt, dmin, nnid_f = chans
+        # ONE row gather for all 10 channels (element gathers are ~100x off
+        # speed-of-light on this hardware; rows ~7x faster — BASELINE.md)
+        slot = jnp.clip(prow, 0, R_pad - 1) * C + posb
+        kept = vs & (prow >= 0) & (prow < R_pad)
+        flat_s = jnp.swapaxes(srf[:, 0:10, :], 1, 2).reshape(R_pad * C, 10)
+        rows_s = jnp.where(kept[:, None], flat_s[slot], 0.0)[inv]
+        (nx, ny, nz, curv, l0, l1, l2, cnt, dmin, nnid_f) = (
+            rows_s[:, ch] for ch in range(10)
+        )
         normal = jnp.stack([nx, ny, nz], axis=1)
         eigvals = jnp.stack([l0, l1, l2], axis=1)
         nnid = jnp.clip(nnid_f.astype(jnp.int32), 0, N - 1)
@@ -1232,8 +1244,11 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
 
         o2 = _run_pass(_iss_saliency_cell, meta, tab, packed, R_pad, C, SEG, 8,
                        interpret)
-        sal_sorted, _ = _slot_gather(o2[:, 0, :], prow, posb, vs, R_pad, C)
-        ok_sorted, _ = _slot_gather(o2[:, 1, :], prow, posb, vs, R_pad, C)
+        slot_i = jnp.clip(prow, 0, R_pad - 1) * C + posb
+        kept_i = vs & (prow >= 0) & (prow < R_pad)
+        flat2 = jnp.swapaxes(o2[:, 0:2, :], 1, 2).reshape(R_pad * C, 2)
+        rows2 = jnp.where(kept_i[:, None], flat2[slot_i], 0.0)
+        sal_sorted, ok_sorted = rows2[:, 0], rows2[:, 1]
         packed = packed.at[:N, CH_SAL].set(sal_sorted)
         packed = packed.at[:N, CH_OK].set(ok_sorted)
 
@@ -1285,7 +1300,7 @@ def _fpfh_impl(state, r2, C, SEG, R_pad, interpret, kp=None):
     )
     flat = jnp.swapaxes(outp[:, : DIM + 1, :], 1, 2).reshape(R_pad * C, DIM + 1)
     feats_sorted = jnp.where(kept[:, None], flat[slot], 0.0)
-    inv = jnp.argsort(order)
+    inv = _inverse_perm(order)
     feats = feats_sorted[inv]
     feat = feats[:, :DIM]
     k_cnt = feats[:, DIM]
