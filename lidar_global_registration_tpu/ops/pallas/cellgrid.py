@@ -854,36 +854,80 @@ def _smallest_eig3(a00, a01, a02, a11, a12, a22):
 N_CH_SURF = 16
 
 
-def _surface_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
-    C = qrow.shape[1]
-    qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
-    qvalid = qrow[CH_VALID:CH_VALID + 1, :] > 0.5
-    r2 = meta_ref[0]
+def _block_geometry(qrow, C):
+    """Per-block query geometry for the MXU moment contraction.
 
-    zero = jnp.zeros((1, C), jnp.float32)
-    init = (zero,) * 10 + (jnp.full((1, C), BIG), jnp.full((1, C), -1.0))
+    Returns (bx, by, bz) [1,1] block center (mean of valid queries),
+    (qdx, qdy, qdz) [1, C] centered query coords (zeroed at dead lanes),
+    qvalid [1, C].  Centering keeps the second-moment features at
+    neighborhood scale (f32-exact squares even for clouds georeferenced
+    thousands of meters from the origin), while pair diffs stay the
+    exact per-pair subtraction cd - qd: for the self pair both center
+    the SAME point with the SAME rounding, so dx == 0 exactly and the
+    d2 > eps self-exclusion keeps working."""
+    q7 = qrow[CH_VALID:CH_VALID + 1, :]
+    qvalid = (q7 > 0.5) & (q7 < 2.0)  # PAD lanes carry 3e18
+    qvf = qvalid.astype(jnp.float32)
+    qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
+    nq = jnp.maximum(jnp.sum(qvf, axis=1, keepdims=True), 1.0)
+    bx = jnp.sum(qx * qvf, axis=1, keepdims=True) / nq
+    by = jnp.sum(qy * qvf, axis=1, keepdims=True) / nq
+    bz = jnp.sum(qz * qvf, axis=1, keepdims=True) / nq
+    qdx = jnp.where(qvalid, qx - bx, 0.0)
+    qdy = jnp.where(qvalid, qy - by, 0.0)
+    qdz = jnp.where(qvalid, qz - bz, 0.0)
+    return bx, by, bz, qdx, qdy, qdz, qvalid
+
+
+def _chunk_centered(cc, bx, by, bz):
+    """Centered candidate coords for one chunk: cd* [SEG,1] (zeroed at
+    PAD rows so the downstream moment matmul never sees 0 * huge),
+    cval [SEG,1] bool, cvf its f32 form."""
+    c7 = cc[:, 7:8]
+    cval = (c7 > 0.5) & (c7 < 2.0)
+    cvf = cval.astype(jnp.float32)
+    cdx = (cc[:, 0:1] - bx) * cvf
+    cdy = (cc[:, 1:2] - by) * cvf
+    cdz = (cc[:, 2:3] - bz) * cvf
+    return cdx, cdy, cdz, cval, cvf
+
+
+def _surface_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
+    """Covariance via candidate-only moments on the MXU.
+
+    Per-query covariance is shift-invariant, so it derives from
+    block-centered candidate moments F = [1, d, d (x) d] contracted
+    against the pair mask: mom [16, C] += F^T @ ok — one MXU matmul per
+    chunk instead of 12 masked VPU reductions (the VPU was the measured
+    bottleneck of every cell pass).  Pair distances stay exact per-pair
+    diffs of the centered coords (see _block_geometry)."""
+    C = qrow.shape[1]
+    r2 = meta_ref[0]
+    bx, by, bz, qdx, qdy, qdz, qvalid = _block_geometry(qrow, C)
+
+    init = (
+        jnp.zeros((16, C), jnp.float32),
+        jnp.full((1, C), BIG),
+        jnp.full((1, C), -1.0),
+    )
 
     def body(cc, jc, clen, acc):
-        (s1, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz, dmin, nnid) = acc
-        cx, cy, cz = cc[:, 0:1], cc[:, 1:2], cc[:, 2:3]
-        dx, dy, dz = cx - qx, cy - qy, cz - qz
+        mom, dmin, nnid = acc
+        cdx, cdy, cdz, cval, cvf = _chunk_centered(cc, bx, by, bz)
+        dx, dy, dz = cdx - qdx, cdy - qdy, cdz - qdz
         d2 = dx * dx + dy * dy + dz * dz
-        ok = (d2 <= r2) & (jc < clen) & (cc[:, 7:8] > 0.5) & qvalid
+        ok = (d2 <= r2) & (jc < clen) & cval & qvalid
         okf = ok.astype(jnp.float32)
-        s1 += jnp.sum(okf, axis=0, keepdims=True)
-        # moments of (c - q), NOT of raw world coordinates: covariance is
-        # shift-invariant and the query-centered deltas are radius-scale,
-        # so E[d d^T] - mean mean^T stays f32-exact even for clouds
-        # georeferenced thousands of meters from the origin
-        sx += jnp.sum(jnp.where(ok, dx, 0.0), axis=0, keepdims=True)
-        sy += jnp.sum(jnp.where(ok, dy, 0.0), axis=0, keepdims=True)
-        sz += jnp.sum(jnp.where(ok, dz, 0.0), axis=0, keepdims=True)
-        sxx += jnp.sum(jnp.where(ok, dx * dx, 0.0), axis=0, keepdims=True)
-        sxy += jnp.sum(jnp.where(ok, dx * dy, 0.0), axis=0, keepdims=True)
-        sxz += jnp.sum(jnp.where(ok, dx * dz, 0.0), axis=0, keepdims=True)
-        syy += jnp.sum(jnp.where(ok, dy * dy, 0.0), axis=0, keepdims=True)
-        syz += jnp.sum(jnp.where(ok, dy * dz, 0.0), axis=0, keepdims=True)
-        szz += jnp.sum(jnp.where(ok, dz * dz, 0.0), axis=0, keepdims=True)
+        F = jnp.concatenate([
+            cvf, cdx, cdy, cdz,
+            cdx * cdx, cdx * cdy, cdx * cdz,
+            cdy * cdy, cdy * cdz, cdz * cdz,
+            jnp.zeros((cvf.shape[0], 6), jnp.float32),
+        ], axis=1)  # [SEG, 16]
+        mom = mom + jax.lax.dot_general(
+            F, okf, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         dpos = jnp.where(ok & (d2 > 1e-24), d2, BIG)
         tmin = jnp.min(dpos, axis=0, keepdims=True)
         targ = jnp.min(
@@ -892,18 +936,19 @@ def _surface_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
         better = tmin < dmin
         nnid = jnp.where(better, targ, nnid)
         dmin = jnp.where(better, tmin, dmin)
-        return (s1, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz, dmin, nnid)
+        return (mom, dmin, nnid)
 
-    (s1, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz, dmin, nnid) = fold(body, init)
+    mom, dmin, nnid = fold(body, init)
+    s1 = mom[0:1, :]
     cnt = jnp.maximum(s1, 1.0)
-    mx, my, mz = sx / cnt, sy / cnt, sz / cnt
+    mx, my, mz = mom[1:2, :] / cnt, mom[2:3, :] / cnt, mom[3:4, :] / cnt
     l0, l1, l2, vx, vy, vz = _smallest_eig3(
-        sxx / cnt - mx * mx,
-        sxy / cnt - mx * my,
-        sxz / cnt - mx * mz,
-        syy / cnt - my * my,
-        syz / cnt - my * mz,
-        szz / cnt - mz * mz,
+        mom[4:5, :] / cnt - mx * mx,
+        mom[5:6, :] / cnt - mx * my,
+        mom[6:7, :] / cnt - mx * mz,
+        mom[7:8, :] / cnt - my * my,
+        mom[8:9, :] / cnt - my * mz,
+        mom[9:10, :] / cnt - mz * mz,
     )
     out_g[0, :] = vx[0]
     out_g[1, :] = vy[0]
@@ -924,17 +969,19 @@ def _surface_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
 # ---------------------------------------------------------------------------
 def _iss_count_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
     C = qrow.shape[1]
-    qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
-    qvalid = qrow[CH_VALID:CH_VALID + 1, :] > 0.5
     r2 = meta_ref[0]
+    bx, by, bz, qdx, qdy, qdz, qvalid = _block_geometry(qrow, C)
 
     def body(cc, jc, clen, s1):
-        dx = cc[:, 0:1] - qx
-        dy = cc[:, 1:2] - qy
-        dz = cc[:, 2:3] - qz
+        cdx, cdy, cdz, cval, cvf = _chunk_centered(cc, bx, by, bz)
+        dx, dy, dz = cdx - qdx, cdy - qdy, cdz - qdz
         d2 = dx * dx + dy * dy + dz * dz
-        ok = (d2 <= r2) & (jc < clen) & (cc[:, 7:8] > 0.5) & qvalid
-        return s1 + jnp.sum(ok.astype(jnp.float32), axis=0, keepdims=True)
+        ok = (d2 <= r2) & (jc < clen) & cval & qvalid
+        okf = ok.astype(jnp.float32)
+        return s1 + jax.lax.dot_general(
+            cvf, okf, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     s1 = fold(body, jnp.zeros((1, C), jnp.float32))
     out_g[0, :] = s1[0]  # includes self (d2 = 0 passes)
@@ -942,43 +989,50 @@ def _iss_count_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
 
 
 def _iss_saliency_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
+    """Weighted scatter matrix around the query via MXU moments: the
+    per-candidate weight w = 1/count folds into the candidate feature
+    columns, and the query-centered second moments are reconstructed
+    from block-centered ones (shift identities) once per block."""
     C = qrow.shape[1]
-    qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
-    qvalid = qrow[CH_VALID:CH_VALID + 1, :] > 0.5
     r2 = meta_ref[0]
     gamma21 = meta_ref[2]
     gamma32 = meta_ref[3]
+    bx, by, bz, qdx, qdy, qdz, qvalid = _block_geometry(qrow, C)
 
-    zero = jnp.zeros((1, C), jnp.float32)
-    init = (zero,) * 8
-
-    def body(cc, jc, clen, acc):
-        ws, sxx, sxy, sxz, syy, syz, szz, nnb = acc
-        dx = cc[:, 0:1] - qx
-        dy = cc[:, 1:2] - qy
-        dz = cc[:, 2:3] - qz
+    def body(cc, jc, clen, mom):
+        cdx, cdy, cdz, cval, cvf = _chunk_centered(cc, bx, by, bz)
+        dx, dy, dz = cdx - qdx, cdy - qdy, cdz - qdz
         d2 = dx * dx + dy * dy + dz * dz
         ok = (
             (d2 <= r2)
             & (d2 > 1e-24)  # exclude self from the scatter
             & (jc < clen)
-            & (cc[:, 7:8] > 0.5)
+            & cval
             & qvalid
         )
-        w = jnp.where(
-            ok, 1.0 / jnp.maximum(cc[:, CH_EXTRA:CH_EXTRA + 1], 1.0), 0.0
+        okf = ok.astype(jnp.float32)
+        w = cvf / jnp.maximum(cc[:, CH_EXTRA:CH_EXTRA + 1], 1.0)  # [SEG,1]
+        F = jnp.concatenate([
+            w, w * cdx, w * cdy, w * cdz,
+            w * cdx * cdx, w * cdx * cdy, w * cdx * cdz,
+            w * cdy * cdy, w * cdy * cdz, w * cdz * cdz,
+            cvf, jnp.zeros((cvf.shape[0], 5), jnp.float32),
+        ], axis=1)  # [SEG, 16]
+        return mom + jax.lax.dot_general(
+            F, okf, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        ws += jnp.sum(w, axis=0, keepdims=True)
-        sxx += jnp.sum(w * dx * dx, axis=0, keepdims=True)
-        sxy += jnp.sum(w * dx * dy, axis=0, keepdims=True)
-        sxz += jnp.sum(w * dx * dz, axis=0, keepdims=True)
-        syy += jnp.sum(w * dy * dy, axis=0, keepdims=True)
-        syz += jnp.sum(w * dy * dz, axis=0, keepdims=True)
-        szz += jnp.sum(w * dz * dz, axis=0, keepdims=True)
-        nnb += jnp.sum(ok.astype(jnp.float32), axis=0, keepdims=True)
-        return (ws, sxx, sxy, sxz, syy, syz, szz, nnb)
 
-    ws, sxx, sxy, sxz, syy, syz, szz, nnb = fold(body, init)
+    mom = fold(body, jnp.zeros((16, C), jnp.float32))
+    ws, nnb = mom[0:1, :], mom[10:11, :]
+    wx, wy, wz = mom[1:2, :], mom[2:3, :], mom[3:4, :]
+    # shift back to query-centered: sum w (c-q)(c-q)^T from cd moments
+    sxx = mom[4:5, :] - 2.0 * qdx * wx + qdx * qdx * ws
+    sxy = mom[5:6, :] - qdx * wy - qdy * wx + qdx * qdy * ws
+    sxz = mom[6:7, :] - qdx * wz - qdz * wx + qdx * qdz * ws
+    syy = mom[7:8, :] - 2.0 * qdy * wy + qdy * qdy * ws
+    syz = mom[8:9, :] - qdy * wz - qdz * wy + qdy * qdz * ws
+    szz = mom[9:10, :] - 2.0 * qdz * wz + qdz * qdz * ws
     wsafe = jnp.maximum(ws, 1e-30)
     l3, l2, l1, _vx, _vy, _vz = _smallest_eig3(
         sxx / wsafe, sxy / wsafe, sxz / wsafe, syy / wsafe, syz / wsafe, szz / wsafe
@@ -998,26 +1052,24 @@ def _iss_saliency_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
 
 def _iss_nms_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
     C = qrow.shape[1]
-    qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
-    qvalid = qrow[CH_VALID:CH_VALID + 1, :] > 0.5
     q_sal = qrow[CH_SAL:CH_SAL + 1, :]
     q_ok = qrow[CH_OK:CH_OK + 1, :] > 0.5
     r2 = meta_ref[0]
     min_nb = meta_ref[4]
+    bx, by, bz, qdx, qdy, qdz, qvalid = _block_geometry(qrow, C)
 
     init = (jnp.full((1, C), -BIG), jnp.zeros((1, C), jnp.float32))
 
     def body(cc, jc, clen, acc):
         nb_max, nnb = acc
-        dx = cc[:, 0:1] - qx
-        dy = cc[:, 1:2] - qy
-        dz = cc[:, 2:3] - qz
+        cdx, cdy, cdz, cval, _cvf = _chunk_centered(cc, bx, by, bz)
+        dx, dy, dz = cdx - qdx, cdy - qdy, cdz - qdz
         d2 = dx * dx + dy * dy + dz * dz
         ok = (
             (d2 <= r2)
             & (d2 > 1e-24)
             & (jc < clen)
-            & (cc[:, 7:8] > 0.5)
+            & cval
             & qvalid
         )
         nb_max = jnp.maximum(
