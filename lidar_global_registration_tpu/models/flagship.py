@@ -559,10 +559,8 @@ def register_pair_staged(
         features on keypoint clouds only (feature_analysis.cpp).  Returns
         (normal, kp, density, feature-grid plan)."""
         from lidar_global_registration_tpu.ops.pallas.cellgrid import (
-            iss_pass,
             plan_grid_many,
-            point_need,
-            surface_pass,
+            surface_iss_masked,
         )
 
         cell_n = max(normal_cell, iss_radius)
@@ -572,10 +570,9 @@ def register_pair_staged(
             (xyz, z, valid, cell_n),
             (xyz, z, valid, feature_radius),
         ])
-        kp, _sal = iss_pass(plan_n, iss_radius)
-        need_n = point_need(plan_f, kp, 1 if shot else 2)
-        normal, _c, density, _e, _ok = surface_pass(
-            plan_n, normal_cell, viewpoint=vp, need=need_n
+        # fused ISS + need-masked surface: one packed build, one program
+        normal, kp, density, _sal = surface_iss_masked(
+            plan_n, plan_f, normal_cell, iss_radius, viewpoint=vp, shot=shot
         )
         return normal, kp, density, plan_f
 

@@ -162,7 +162,10 @@ _ST_COLQ50 = 5
 _ST_OVER = 6  # len(C_BUCKETS) entries: points with in-cell pos >= bucket
 _ST_BLOCKS = _ST_OVER + len(C_BUCKETS)  # len(C_BUCKETS): total query blocks
 _ST_M = _ST_BLOCKS + len(C_BUCKETS)  # the chosen cell-growth factor
-_ST_LEN = _ST_M + 1
+_ST_BZ = _ST_M + 1  # z-axis key bits (packed-row layout needs thin z)
+_ST_NSLABS = _ST_BZ + 1  # number of x-slabs (kx runs)
+_ST_PBLOCKS = _ST_NSLABS + 1  # len(C_BUCKETS): packed-row block counts
+_ST_LEN = _ST_PBLOCKS + len(C_BUCKETS)
 
 
 @functools.partial(jax.jit, static_argnames=("auto_m",))
@@ -209,6 +212,9 @@ def _sort_stats(xyz, normal, valid, cell, m, auto_m: bool = False):
         m = jnp.clip(
             jnp.round(jnp.sqrt(OCC_TARGET / jnp.maximum(q50, 1.0))), 1, 4
         ).astype(jnp.int32)
+        # thin-z grids use the packed-row layout instead of cell growth:
+        # packing fills query blocks without inflating the stencil volume
+        m = jnp.where(bits[2] <= 2, jnp.int32(1), m)
     else:
         m = jnp.asarray(m, jnp.int32)
     keys = jnp.where(fkeys < _BIG_KEY, _coarsen_key(fkeys, bits, m), _BIG_KEY)
@@ -268,6 +274,22 @@ def _sort_stats(xyz, normal, valid, cell, m, auto_m: bool = False):
         n_rows + jnp.sum((vs & (pos > 0) & (pos % b == 0)).astype(jnp.int32))
         for b in C_BUCKETS
     ]
+    # packed-row layout stats: blocks are b-point windows of each x-slab
+    # (kx run) — slab-firsts plus every in-slab position multiple of b
+    kxs = ks >> (by + bz)
+    slab_first = vs & jnp.concatenate(
+        [jnp.ones((1,), bool), kxs[1:] != kxs[:-1]]
+    )
+    slab_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(slab_first, idx, -1)
+    )
+    pos_slab = idx - slab_start
+    n_slabs = jnp.sum(slab_first.astype(jnp.int32))
+    pblocks_c = [
+        n_slabs
+        + jnp.sum((vs & (pos_slab > 0) & (pos_slab % b == 0)).astype(jnp.int32))
+        for b in C_BUCKETS
+    ]
     stats = jnp.stack(
         [
             n_rows.astype(jnp.float32),
@@ -279,7 +301,9 @@ def _sort_stats(xyz, normal, valid, cell, m, auto_m: bool = False):
         ]
         + [d.astype(jnp.float32) for d in over_c]
         + [d.astype(jnp.float32) for d in blocks_c]
-        + [m.astype(jnp.float32)]
+        + [m.astype(jnp.float32), bz.astype(jnp.float32),
+           n_slabs.astype(jnp.float32)]
+        + [d.astype(jnp.float32) for d in pblocks_c]
     )
     state = (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos,
              jnp.stack([bx, by, bz]), jnp.asarray(m, jnp.int32))
@@ -294,14 +318,15 @@ class GridPlan:
     through a fixed SEG-row window — C and SEG are pure performance knobs."""
 
     __slots__ = ("C", "SEG", "R_pad", "m", "n_rows", "n_valid",
-                 "maxocc", "colmax", "state")
+                 "maxocc", "colmax", "state", "packed")
 
     def __init__(self, C, SEG, R_pad, m, n_rows, n_valid, maxocc, colmax,
-                 state):
+                 state, packed=False):
         self.C, self.SEG, self.R_pad, self.m = C, SEG, R_pad, m
         self.n_rows, self.n_valid = n_rows, n_valid
         self.maxocc, self.colmax = maxocc, colmax
         self.state = state
+        self.packed = packed
 
 
 OCC_TARGET = 96  # grow the cell until the median point's cell holds ~this
@@ -335,13 +360,31 @@ def _plan_from_stats(state, st):
         raise ValueError(f"grid needs {bits} key bits (> 30); XLA fallback")
     over = st[_ST_OVER:_ST_OVER + len(C_BUCKETS)]
     blocks = st[_ST_BLOCKS:_ST_BLOCKS + len(C_BUCKETS)]
-    ci = next(
-        (i for i, b in enumerate(C_BUCKETS) if over[i] <= 0.1 * max(n_valid, 1)),
-        len(C_BUCKETS) - 1,
-    )
-    C = C_BUCKETS[ci]
-    n_blocks = int(blocks[ci])
+    packed = int(st[_ST_BZ]) <= 2  # thin-z (2.5D scan) grids pack rows
+    if packed:
+        # blocks are C-point windows of each x-slab: slots are ~always
+        # full, so C maximizes queries amortizing each block's candidate
+        # spans — capped so short slabs don't strand most of a block
+        n_slabs = max(int(st[_ST_NSLABS]), 1)
+        per_slab = max(n_valid, 1) // n_slabs
+        ci = len(C_BUCKETS) - 1
+        while ci > 0 and C_BUCKETS[ci] > 2 * per_slab:
+            ci -= 1
+        C = C_BUCKETS[ci]
+        n_blocks = int(st[_ST_PBLOCKS + ci])
+    else:
+        ci = next(
+            (i for i, b in enumerate(C_BUCKETS)
+             if over[i] <= 0.1 * max(n_valid, 1)),
+            len(C_BUCKETS) - 1,
+        )
+        C = C_BUCKETS[ci]
+        n_blocks = int(blocks[ci])
     SEG = next((s for s in SEG_BUCKETS if s >= colq50), SEG_BUCKETS[-1])
+    if packed:
+        # packed candidate spans run ~C + 2 y-columns long; stream them
+        # through the big window
+        SEG = SEG_BUCKETS[-1] if C >= 256 else max(SEG, 256)
     # geometric R_pad ladder: each distinct R_pad is a fresh XLA+Mosaic
     # compile (~minutes over the remote-compile tunnel), so quantize the
     # grid length instead of rounding to the next multiple of G
@@ -350,7 +393,8 @@ def _plan_from_stats(state, st):
         nsteps = nsteps + max(nsteps // 2, 1)  # 1.5x ladder
     R_pad = nsteps * G_CELLS
     return GridPlan(int(C), int(SEG), int(R_pad), int(st[_ST_M]), int(n_rows),
-                    int(n_valid), int(maxocc), int(colmax), state)
+                    int(n_valid), int(maxocc), int(colmax), state,
+                    packed=packed)
 
 
 def plan_grid(xyz, normal, valid, cell, exact: bool = False,
@@ -383,22 +427,43 @@ def plan_grid_many(specs):
 # ---------------------------------------------------------------------------
 # table build (from the sorted state; no further sorts)
 # ---------------------------------------------------------------------------
-def _block_layout(state, C: int, R_pad: int):
+def _block_layout(state, C: int, R_pad: int, packed: bool = False):
     """Query-block layout shared by the span table and the need masks.
 
-    Returns (prow, posb, n_blocks, row_start, row_len, row_key): block id /
-    in-block lane per point, and per-table-row start offset, length and
-    cell key."""
+    packed=False: a block is (a <= C-point piece of) ONE cell.
+    packed=True (thin-z grids): a block is a C-point window of one x-slab
+    (kx run) — consecutive cells share a block until it fills, so sparse
+    grids stop paying a mostly-empty 128-lane tile per cell.  Queries are
+    independent, and the candidate spans below cover the block's whole
+    [ky_lo, ky_hi] range, so packing never changes any query's value.
+
+    Returns (prow, posb, n_blocks, row_start, row_len, row_key_lo,
+    row_key_hi): block id / in-block lane per point, and per-table-row
+    start offset, length and first/last cell key."""
     (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
     N = ks.shape[0]
     n_valid = jnp.sum(vs.astype(jnp.int32))
+    idx = jnp.arange(N, dtype=jnp.int32)
 
-    # query-block id per point: a new block starts at every run first AND
-    # every in-cell position that is a multiple of C
-    first = vs & jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
-    bfirst = vs & (first | (pos % C == 0))
+    if packed:
+        by, bz = bits_arr[1], bits_arr[2]
+        kxs = ks >> (by + bz)
+        slab_first = vs & jnp.concatenate(
+            [jnp.ones((1,), bool), kxs[1:] != kxs[:-1]]
+        )
+        slab_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(slab_first, idx, -1)
+        )
+        pos_slab = idx - slab_start
+        bfirst = vs & (slab_first | (pos_slab % C == 0))
+        posb = pos_slab % C
+    else:
+        # a new block starts at every run first AND every in-cell position
+        # that is a multiple of C
+        first = vs & jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+        bfirst = vs & (first | (pos % C == 0))
+        posb = pos % C
     prow = jnp.cumsum(bfirst.astype(jnp.int32)) - 1
-    posb = pos % C
     n_blocks = jnp.maximum(prow[-1] + 1, 0)
 
     prow_search = jnp.where(vs, prow, jnp.int32(2**30))
@@ -409,14 +474,23 @@ def _block_layout(state, C: int, R_pad: int):
     row_start = jnp.where(rows < n_blocks, row_start, n_valid)
     row_end = jnp.concatenate([row_start[1:], n_valid[None]])
     row_len = jnp.maximum(row_end - row_start, 0)
-    return prow, posb, n_blocks, row_start, row_len, row_key
+    if packed:
+        row_key_hi = ks[jnp.clip(row_start + row_len - 1, 0, N - 1)]
+        row_key_hi = jnp.where(rows < n_blocks, row_key_hi, _BIG_KEY)
+    else:
+        row_key_hi = row_key
+    return prow, posb, n_blocks, row_start, row_len, row_key, row_key_hi
 
 
-def _row_stencil_any(state, row_key, flags_sorted, s: int):
+def _row_stencil_any(state, row_key, row_key_hi, flags_sorted, s: int,
+                     packed: bool = False):
     """Per-table-row bool: does the (2s+1)^3 cell stencil around this row's
-    cell contain any flagged point?  flags_sorted is a bool[N] in sorted
-    order; counts come from one prefix sum + 2 key searches per (dx, dy)
-    (the z range is contiguous in key order)."""
+    cell (range, when packed) contain any flagged point?  flags_sorted is a
+    bool[N] in sorted order; counts come from one prefix sum + 2 key
+    searches per (dx, dy) (the z range is contiguous in key order).  Packed
+    rows span [ky_lo, ky_hi] of one x-slab, so each dx needs ONE span over
+    [ky_lo - s, ky_hi + s] x full z (conservative in z, which is <= 4 cells
+    on packed grids)."""
     (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
     bx, by, bz = bits_arr[0], bits_arr[1], bits_arr[2]
     clip_cx = ((1 << bx) - 1) // m
@@ -428,11 +502,25 @@ def _row_stencil_any(state, row_key, flags_sorted, s: int):
     )
     kx = row_key >> (by + bz)
     ky = (row_key >> bz) & ((1 << by) - 1)
+    valid_row = row_key < _BIG_KEY
+    any_hit = jnp.zeros(row_key.shape, bool)
+    if packed:
+        ky_lo = jnp.maximum(ky - s, 0)
+        ky_hi = jnp.minimum(
+            ((row_key_hi >> bz) & ((1 << by) - 1)) + s, clip_cy
+        )
+        for di in range(-s, s + 1):
+            nkx = kx + di
+            x_ok = (nkx >= 0) & (nkx <= clip_cx)
+            key_lo = (nkx << (by + bz)) | (ky_lo << bz)
+            key_hi = (nkx << (by + bz)) | (ky_hi << bz) | clip_cz
+            lo = jnp.searchsorted(ks, key_lo, side="left").astype(jnp.int32)
+            hi = jnp.searchsorted(ks, key_hi, side="right").astype(jnp.int32)
+            any_hit = any_hit | (valid_row & x_ok & (cum[hi] > cum[lo]))
+        return any_hit
     kz = row_key & ((1 << bz) - 1)
     zlo = jnp.maximum(kz - s, 0)
     zhi = jnp.minimum(kz + s, clip_cz)
-    valid_row = row_key < _BIG_KEY
-    any_hit = jnp.zeros(row_key.shape, bool)
     for di in range(-s, s + 1):
         for dj in range(-s, s + 1):
             nkx = kx + di
@@ -447,7 +535,7 @@ def _row_stencil_any(state, row_key, flags_sorted, s: int):
 
 
 def _build_tab(state, C: int, SEG: int, R_pad: int, need_sorted=None,
-               flag_stencil=None):
+               flag_stencil=None, packed: bool = False):
     """Per-QUERY-BLOCK 9-column span table + packed [N + 2*SEG, 128] lanes.
 
     A cell with more than C points occupies ceil(occ/C) consecutive table
@@ -469,8 +557,8 @@ def _build_tab(state, C: int, SEG: int, R_pad: int, need_sorted=None,
     N = ks.shape[0]
     bx, by, bz = bits_arr[0], bits_arr[1], bits_arr[2]
     n_valid = jnp.sum(vs.astype(jnp.int32))
-    prow, posb, n_blocks, row_start, row_len, row_key = _block_layout(
-        state, C, R_pad
+    prow, posb, n_blocks, row_start, row_len, row_key, row_key_hi = (
+        _block_layout(state, C, R_pad, packed)
     )
     rows = jnp.arange(R_pad, dtype=jnp.int32)
 
@@ -484,7 +572,41 @@ def _build_tab(state, C: int, SEG: int, R_pad: int, need_sorted=None,
         run = run & (cumn[row_end_n] > cumn[row_start])
     if flag_stencil is not None:
         flags_sorted, s = flag_stencil
-        run = run & _row_stencil_any(state, row_key, flags_sorted, int(s))
+        run = run & _row_stencil_any(state, row_key, row_key_hi, flags_sorted,
+                                     int(s), packed)
+
+    if packed:
+        # packed rows: 3 candidate spans (dx = -1, 0, +1), each the
+        # contiguous key range [(kx+dx, ky_lo-1, 0) .. (kx+dx, ky_hi+1,
+        # zmax)] — a superset of every constituent cell's 3x3x3 stencil
+        # (thin z: the whole z extent is <= 4 cells).  2 searches per span.
+        clip_cy_p = ((1 << by) - 1) // m
+        clip_cz_p = ((1 << bz) - 1) // m
+        clip_cx_p = ((1 << bx) - 1) // m
+        kx_p = row_key >> (by + bz)
+        ky_lo = jnp.maximum(((row_key >> bz) & ((1 << by) - 1)) - 1, 0)
+        ky_hi = jnp.minimum(
+            ((row_key_hi >> bz) & ((1 << by) - 1)) + 1, clip_cy_p
+        )
+        col_start = jnp.full((R_pad, 9), n_valid, jnp.int32)
+        col_len = jnp.zeros((R_pad, 9), jnp.int32)
+        for ci, di in enumerate((-1, 0, 1)):
+            nkx = kx_p + di
+            xy_ok = (nkx >= 0) & (nkx <= clip_cx_p) & (rows < n_blocks)
+            key_lo = (nkx << (by + bz)) | (ky_lo << bz)
+            key_hi = (nkx << (by + bz)) | (ky_hi << bz) | clip_cz_p
+            lo = jnp.searchsorted(ks, key_lo, side="left").astype(jnp.int32)
+            hi = jnp.searchsorted(ks, key_hi, side="right").astype(jnp.int32)
+            good = xy_ok & (hi > lo)
+            col_start = col_start.at[:, ci].set(jnp.where(good, lo, n_valid))
+            col_len = col_len.at[:, ci].set(jnp.where(good, hi - lo, 0))
+        tab = jnp.zeros((R_pad, TAB_LANES), jnp.int32)
+        tab = tab.at[:, 0:9].set(col_start)
+        tab = tab.at[:, 16:25].set(col_len)
+        tab = tab.at[:, 32].set(row_start)
+        tab = tab.at[:, 33].set(row_len)
+        tab = tab.at[:, 34].set(run.astype(jnp.int32))
+        return tab, n_blocks, prow, posb
 
     # point offsets of cell boundaries, for the column spans: cells may span
     # several blocks, so column ends come from key searches over the points
@@ -563,13 +685,13 @@ def _build_tab(state, C: int, SEG: int, R_pad: int, need_sorted=None,
 
 
 def _retab(tab, state, C: int, R_pad: int, need_sorted=None,
-           flag_stencil=None):
+           flag_stencil=None, packed: bool = False):
     """Re-derive ONLY the lane-34 compute flags of an existing span table
     for a different query mask (the spans themselves are mask-invariant).
     Saves rebuilding the searchsorted column spans between the SPFH and
     combine passes."""
-    prow, posb, n_blocks, row_start, row_len, row_key = _block_layout(
-        state, C, R_pad
+    prow, posb, n_blocks, row_start, row_len, row_key, row_key_hi = (
+        _block_layout(state, C, R_pad, packed)
     )
     (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
     rows = jnp.arange(R_pad, dtype=jnp.int32)
@@ -582,7 +704,8 @@ def _retab(tab, state, C: int, R_pad: int, need_sorted=None,
         run = run & (cumn[row_start + row_len] > cumn[row_start])
     if flag_stencil is not None:
         flags_sorted, s = flag_stencil
-        run = run & _row_stencil_any(state, row_key, flags_sorted, int(s))
+        run = run & _row_stencil_any(state, row_key, row_key_hi, flags_sorted,
+                                     int(s), packed)
     return tab.at[:, 34].set(run.astype(jnp.int32))
 
 
@@ -605,9 +728,9 @@ def _build_packed(state, C: int, SEG: int):
 
 
 def _build_tables(state, C: int, SEG: int, R_pad: int, need_sorted=None,
-                  flag_stencil=None):
+                  flag_stencil=None, packed: bool = False):
     tab, n_blocks, prow, posb = _build_tab(
-        state, C, SEG, R_pad, need_sorted, flag_stencil
+        state, C, SEG, R_pad, need_sorted, flag_stencil, packed
     )
     packed = _build_packed(state, C, SEG)
     return packed, tab, n_blocks, prow, posb
@@ -689,8 +812,9 @@ def _make_blocked_kernel(cell_fn, n_out: int, C: int, SEG: int):
     streams the candidate columns."""
 
     def kernel(meta_ref, tab_ref, packed_ref, out_ref, segbuf, qblk, *rest):
-        segsems, qsem = rest[-2], rest[-1]
-        scratch = rest[:-2]
+        segsems, qsem = rest[-3], rest[-2]
+        obuf = rest[-1]
+        scratch = rest[:-3]
         rblk = pl.program_id(0)
         n_rows = meta_ref[1].astype(jnp.int32)
         eye = jnp.eye(C, dtype=jnp.float32)
@@ -728,12 +852,18 @@ def _make_blocked_kernel(cell_fn, n_out: int, C: int, SEG: int):
                 qrow = _query_lanes(qblk[slot], eye)
                 fold = _make_stream_fold(tab_ref, g, packed_ref, segbuf,
                                          segsems, SEG)
-                cell_fn(meta_ref, tab_ref, g, fold, qrow, out_ref.at[g],
-                        scratch)
+                cell_fn(meta_ref, tab_ref, g, fold, qrow, obuf, scratch)
+                # out rides [C, n_out] (point-major) so the XLA scatter-back
+                # is a plain reshape + row gather, no [R_pad, n_out, C]
+                # transpose; one MXU op flips the block
+                out_ref[g] = jax.lax.dot_general(
+                    eye, obuf[...], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
             @pl.when(jnp.logical_not(live(g)))
             def _():
-                out_ref[g] = jnp.zeros((n_out, C), jnp.float32)
+                out_ref[g] = jnp.zeros((C, n_out), jnp.float32)
 
             return 0
 
@@ -758,7 +888,7 @@ def _run_pass(cell_fn, meta, tab, packed, R_pad, C, SEG, n_out, interpret,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (G_CELLS, n_out, C), lambda r, *_: (r, 0, 0), memory_space=pltpu.VMEM
+            (G_CELLS, C, n_out), lambda r, *_: (r, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, SEG, 128), jnp.float32),
@@ -766,11 +896,12 @@ def _run_pass(cell_fn, meta, tab, packed, R_pad, C, SEG, n_out, interpret,
             *extra_scratch,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_out, C), jnp.float32),  # obuf: cell_fn output block
         ],
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((R_pad, n_out, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((R_pad, C, n_out), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(meta, tab, packed)
@@ -1092,67 +1223,118 @@ def _iss_nms_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
 # ---------------------------------------------------------------------------
 # FPFH cells
 # ---------------------------------------------------------------------------
-def _pair_feature_bins(qx, qy, qz, qnx, qny, qnz, cc, r2):
+def _pair_feature_bins(qgeom, cc, bx, by, bz, r2):
     """Darboux features + bins for one candidate chunk vs the query lanes.
 
-    q*: [1, C] lane vectors; cc: [CHUNK, 128] candidates on sublanes.
+    qgeom: per-block query-side precomputation (_spfh_query_geom);
+    cc: [CHUNK, 128] candidates on sublanes.
     Matches ops/fpfh.pair_features_soa (the acos comparison reduces to a
-    |cos| comparison since acos is monotone decreasing)."""
-    cx, cy, cz = cc[:, 0:1], cc[:, 1:2], cc[:, 2:3]
+    |cos| comparison since acos is monotone decreasing).
+
+    MXU formulation: every bilinear the Darboux frame needs — qn.dp,
+    cn.dp, qn.cn, and the triple product dp.(qn x cn) — is a
+    [SEG,3] @ [3,C] contraction of candidate-side vectors against
+    query-side ones (dp = cd - qd splits both triple-product terms into
+    candidate-only x query-only factors: cd.(qn x cn) = qn.(cn x cd),
+    qd.(qn x cn) = cn.(qd x qn)).  The normalized cross-product chain
+    collapses to the identities |dp x ns|^2 = d2 |ns|^2 - (dp.ns)^2 and
+    (ns x (dp x ns)/v).nt = (|ns|^2 dp.nt - (dp.ns)(ns.nt))/v, and
+    atan2's positive-scale invariance moves the 1/v onto the x operand.
+    ~90 -> ~45 VPU ops per [SEG, C] chunk; the dots ride the MXU."""
+    (qdx, qdy, qdz, qn3, qdqn, qn2, qdxqn) = qgeom
+    cdx, cdy, cdz, cval, _cvf = _chunk_centered(cc, bx, by, bz)
     cnx, cny, cnz = cc[:, 3:4], cc[:, 4:5], cc[:, 5:6]
-    dpx, dpy, dpz = cx - qx, cy - qy, cz - qz  # dp = neighbor - query
+    cn3 = jnp.concatenate([cnx, cny, cnz], axis=1)  # [SEG, 3]
+    cd3 = jnp.concatenate([cdx, cdy, cdz], axis=1)  # [SEG, 3]
+    cnxcd3 = jnp.concatenate([
+        cny * cdz - cnz * cdy,
+        cnz * cdx - cnx * cdz,
+        cnx * cdy - cny * cdx,
+    ], axis=1)  # cn x cd, [SEG, 3]
+    cncd = cnx * cdx + cny * cdy + cnz * cdz  # [SEG, 1]
+    cn2 = cnx * cnx + cny * cny + cnz * cnz  # [SEG, 1]
+
+    def mm(lhs, rhs):
+        return jax.lax.dot_general(
+            lhs, rhs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # exact per-pair diffs (self stays exactly 0 — see _block_geometry)
+    dpx, dpy, dpz = cdx - qdx, cdy - qdy, cdz - qdz  # [SEG, C]
     d2 = dpx * dpx + dpy * dpy + dpz * dpz
+    qndp = mm(cd3, qn3) - qdqn  # qn . dp
+    cndp = cncd - mm(cn3, jnp.concatenate([qdx, qdy, qdz], axis=0))  # cn . dp
+    nsnt = mm(cn3, qn3)  # qn . cn (symmetric under swap)
+    trip = mm(cnxcd3, qn3) - mm(cn3, qdxqn)  # dp . (qn x cn)
+
     dsafe = jnp.maximum(jnp.sqrt(jnp.maximum(d2, 0.0)), 1e-30)
-    a1 = (qnx * dpx + qny * dpy + qnz * dpz) / dsafe
-    a2 = (cnx * dpx + cny * dpy + cnz * dpz) / dsafe
+    a1 = qndp / dsafe
+    a2 = cndp / dsafe
     swap = jnp.abs(a1) < jnp.abs(a2)
-    nsx = jnp.where(swap, jnp.broadcast_to(cnx, swap.shape), jnp.broadcast_to(qnx, swap.shape))
-    nsy = jnp.where(swap, jnp.broadcast_to(cny, swap.shape), jnp.broadcast_to(qny, swap.shape))
-    nsz = jnp.where(swap, jnp.broadcast_to(cnz, swap.shape), jnp.broadcast_to(qnz, swap.shape))
-    ntx = jnp.where(swap, jnp.broadcast_to(qnx, swap.shape), jnp.broadcast_to(cnx, swap.shape))
-    nty = jnp.where(swap, jnp.broadcast_to(qny, swap.shape), jnp.broadcast_to(cny, swap.shape))
-    ntz = jnp.where(swap, jnp.broadcast_to(qnz, swap.shape), jnp.broadcast_to(cnz, swap.shape))
-    sgn = jnp.where(swap, -1.0, 1.0)
-    dpx, dpy, dpz = sgn * dpx, sgn * dpy, sgn * dpz
     f3 = jnp.where(swap, a2, a1)
-    vx = dpy * nsz - dpz * nsy
-    vy = dpz * nsx - dpx * nsz
-    vz = dpx * nsy - dpy * nsx
-    vn = jnp.sqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 0.0))
+    ns_dp = jnp.where(swap, cndp, qndp)  # |dp'.ns| (sign-free use below)
+    ns2 = jnp.where(swap, jnp.broadcast_to(cn2, swap.shape),
+                    jnp.broadcast_to(qn2, swap.shape))
+    vn = jnp.sqrt(jnp.maximum(d2 * ns2 - ns_dp * ns_dp, 0.0))  # |dp' x ns|
     okv = (d2 > 0.0) & (vn > 1e-12)
     vsn = jnp.maximum(vn, 1e-30)
-    vx, vy, vz = vx / vsn, vy / vsn, vz / vsn
-    wx = nsy * vz - nsz * vy
-    wy = nsz * vx - nsx * vz
-    wz = nsx * vy - nsy * vx
-    f2 = vx * ntx + vy * nty + vz * ntz
-    f1 = _atan2_poly(
-        wx * ntx + wy * nty + wz * ntz, nsx * ntx + nsy * nty + nsz * ntz
+    f2 = trip / vsn  # det[dp', ns, nt] / |dp' x ns| — same sign either way
+    # w.nt = (|ns|^2 dp'.nt - (dp'.ns)(ns.nt)) / vn
+    w_num = jnp.where(
+        swap, cndp * nsnt - cn2 * qndp, qn2 * cndp - qndp * nsnt
     )
+    f1 = _atan2_poly(w_num, nsnt * vsn)
     b1 = jnp.clip(
         jnp.floor(NR_BINS * (f1 + np.pi) / (2.0 * np.pi)), 0, NR_BINS - 1
     ).astype(jnp.int32)
     b2 = jnp.clip(jnp.floor(NR_BINS * (f2 + 1.0) / 2.0), 0, NR_BINS - 1).astype(jnp.int32)
     b3 = jnp.clip(jnp.floor(NR_BINS * (f3 + 1.0) / 2.0), 0, NR_BINS - 1).astype(jnp.int32)
-    cn2 = cnx * cnx + cny * cny + cnz * cnz
-    qn2 = qnx * qnx + qny * qny + qnz * qnz
-    ok = okv & (d2 <= r2) & (cn2 > 0.5) & (qn2 > 0.5)
+    ok = okv & (d2 <= r2) & (cn2 > 0.5) & (qn2 > 0.5) & cval
     return b1, b2, b3, ok
+
+
+def _spfh_query_geom(qrow, C, meta_ref):
+    """Query-side constants for _pair_feature_bins, built once per block:
+    centered coords, qn3 [3,C], qd.qn [1,C], |qn|^2 [1,C], (qd x qn) [3,C].
+
+    Centering anchor: the CLOUD's AABB center (meta lanes 2:5), NOT the
+    query-block mean — pair features must be identical across different
+    grid plans of the same cloud (tests/test_cell_stats.py compares the
+    exact m=1 grid against the auto-grown one bin-for-bin), so nothing
+    block-dependent may enter the arithmetic.  The anchor still keeps
+    every product at scene scale for georeferenced clouds."""
+    bx, by, bz = meta_ref[2], meta_ref[3], meta_ref[4]
+    q7 = qrow[CH_VALID:CH_VALID + 1, :]
+    qvalid = (q7 > 0.5) & (q7 < 2.0)
+    qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
+    qdx = jnp.where(qvalid, qx - bx, 0.0)
+    qdy = jnp.where(qvalid, qy - by, 0.0)
+    qdz = jnp.where(qvalid, qz - bz, 0.0)
+    qnx, qny, qnz = qrow[3:4, :], qrow[4:5, :], qrow[5:6, :]
+    qn3 = jnp.concatenate([qnx, qny, qnz], axis=0)  # [3, C]
+    qdqn = qdx * qnx + qdy * qny + qdz * qnz  # [1, C]
+    qn2 = qnx * qnx + qny * qny + qnz * qnz  # [1, C]
+    qdxqn = jnp.concatenate([
+        qdy * qnz - qdz * qny,
+        qdz * qnx - qdx * qnz,
+        qdx * qny - qdy * qnx,
+    ], axis=0)  # qd x qn, [3, C]
+    qgeom = (qdx, qdy, qdz, qn3, qdqn, qn2, qdxqn)
+    return qgeom, bx, by, bz, qvalid
 
 
 def _spfh_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
     (acc,) = scratch
     C = qrow.shape[1]
-    qx, qy, qz = qrow[0:1, :], qrow[1:2, :], qrow[2:3, :]
-    qnx, qny, qnz = qrow[3:4, :], qrow[4:5, :], qrow[5:6, :]
-    qvalid = qrow[CH_VALID:CH_VALID + 1, :] > 0.5
+    qgeom, bx, by, bz, qvalid = _spfh_query_geom(qrow, C, meta_ref)
     r2 = meta_ref[0]
 
     acc[...] = jnp.zeros_like(acc)
 
     def body(cc, jc, clen, _):
-        b1, b2, b3, ok = _pair_feature_bins(qx, qy, qz, qnx, qny, qnz, cc, r2)
-        ok = ok & (jc < clen) & (cc[:, 7:8] > 0.5) & qvalid
+        b1, b2, b3, ok = _pair_feature_bins(qgeom, cc, bx, by, bz, r2)
+        ok = ok & (jc < clen) & qvalid
         okf = ok.astype(jnp.float32)
         acc[DIM:DIM + 1, :] += jnp.sum(okf, axis=0, keepdims=True)
         for which, b in enumerate((b1, b2, b3)):
@@ -1231,17 +1413,63 @@ def _default_interpret(interpret):
 @functools.partial(
     jax.jit,
     static_argnames=("C", "SEG", "R_pad", "interpret", "do_surface", "do_iss",
-                     "min_neighbors"),
+                     "min_neighbors", "need_C", "need_R_pad", "need_s",
+                     "packed_rows", "need_packed_rows"),
 )
 def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
                       C, SEG, R_pad, interpret, do_surface, do_iss,
-                      min_neighbors, surface_need=None):
+                      min_neighbors, surface_need=None, need_state=None,
+                      need_C=0, need_R_pad=0, need_s=0, packed_rows=False,
+                      need_packed_rows=False):
+    """need_state (+ its need_C/need_R_pad statics): fused keypoint-regime
+    side stage — ISS runs first, the surface `need` mask derives from the
+    fresh keypoints via the OTHER grid's stencil (point_need), and the
+    masked surface pass reuses THIS grid's packed table: one packed build
+    and one device program for the whole side stage."""
     (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
     N = ks.shape[0]
-    packed, tab, n_rows, prow, posb = _build_tables(state, C, SEG, R_pad)
+    packed, tab, n_rows, prow, posb = _build_tables(state, C, SEG, R_pad,
+                                                    packed=packed_rows)
     nrows_f = jnp.minimum(n_rows, R_pad).astype(jnp.float32)
     inv = _inverse_perm(order)
     out = {}
+
+    if do_iss:
+        meta = jnp.stack([iss_r2, nrows_f, gamma21, gamma32,
+                          jnp.float32(min_neighbors)])
+        o1 = _run_pass(_iss_count_cell, meta, tab, packed, R_pad, C, SEG, 8,
+                       interpret)
+        counts_sorted, _ = _slot_gather(o1[:, :, 0], prow, posb, vs, R_pad, C)
+        packed = packed.at[:N, CH_EXTRA].set(counts_sorted)
+
+        o2 = _run_pass(_iss_saliency_cell, meta, tab, packed, R_pad, C, SEG, 8,
+                       interpret)
+        slot_i = jnp.clip(prow, 0, R_pad - 1) * C + posb
+        kept_i = vs & (prow >= 0) & (prow < R_pad)
+        flat2 = o2[:, :, 0:2].reshape(R_pad * C, 2)
+        rows2 = jnp.where(kept_i[:, None], flat2[slot_i], 0.0)
+        sal_sorted, ok_sorted = rows2[:, 0], rows2[:, 1]
+        packed = packed.at[:N, CH_SAL].set(sal_sorted)
+        packed = packed.at[:N, CH_OK].set(ok_sorted)
+
+        # NMS only decides rows that passed the eigen gates (is_kp needs
+        # q_ok); blocks without a single survivor skip entirely
+        tab_nms = _retab(tab, state, C, R_pad, need_sorted=(ok_sorted > 0.5),
+                         packed=packed_rows)
+        o3 = _run_pass(_iss_nms_cell, meta, tab_nms, packed, R_pad, C, SEG, 8,
+                       interpret)
+        kp_sorted, _ = _slot_gather(o3[:, :, 0], prow, posb, vs, R_pad, C)
+        valid_o_i = vs[inv]
+        kp_input = (kp_sorted[inv] > 0.5) & valid_o_i
+        out.update(
+            kp=kp_input,
+            saliency=jnp.where(valid_o_i, sal_sorted[inv], 0.0),
+        )
+        if do_surface and surface_need is None and need_state is not None:
+            surface_need = _point_need_impl(
+                need_state, need_C, need_R_pad, kp_input, need_s,
+                need_packed_rows,
+            )
 
     if do_surface:
         tab_s = tab
@@ -1250,7 +1478,8 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
             # stream candidates (keypoint-regime surfaces — the need mask
             # marks points whose normals/density any later stage reads)
             tab_s = _retab(tab, state, C, R_pad,
-                           need_sorted=surface_need[order])
+                           need_sorted=surface_need[order],
+                           packed=packed_rows)
         meta = jnp.stack([normal_r2, nrows_f, jnp.float32(0), jnp.float32(0),
                           jnp.float32(0)])
         srf = _run_pass(_surface_cell, meta, tab_s, packed, R_pad, C, SEG,
@@ -1259,7 +1488,7 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
         # speed-of-light on this hardware; rows ~7x faster — BASELINE.md)
         slot = jnp.clip(prow, 0, R_pad - 1) * C + posb
         kept = vs & (prow >= 0) & (prow < R_pad)
-        flat_s = jnp.swapaxes(srf[:, 0:10, :], 1, 2).reshape(R_pad * C, 10)
+        flat_s = srf[:, :, 0:10].reshape(R_pad * C, 10)
         rows_s = jnp.where(kept[:, None], flat_s[slot], 0.0)[inv]
         (nx, ny, nz, curv, l0, l1, l2, cnt, dmin, nnid_f) = (
             rows_s[:, ch] for ch in range(10)
@@ -1285,38 +1514,13 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
         )
         out.update(normal=normal, curv=curv, density=density,
                    eigvals=eigvals, ok=ok)
-
-    if do_iss:
-        meta = jnp.stack([iss_r2, nrows_f, gamma21, gamma32,
-                          jnp.float32(min_neighbors)])
-        o1 = _run_pass(_iss_count_cell, meta, tab, packed, R_pad, C, SEG, 8,
-                       interpret)
-        counts_sorted, _ = _slot_gather(o1[:, 0, :], prow, posb, vs, R_pad, C)
-        packed = packed.at[:N, CH_EXTRA].set(counts_sorted)
-
-        o2 = _run_pass(_iss_saliency_cell, meta, tab, packed, R_pad, C, SEG, 8,
-                       interpret)
-        slot_i = jnp.clip(prow, 0, R_pad - 1) * C + posb
-        kept_i = vs & (prow >= 0) & (prow < R_pad)
-        flat2 = jnp.swapaxes(o2[:, 0:2, :], 1, 2).reshape(R_pad * C, 2)
-        rows2 = jnp.where(kept_i[:, None], flat2[slot_i], 0.0)
-        sal_sorted, ok_sorted = rows2[:, 0], rows2[:, 1]
-        packed = packed.at[:N, CH_SAL].set(sal_sorted)
-        packed = packed.at[:N, CH_OK].set(ok_sorted)
-
-        o3 = _run_pass(_iss_nms_cell, meta, tab, packed, R_pad, C, SEG, 8,
-                       interpret)
-        kp_sorted, _ = _slot_gather(o3[:, 0, :], prow, posb, vs, R_pad, C)
-        valid_o = vs[inv]
-        out.update(
-            kp=(kp_sorted[inv] > 0.5) & valid_o,
-            saliency=jnp.where(valid_o, sal_sorted[inv], 0.0),
-        )
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("C", "SEG", "R_pad", "interpret"))
-def _fpfh_impl(state, r2, C, SEG, R_pad, interpret, kp=None):
+@functools.partial(jax.jit, static_argnames=("C", "SEG", "R_pad", "interpret",
+                                             "packed_rows"))
+def _fpfh_impl(state, r2, C, SEG, R_pad, interpret, kp=None,
+               packed_rows=False):
     """kp (input-order bool[N] or None): the keypoint-regime fast path.
     FPFH is consumed only at keypoint rows, so SPFH runs only on blocks
     within ONE cell of a keypoint cell (every neighbor the combine pass
@@ -1326,15 +1530,25 @@ def _fpfh_impl(state, r2, C, SEG, R_pad, interpret, kp=None):
     (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
     N = ks.shape[0]
     packed = _build_packed(state, C, SEG)
-    tab, n_rows, prow, posb = _build_tab(state, C, SEG, R_pad)
+    tab, n_rows, prow, posb = _build_tab(state, C, SEG, R_pad,
+                                         packed=packed_rows)
     nrows_f = jnp.minimum(n_rows, R_pad).astype(jnp.float32)
-    meta = jnp.stack([r2, nrows_f])
+    # grid-independent centering anchor for the pair features: AABB center
+    # (min/max are order-independent, so every plan of this cloud agrees)
+    big = jnp.float32(3.0e37)
+    gc = [
+        0.5 * (jnp.min(jnp.where(vs, c, big)) + jnp.max(jnp.where(vs, c, -big)))
+        for c in (xs, ys, zs)
+    ]
+    meta = jnp.stack([r2, nrows_f, gc[0], gc[1], gc[2]])
     tab_spfh = tab
     tab_comb = tab
     if kp is not None:
         kp_sorted = kp[order] & vs
-        tab_spfh = _retab(tab, state, C, R_pad, flag_stencil=(kp_sorted, 1))
-        tab_comb = _retab(tab, state, C, R_pad, need_sorted=kp_sorted)
+        tab_spfh = _retab(tab, state, C, R_pad, flag_stencil=(kp_sorted, 1),
+                          packed=packed_rows)
+        tab_comb = _retab(tab, state, C, R_pad, need_sorted=kp_sorted,
+                          packed=packed_rows)
     spfh = _run_pass(
         _spfh_cell, meta, tab_spfh, packed, R_pad, C, SEG, DIM + 1, interpret,
         extra_scratch=(pltpu.VMEM((DIM + 1, C), jnp.float32),),
@@ -1342,7 +1556,7 @@ def _fpfh_impl(state, r2, C, SEG, R_pad, interpret, kp=None):
     # write each point's SPFH into its packed lanes for the combine pass
     slot = jnp.clip(prow, 0, R_pad - 1) * C + posb
     kept = vs & (prow >= 0) & (prow < R_pad)
-    spfh_lanes = jnp.swapaxes(spfh[:, 0:DIM, :], 1, 2).reshape(R_pad * C, DIM)
+    spfh_lanes = spfh[:, :, 0:DIM].reshape(R_pad * C, DIM)
     spfh_sorted = jnp.where(kept[:, None], spfh_lanes[slot], 0.0)
     packed = packed.at[:N, CH_EXTRA:CH_EXTRA + DIM].set(spfh_sorted)
 
@@ -1350,7 +1564,7 @@ def _fpfh_impl(state, r2, C, SEG, R_pad, interpret, kp=None):
         _combine_cell, meta, tab_comb, packed, R_pad, C, SEG, DIM + 1, interpret,
         extra_scratch=(pltpu.VMEM((DIM + 1, C), jnp.float32),),
     )
-    flat = jnp.swapaxes(outp[:, : DIM + 1, :], 1, 2).reshape(R_pad * C, DIM + 1)
+    flat = outp[:, :, : DIM + 1].reshape(R_pad * C, DIM + 1)
     feats_sorted = jnp.where(kept[:, None], flat[slot], 0.0)
     inv = _inverse_perm(order)
     feats = feats_sorted[inv]
@@ -1384,7 +1598,7 @@ def surface_iss_cells(xyz, valid, normal_radius, iss_radius, viewpoint=None,
     return _surface_iss_impl(
         plan.state, nr * nr, ir * ir, jnp.float32(gamma21),
         jnp.float32(gamma32), viewpoint, plan.C, plan.SEG, plan.R_pad,
-        interpret, True, True, min_neighbors,
+        interpret, True, True, min_neighbors, packed_rows=plan.packed,
     )
 
 
@@ -1403,6 +1617,7 @@ def surface_cells(xyz, valid, radius, viewpoint=None, interpret=None,
     out = _surface_iss_impl(
         plan.state, r * r, r * r, jnp.float32(0.975), jnp.float32(0.975),
         viewpoint, plan.C, plan.SEG, plan.R_pad, interpret, True, False, 4,
+        packed_rows=plan.packed,
     )
     return out["normal"], out["curv"], out["density"], out["eigvals"], out["ok"]
 
@@ -1425,13 +1640,13 @@ def iss_cells(
     out = _surface_iss_impl(
         plan.state, r * r, r * r, jnp.float32(gamma21), jnp.float32(gamma32),
         jnp.zeros((3,), jnp.float32), plan.C, plan.SEG, plan.R_pad, interpret,
-        False, True, min_neighbors,
+        False, True, min_neighbors, packed_rows=plan.packed,
     )
     return out["kp"], out["saliency"]
 
 
 def fpfh_cells(xyz, normal, valid, radius, interpret=None,
-               exact: bool = False, kp=None):
+               exact: bool = False, kp=None, m: int | None = None):
     """Self-join FPFH: (feat f32[N,33], feat_valid bool[N]).
 
     kp (bool[N], input order): keypoint-regime fast path — descriptors are
@@ -1441,20 +1656,22 @@ def fpfh_cells(xyz, normal, valid, radius, interpret=None,
     computes FPFH on keypoint clouds only (fpfh_debug.cpp / feature
     estimation over keypoint indices)."""
     interpret = _default_interpret(interpret)
-    plan = plan_grid(xyz, normal, valid, float(np.asarray(radius)), exact=exact)
+    plan = plan_grid(xyz, normal, valid, float(np.asarray(radius)),
+                     exact=exact, m=m)
     r = jnp.asarray(radius, jnp.float32)
     return _fpfh_impl(plan.state, r * r, plan.C, plan.SEG, plan.R_pad,
-                      interpret, kp=kp)
+                      interpret, kp=kp, packed_rows=plan.packed)
 
 
-@functools.partial(jax.jit, static_argnames=("C", "R_pad", "s"))
-def _point_need_impl(state, C, R_pad, flags, s):
+@functools.partial(jax.jit, static_argnames=("C", "R_pad", "s", "packed"))
+def _point_need_impl(state, C, R_pad, flags, s, packed=False):
     (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
     N = ks.shape[0]
-    prow, posb, n_blocks, row_start, row_len, row_key = _block_layout(
-        state, C, R_pad
+    prow, posb, n_blocks, row_start, row_len, row_key, row_key_hi = (
+        _block_layout(state, C, R_pad, packed)
     )
-    hit = _row_stencil_any(state, row_key, flags[order] & vs, s)
+    hit = _row_stencil_any(state, row_key, row_key_hi, flags[order] & vs, s,
+                           packed)
     need_sorted = vs & hit[jnp.clip(prow, 0, R_pad - 1)] & (prow < R_pad)
     return jnp.zeros((N,), bool).at[order].set(need_sorted)
 
@@ -1464,7 +1681,8 @@ def point_need(plan, flags, s: int):
     this plan's grid) of a cell containing a flagged point.  Block-granular
     and conservative: every point whose true distance to a flagged point is
     <= s * cell is marked (plus some extras on the same blocks)."""
-    return _point_need_impl(plan.state, plan.C, plan.R_pad, flags, int(s))
+    return _point_need_impl(plan.state, plan.C, plan.R_pad, flags, int(s),
+                            plan.packed)
 
 
 # ---------------------------------------------------------------------------
@@ -1479,7 +1697,7 @@ def iss_pass(plan, iss_radius, gamma21: float = 0.975, gamma32: float = 0.975,
     out = _surface_iss_impl(
         plan.state, r * r, r * r, jnp.float32(gamma21), jnp.float32(gamma32),
         jnp.zeros((3,), jnp.float32), plan.C, plan.SEG, plan.R_pad, interpret,
-        False, True, min_neighbors,
+        False, True, min_neighbors, packed_rows=plan.packed,
     )
     return out["kp"], out["saliency"]
 
@@ -1498,9 +1716,38 @@ def surface_pass(plan, normal_radius, viewpoint=None, need=None,
     out = _surface_iss_impl(
         plan.state, r * r, r * r, jnp.float32(0.975), jnp.float32(0.975),
         viewpoint, plan.C, plan.SEG, plan.R_pad, interpret, True, False, 4,
-        surface_need=need,
+        surface_need=need, packed_rows=plan.packed,
     )
     return out["normal"], out["curv"], out["density"], out["eigvals"], out["ok"]
+
+
+def surface_iss_masked(plan_n, plan_f, normal_radius, iss_radius,
+                       viewpoint=None, shot: bool = False,
+                       gamma21: float = 0.975, gamma32: float = 0.975,
+                       min_neighbors: int = 4, interpret=None):
+    """Fused keypoint-regime side stage on plan_n's grid: ISS keypoints
+    first, then the surface pass masked to blocks a later stage reads
+    (SPFH support = 2 feature cells of a keypoint, SHOT = 1; the stencil
+    runs on plan_f's grid).  ONE packed-table build and ONE device
+    program for the whole side stage (previously iss_pass + point_need +
+    surface_pass dispatched three).  Returns (normal, kp, density,
+    saliency)."""
+    interpret = _default_interpret(interpret)
+    if viewpoint is None:
+        viewpoint = jnp.zeros((3,), jnp.float32)
+    else:
+        viewpoint = jnp.asarray(viewpoint, jnp.float32)
+    nr = jnp.asarray(normal_radius, jnp.float32)
+    ir = jnp.asarray(iss_radius, jnp.float32)
+    out = _surface_iss_impl(
+        plan_n.state, nr * nr, ir * ir, jnp.float32(gamma21),
+        jnp.float32(gamma32), viewpoint, plan_n.C, plan_n.SEG, plan_n.R_pad,
+        interpret, True, True, min_neighbors,
+        need_state=plan_f.state, need_C=plan_f.C, need_R_pad=plan_f.R_pad,
+        need_s=1 if shot else 2, packed_rows=plan_n.packed,
+        need_packed_rows=plan_f.packed,
+    )
+    return out["normal"], out["kp"], out["density"], out["saliency"]
 
 
 @jax.jit
@@ -1516,7 +1763,8 @@ def set_normals(plan, normal):
     state — lets the feature grid be planned before normals exist."""
     return GridPlan(plan.C, plan.SEG, plan.R_pad, plan.m, plan.n_rows,
                     plan.n_valid, plan.maxocc, plan.colmax,
-                    _set_normals_impl(plan.state, normal))
+                    _set_normals_impl(plan.state, normal),
+                    packed=plan.packed)
 
 
 def fpfh_pass(plan, radius, kp=None, interpret=None):
@@ -1525,4 +1773,4 @@ def fpfh_pass(plan, radius, kp=None, interpret=None):
     interpret = _default_interpret(interpret)
     r = jnp.asarray(radius, jnp.float32)
     return _fpfh_impl(plan.state, r * r, plan.C, plan.SEG, plan.R_pad,
-                      interpret, kp=kp)
+                      interpret, kp=kp, packed_rows=plan.packed)

@@ -26,3 +26,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(566)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled programs between test modules.
+
+    A single pytest process compiles hundreds of XLA CPU programs across
+    the suite; the accumulated jit cache has segfaulted the in-process
+    CPU compiler near the end of full runs (observed at test ~86/92,
+    backend_compile_and_load).  Per-module cache clearing keeps the
+    process footprint bounded; within a module, caching still avoids
+    recompiles."""
+    yield
+    jax.clear_caches()

@@ -37,9 +37,11 @@ def test_plan_coarse_stats_match_bruteforce(rng):
     xyz = jnp.asarray(xyz_np)
     valid = jnp.ones((N,), bool)
     cell = 0.25
-    plan = cg.plan_grid(xyz, jnp.zeros_like(xyz), valid, cell)
-    # the sparse fixture must actually exercise the coarse path
-    assert plan.m > 1, f"fixture not sparse enough (m={plan.m})"
+    # explicit m: thin-z grids now prefer the packed-row layout over cell
+    # growth (auto_m pins m=1 there), but the coarse-stat machinery must
+    # stay exact for volumetric grids that still grow cells
+    plan = cg.plan_grid(xyz, jnp.zeros_like(xyz), valid, cell, m=3)
+    assert plan.m == 3
     n_rows_ref, maxocc_ref = _brute_coarse_stats(xyz_np, cell, plan.m)
     assert plan.n_rows == n_rows_ref
     assert plan.maxocc == maxocc_ref
@@ -50,7 +52,9 @@ def test_plan_coarse_stats_match_bruteforce(rng):
 
 
 def test_noexact_coarse_kernels_match_exact(rng):
-    """FPFH on the auto-grown (m>1) grid vs the exact m=1 grid."""
+    """FPFH on an explicitly coarse (m=3) grid vs the exact m=1 grid.
+    (auto_m now pins m=1 on thin-z grids — the packed-row layout handles
+    sparsity — so the coarse path is forced here.)"""
     N = 4096
     xyz_np = _sparse_cloud(N, rng)
     xyz = jnp.asarray(xyz_np)
@@ -63,7 +67,7 @@ def test_noexact_coarse_kernels_match_exact(rng):
     feat_e, fv_e = cg.fpfh_cells(xyz, normal, valid, radius, interpret=True,
                                  exact=True)
     feat_c, fv_c = cg.fpfh_cells(xyz, normal, valid, radius, interpret=True,
-                                 exact=False)
+                                 exact=False, m=3)
     fv_e = np.asarray(fv_e)
     fv_c = np.asarray(fv_c)
     # nothing is capped or truncated on either grid: identical math over
