@@ -162,10 +162,43 @@ _ST_COLQ50 = 5
 _ST_OVER = 6  # len(C_BUCKETS) entries: points with in-cell pos >= bucket
 _ST_BLOCKS = _ST_OVER + len(C_BUCKETS)  # len(C_BUCKETS): total query blocks
 _ST_M = _ST_BLOCKS + len(C_BUCKETS)  # the chosen cell-growth factor
-_ST_BZ = _ST_M + 1  # z-axis key bits (packed-row layout needs thin z)
-_ST_NSLABS = _ST_BZ + 1  # number of x-slabs (kx runs)
+_ST_PACK = _ST_M + 1  # 1.0 iff the grid is thin-COLUMN (packed-row layout)
+_ST_NSLABS = _ST_PACK + 1  # number of x-slabs (kx runs)
 _ST_PBLOCKS = _ST_NSLABS + 1  # len(C_BUCKETS): packed-row block counts
 _ST_LEN = _ST_PBLOCKS + len(C_BUCKETS)
+
+
+def _thin_fraction(ks, bz):
+    """Fraction of valid points within 4 z-cells of their xy-column's
+    first occupied z-cell, from keys sorted ascending.
+
+    This is the packed-row eligibility test: a packed block's candidate
+    spans cover the FULL z range of each (kx, ky) column, so the waste
+    vs the true 3-cell z stencil is bounded by how far points sit above
+    their column base.  Per-column depth, not global z bits, is what
+    matters: a 10M-point terrain scan at ISS radius has ~100 global
+    z-cells yet per-column depth 1-2 — exactly the sparse fine grid
+    that needs packing most."""
+    vs = ks < _BIG_KEY
+    n_valid = jnp.maximum(jnp.sum(vs.astype(jnp.int32)), 1)
+    kxy = ks >> bz
+    kz = ks & ((1 << bz) - 1)
+    idx = jnp.arange(ks.shape[0], dtype=jnp.int32)
+    cfirst = vs & jnp.concatenate(
+        [jnp.ones((1,), bool), kxy[1:] != kxy[:-1]]
+    )
+
+    def pick(a, b):  # select-by-latest-column-start (associative)
+        ia, za = a
+        ib, zb = b
+        take_b = ib >= ia
+        return jnp.where(take_b, ib, ia), jnp.where(take_b, zb, za)
+
+    _, kz0 = jax.lax.associative_scan(
+        pick, (jnp.where(cfirst, idx, -1), jnp.where(cfirst, kz, 0))
+    )
+    thin_pt = vs & (kz - kz0 <= 3)
+    return jnp.sum(thin_pt.astype(jnp.float32)) / n_valid.astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("auto_m",))
@@ -212,9 +245,10 @@ def _sort_stats(xyz, normal, valid, cell, m, auto_m: bool = False):
         m = jnp.clip(
             jnp.round(jnp.sqrt(OCC_TARGET / jnp.maximum(q50, 1.0))), 1, 4
         ).astype(jnp.int32)
-        # thin-z grids use the packed-row layout instead of cell growth:
-        # packing fills query blocks without inflating the stencil volume
-        m = jnp.where(bits[2] <= 2, jnp.int32(1), m)
+        # thin-COLUMN grids use the packed-row layout instead of cell
+        # growth: packing fills query blocks without inflating the stencil
+        # volume, so the finest grid (m=1) wins
+        m = jnp.where(_thin_fraction(fs, bits[2]) > 0.85, jnp.int32(1), m)
     else:
         m = jnp.asarray(m, jnp.int32)
     keys = jnp.where(fkeys < _BIG_KEY, _coarsen_key(fkeys, bits, m), _BIG_KEY)
@@ -301,7 +335,8 @@ def _sort_stats(xyz, normal, valid, cell, m, auto_m: bool = False):
         ]
         + [d.astype(jnp.float32) for d in over_c]
         + [d.astype(jnp.float32) for d in blocks_c]
-        + [m.astype(jnp.float32), bz.astype(jnp.float32),
+        + [m.astype(jnp.float32),
+           (_thin_fraction(ks, bz) > 0.85).astype(jnp.float32),
            n_slabs.astype(jnp.float32)]
         + [d.astype(jnp.float32) for d in pblocks_c]
     )
@@ -360,7 +395,7 @@ def _plan_from_stats(state, st):
         raise ValueError(f"grid needs {bits} key bits (> 30); XLA fallback")
     over = st[_ST_OVER:_ST_OVER + len(C_BUCKETS)]
     blocks = st[_ST_BLOCKS:_ST_BLOCKS + len(C_BUCKETS)]
-    packed = int(st[_ST_BZ]) <= 2  # thin-z (2.5D scan) grids pack rows
+    packed = int(st[_ST_PACK]) > 0  # thin-column (2.5D scan) grids pack rows
     if packed:
         # blocks are C-point windows of each x-slab: slots are ~always
         # full, so C maximizes queries amortizing each block's candidate

@@ -27,7 +27,7 @@ def _two_plans(xyz, valid, r):
                                     exact=True)
     st = np.asarray(stats).astype(np.int64)
     st_u = st.copy()
-    st_u[cg._ST_BZ] = 3  # force the per-cell sizing path
+    st_u[cg._ST_PACK] = 0  # force the per-cell sizing path
     pl_p = cg._plan_from_stats(state, st)
     pl_u = cg._plan_from_stats(state, st_u)
     assert pl_p.packed, "thin fixture must choose the packed layout"
