@@ -175,13 +175,14 @@ def run_step(n: int, repeats: int):
         jnp.asarray(b),
         jnp.ones((n,), bool),
         jax.random.PRNGKey(566),
-        jnp.float32(radii["normal_cell"]),
-        jnp.float32(radii["density_src"]),
-        jnp.float32(radii["density_tgt"]),
-        jnp.float32(radii["iss_src"]),
-        jnp.float32(radii["iss_tgt"]),
-        jnp.float32(radii["feature"]),
-        jnp.float32(radii["thr"]),
+        # host floats: the staged path skips its device-scalar radii pull
+        float(radii["normal_cell"]),
+        float(radii["density_src"]),
+        float(radii["density_tgt"]),
+        float(radii["iss_src"]),
+        float(radii["iss_tgt"]),
+        float(radii["feature"]),
+        float(radii["thr"]),
     )
     kwargs = dict(vp_src=jnp.asarray(vp_a), vp_tgt=jnp.asarray(vp_b))
     out = register_pair_staged(*args, cfg=cfg, **kwargs)

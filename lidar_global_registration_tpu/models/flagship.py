@@ -503,21 +503,23 @@ def register_pair_staged(
 
     _t.last = _time.perf_counter()
 
-    # ONE stacked pull of the scalar radii: the host orchestration below
-    # makes cell-size decisions from them, and pulling each scalar on its
-    # own is a full round-trip on tunneled runtimes.  The floats are passed
+    # The host orchestration below makes cell-size decisions from the
+    # scalar radii.  Host scalars (python/numpy) convert for free; device
+    # scalars need a pull, batched into ONE stacked transfer (each pull is
+    # a full round-trip on tunneled runtimes).  The floats are passed
     # straight back into the stage jits (a Python float is a traced f32
     # argument, not a baked constant — no per-value recompiles).
     import numpy as _np0
 
+    _rvals = (normal_cell, density_cell_src, density_cell_tgt,
+              iss_radius_src, iss_radius_tgt, feature_radius, distance_thr)
+    if any(isinstance(v, jax.Array) for v in _rvals):
+        _rvals = tuple(_np0.asarray(jnp.stack([
+            jnp.asarray(v, jnp.float32) for v in _rvals
+        ])))
     (normal_cell, density_cell_src, density_cell_tgt, iss_radius_src,
      iss_radius_tgt, feature_radius, distance_thr) = (
-        float(v) for v in _np0.asarray(jnp.stack([
-            jnp.asarray(v, jnp.float32)
-            for v in (normal_cell, density_cell_src, density_cell_tgt,
-                      iss_radius_src, iss_radius_tgt, feature_radius,
-                      distance_thr)
-        ]))
+        float(v) for v in _rvals
     )
 
     cells_env = os.environ.get("LGR_CELL_FPFH", "1")
@@ -550,31 +552,23 @@ def register_pair_staged(
             print(f"# cell side pass -> XLA fallback: {e}", flush=True)
         return _side_stage(xyz, valid, normal_cell, iss_radius, cfg, vp)
 
-    def _side_stage_masked(xyz, valid, iss_radius, vp, shot: bool):
+    def _side_stage_masked(plan_n, plan_f, iss_radius, vp, shot: bool):
         """Keypoint-regime fast path: ISS first (positions only), then the
         surface pass ONLY on cell blocks whose normals/density a later
         stage reads — SPFH support (2 feature cells of a keypoint cell) for
         FPFH, 1 cell for SHOT.  Identical values at every consumed row
         (tests/test_cell_masked.py); the reference likewise computes
         features on keypoint clouds only (feature_analysis.cpp).  Returns
-        (normal, kp, density, feature-grid plan)."""
+        (normal, kp, density)."""
         from lidar_global_registration_tpu.ops.pallas.cellgrid import (
-            plan_grid_many,
             surface_iss_masked,
         )
 
-        cell_n = max(normal_cell, iss_radius)
-        z = jnp.zeros_like(xyz)
-        # both grids planned with ONE host sync (plan_grid_many)
-        plan_n, plan_f = plan_grid_many([
-            (xyz, z, valid, cell_n),
-            (xyz, z, valid, feature_radius),
-        ])
         # fused ISS + need-masked surface: one packed build, one program
         normal, kp, density, _sal = surface_iss_masked(
             plan_n, plan_f, normal_cell, iss_radius, viewpoint=vp, shot=shot
         )
-        return normal, kp, density, plan_f
+        return normal, kp, density
 
     def _shot_stage(kp_xyz, kp_normal, kpv, surf_xyz, surf_normal, surf_valid):
         """SHOT-352 at (compacted) keypoints over the full-cloud support
@@ -624,20 +618,23 @@ def register_pair_staged(
     shot_mode = cfg.descriptor == "shot"
     masked = use_cells and cfg.use_iss and cfg.masked_features
     if masked:
-        # Per-side side+descriptor sequencing: the side stage holds TWO
-        # sorted grids (normal/ISS + feature, ~0.5 KB/point each in packed
-        # lanes).  Finishing a side's FPFH before starting the other side
-        # frees its feature grid early — at 10M points/side both sides'
-        # grids alive at once would exceed a v5e's 16 GB HBM.
-        def _masked_side_full(xyz, valid, iss_radius, vp, which):
-            normal, kp, dens, plan_f = _side_stage_masked(
-                xyz, valid, iss_radius, vp, shot_mode
+        # Per-side side+descriptor sequencing: the BIG per-pass buffers
+        # (packed lanes + block outputs, ~0.7 KB/point) live only inside
+        # each pass's jit, so finishing a side's FPFH before starting the
+        # other side keeps peak HBM to one side's working set — at 10M
+        # points/side both sides' pass buffers alive at once would exceed
+        # a v5e's 16 GB.  The sorted STATES (~44 B/point/grid) are cheap,
+        # so all FOUR grids are planned with ONE host sync up front
+        # (plan_grid_many) instead of one sync per side.
+        def _masked_side_full(plan_n, plan_f, iss_radius, vp, which):
+            normal, kp, dens = _side_stage_masked(
+                plan_n, plan_f, iss_radius, vp, shot_mode
             )
             _t(f"side_{which}", (normal, kp, dens))
             if shot_mode:
                 # SHOT runs later at the compacted keypoint rows only; the
                 # feature grid (used for the need mask) frees right here
-                return normal, kp, dens, None, valid & kp
+                return normal, kp, dens, None, kp
             from lidar_global_registration_tpu.ops.pallas.cellgrid import (
                 fpfh_pass,
                 set_normals,
@@ -649,11 +646,23 @@ def register_pair_staged(
             return normal, kp, dens, feat, fv & kp
 
         try:
+            from lidar_global_registration_tpu.ops.pallas.cellgrid import (
+                plan_grid_many,
+            )
+
+            z_s = jnp.zeros_like(src_xyz)
+            z_t = jnp.zeros_like(tgt_xyz)
+            pn_s, pf_s, pn_t, pf_t = plan_grid_many([
+                (src_xyz, z_s, src_valid, max(normal_cell, iss_radius_src)),
+                (src_xyz, z_s, src_valid, feature_radius),
+                (tgt_xyz, z_t, tgt_valid, max(normal_cell, iss_radius_tgt)),
+                (tgt_xyz, z_t, tgt_valid, feature_radius),
+            ])
             src_normal, src_kp, dens_s, fq, fq_valid = _masked_side_full(
-                src_xyz, src_valid, iss_radius_src, vp_src, "src"
+                pn_s, pf_s, iss_radius_src, vp_src, "src"
             )
             tgt_normal, tgt_kp, dens_t, ft, ft_valid = _masked_side_full(
-                tgt_xyz, tgt_valid, iss_radius_tgt, vp_tgt, "tgt"
+                pn_t, pf_t, iss_radius_tgt, vp_tgt, "tgt"
             )
         except ValueError as e:  # cloud does not fit the kernel format
             print(f"# masked side pass -> unmasked fallback: {e}", flush=True)

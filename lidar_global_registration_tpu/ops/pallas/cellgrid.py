@@ -367,7 +367,7 @@ class GridPlan:
 OCC_TARGET = 96  # grow the cell until the median point's cell holds ~this
 # (the query block is a full 128-lane tile; near-full median occupancy
 # keeps the lanes busy without inflating the stencil volume too much)
-SEG_BUCKETS = (128, 256, 512)
+SEG_BUCKETS = (128, 256, 512, 1024)
 
 
 def _stats_device(xyz, normal, valid, cell, exact: bool = False,
