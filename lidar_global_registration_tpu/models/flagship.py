@@ -669,22 +669,17 @@ def register_pair_staged(
             masked = False
     fused_any = False
     if not masked and use_cells and not cfg.use_iss and not shot_mode:
-        # keypoint=any cell path: both of a side's grids planned with ONE
-        # host sync, surface + FPFH sequenced per side (same memory
-        # argument as the masked branch above)
-        def _side_fpfh_cells(xyz, valid, vp, which):
+        # keypoint=any cell path: ALL FOUR grids planned with ONE host
+        # sync, surface + FPFH sequenced per side (same memory argument
+        # as the masked branch above — only the cheap sorted states span
+        # both sides)
+        def _side_fpfh_cells(plan_n, plan_f, valid, vp, which):
             from lidar_global_registration_tpu.ops.pallas.cellgrid import (
                 fpfh_pass,
-                plan_grid_many,
                 set_normals,
                 surface_pass,
             )
 
-            z = jnp.zeros_like(xyz)
-            plan_n, plan_f = plan_grid_many([
-                (xyz, z, valid, normal_cell),
-                (xyz, z, valid, feature_radius),
-            ])
             normal, _c, density, _e, _ok = surface_pass(
                 plan_n, normal_cell, viewpoint=vp
             )
@@ -695,11 +690,23 @@ def register_pair_staged(
             return normal, density, feat, fv & valid
 
         try:
+            from lidar_global_registration_tpu.ops.pallas.cellgrid import (
+                plan_grid_many,
+            )
+
+            z_s = jnp.zeros_like(src_xyz)
+            z_t = jnp.zeros_like(tgt_xyz)
+            pn_s, pf_s, pn_t, pf_t = plan_grid_many([
+                (src_xyz, z_s, src_valid, normal_cell),
+                (src_xyz, z_s, src_valid, feature_radius),
+                (tgt_xyz, z_t, tgt_valid, normal_cell),
+                (tgt_xyz, z_t, tgt_valid, feature_radius),
+            ])
             src_normal, dens_s, fq, fq_valid = _side_fpfh_cells(
-                src_xyz, src_valid, vp_src, "src"
+                pn_s, pf_s, src_valid, vp_src, "src"
             )
             tgt_normal, dens_t, ft, ft_valid = _side_fpfh_cells(
-                tgt_xyz, tgt_valid, vp_tgt, "tgt"
+                pn_t, pf_t, tgt_valid, vp_tgt, "tgt"
             )
             src_kp, tgt_kp = src_valid, tgt_valid
             fused_any = True

@@ -1,0 +1,78 @@
+"""Sequential benchmark sweep driver (one TPU process at a time).
+
+Runs bench.py across the round's measurement grid — 64k/256k/1M any+ISS
+modes, 4M/10M ISS, SHOT rows — each as its own subprocess so a crash or
+tunnel drop loses only that row.  Appends one JSON line per row to
+BENCH_SWEEP.jsonl plus the raw stderr transcript to BENCH_SWEEP.log.
+
+Usage:  PYTHONPATH=/root/repo:$PYTHONPATH python tools/bench_sweep.py [row ...]
+Rows default to the full grid; pass names (e.g. `iss1m 4m`) to subset.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ROWS = {
+    # name: (env overrides, timeout seconds)
+    "any64k": ({"LGR_BENCH_N": "65536", "LGR_BENCH_REPEATS": "5"}, 3600),
+    "any256k": ({"LGR_BENCH_N": "262144", "LGR_BENCH_REPEATS": "3"}, 3600),
+    "iss256k": ({"LGR_BENCH_N": "262144", "LGR_BENCH_REPEATS": "3",
+                 "LGR_BENCH_ISS": "1"}, 3600),
+    "iss1m": ({"LGR_BENCH_N": "1048576", "LGR_BENCH_REPEATS": "3",
+               "LGR_BENCH_ISS": "1"}, 5400),
+    "iss4m": ({"LGR_BENCH_N": "4194304", "LGR_BENCH_REPEATS": "3",
+               "LGR_BENCH_ISS": "1"}, 7200),
+    "iss10m": ({"LGR_BENCH_N": "10485760", "LGR_BENCH_REPEATS": "2",
+                "LGR_BENCH_ISS": "1"}, 10800),
+    "shot256k": ({"LGR_BENCH_N": "262144", "LGR_BENCH_REPEATS": "3",
+                  "LGR_BENCH_ISS": "1", "LGR_BENCH_DESC": "shot"}, 5400),
+    "shot1m": ({"LGR_BENCH_N": "1048576", "LGR_BENCH_REPEATS": "3",
+                "LGR_BENCH_ISS": "1", "LGR_BENCH_DESC": "shot"}, 7200),
+}
+DEFAULT = ["any64k", "iss256k", "iss1m", "iss4m", "iss10m", "shot256k",
+           "shot1m", "any256k"]
+
+
+def main(names):
+    out_jsonl = os.path.join(ROOT, "BENCH_SWEEP.jsonl")
+    out_log = os.path.join(ROOT, "BENCH_SWEEP.log")
+    for name in names:
+        env_over, tmo = ROWS[name]
+        env = dict(os.environ)
+        env.update(env_over)
+        t0 = time.time()
+        print(f"== {name} start {time.strftime('%H:%M:%S')}", flush=True)
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(ROOT, "bench.py")],
+                env=env, capture_output=True, text=True, timeout=tmo,
+            )
+            rc, out, err = p.returncode, p.stdout, p.stderr
+        except subprocess.TimeoutExpired as e:
+            rc, out = -9, ""
+            err = (e.stderr or "") + f"\n== TIMEOUT {tmo}s"
+        dt = time.time() - t0
+        with open(out_log, "a") as f:
+            f.write(f"\n==== {name} rc={rc} wall={dt:.0f}s ====\n{err}\n{out}\n")
+        row = {"row": name, "rc": rc, "wall_s": round(dt, 1)}
+        for line in out.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    row["result"] = json.loads(line)
+                except Exception:
+                    pass
+        with open(out_jsonl, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        print(f"== {name} done rc={rc} {dt:.0f}s: {row.get('result')}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or DEFAULT)
