@@ -78,3 +78,32 @@ def test_noexact_coarse_kernels_match_exact(rng):
     b = np.asarray(feat_c)[fv_e]
     row_l1 = np.abs(a - b).sum(axis=1)
     assert np.max(row_l1) < 1e-2, np.max(row_l1)
+
+
+def test_thin_fraction_matches_oracle(rng):
+    """_thin_fraction (packed-row eligibility) vs a per-column oracle on a
+    mixed scene: thin terrain columns plus one tall wall column."""
+    bz = 7
+    kx = rng.integers(0, 20, 5000)
+    ky = rng.integers(0, 20, 5000)
+    kzt = rng.integers(0, 3, 5000)        # terrain: thin columns
+    kzw = rng.integers(0, 100, 500)       # a wall at (5, 5): deep column
+    keys = np.concatenate([
+        (kx << (5 + bz)) | (ky << bz) | kzt,
+        (5 << (5 + bz)) | (5 << bz) | kzw,
+    ]).astype(np.int32)
+    keys = np.sort(keys)
+    keys = np.concatenate([keys, np.full(100, 2**30, np.int32)])  # invalid
+
+    v = keys[keys < 2**30]
+    kxy = v >> bz
+    kz = v & ((1 << bz) - 1)
+    cnt = 0
+    for c in np.unique(kxy):
+        zs = kz[kxy == c]
+        cnt += (zs - zs.min() <= 3).sum()
+    oracle = cnt / len(v)
+
+    got = float(cg._thin_fraction(jnp.asarray(keys), bz))
+    np.testing.assert_allclose(got, oracle, atol=1e-6)
+    assert 0.8 < oracle < 1.0  # the fixture actually mixes both regimes
