@@ -203,7 +203,8 @@ def _thin_fraction(ks, bz):
 
 @functools.partial(jax.jit, static_argnames=("auto_m",))
 def _sort_stats(xyz, normal, valid, cell, m, auto_m: bool = False):
-    """THE grid sort (8 operands, stable) + exact occupancy statistics.
+    """THE grid sort (stable (key, id) sort + one row gather) + exact
+    occupancy statistics.
 
     m is a traced cell-growth factor: the grid cell is m*cell but ids are
     the fine ids integer-divided by m (same origin), and the SORT is by the
@@ -253,13 +254,16 @@ def _sort_stats(xyz, normal, valid, cell, m, auto_m: bool = False):
         m = jnp.asarray(m, jnp.int32)
     keys = jnp.where(fkeys < _BIG_KEY, _coarsen_key(fkeys, bits, m), _BIG_KEY)
     N = xyz.shape[0]
-    ks, xs, ys, zs, nxs, nys, nzs, order = jax.lax.sort(
-        (keys, xyz[:, 0], xyz[:, 1], xyz[:, 2],
-         normal[:, 0], normal[:, 1], normal[:, 2],
-         jnp.arange(N, dtype=jnp.int32)),
-        num_keys=1,
-        is_stable=True,
+    # 2-operand sort + ONE [N, 8] row gather: the stable sort moves only
+    # 8 B/point of payload instead of 32 B (measured on this hardware:
+    # row gathers run near bandwidth, element gathers ~100x off — the
+    # sorted channels come out of a single row-indexed gather)
+    ks, order = jax.lax.sort(
+        (keys, jnp.arange(N, dtype=jnp.int32)), num_keys=1, is_stable=True
     )
+    chan = jnp.concatenate([xyz, normal], axis=1)[order]
+    xs, ys, zs = chan[:, 0], chan[:, 1], chan[:, 2]
+    nxs, nys, nzs = chan[:, 3], chan[:, 4], chan[:, 5]
     idx = jnp.arange(N, dtype=jnp.int32)
     vs = ks < _BIG_KEY
     n_valid = jnp.sum(vs.astype(jnp.int32))

@@ -34,6 +34,12 @@ ROWS = {
                   "LGR_BENCH_ISS": "1", "LGR_BENCH_DESC": "shot"}, 5400),
     "shot1m": ({"LGR_BENCH_N": "1048576", "LGR_BENCH_REPEATS": "3",
                 "LGR_BENCH_ISS": "1", "LGR_BENCH_DESC": "shot"}, 7200),
+    # per-stage budgets (LGR_STAGE_TIMING blocks between stages: the stage
+    # columns over-count vs e2e; never quote them as end-to-end)
+    "prof1m": ({"LGR_BENCH_N": "1048576", "LGR_BENCH_REPEATS": "1",
+                "LGR_BENCH_ISS": "1", "LGR_STAGE_TIMING": "1"}, 5400),
+    "prof10m": ({"LGR_BENCH_N": "10485760", "LGR_BENCH_REPEATS": "1",
+                 "LGR_BENCH_ISS": "1", "LGR_STAGE_TIMING": "1"}, 10800),
 }
 DEFAULT = ["any64k", "iss256k", "iss1m", "iss4m", "iss10m", "shot256k",
            "shot1m", "any256k"]
