@@ -110,21 +110,31 @@ def _smoothed_density(xyz, valid, cell, cap, chunk=None):
     return jnp.where(valid & (out < big), out, 0.0)
 
 
-def _density_from_knn(idx, dist, mask, valid):
+def _density_from_knn(idx, dist, mask, valid, gather_rows=None):
     """k=2 smoothed density (common.cpp:531-547) reusing the normals
     neighbor pass: d = dist to nearest non-self neighbor, smoothed by min
     with that neighbor's value.  Avoids the two extra grid builds of a
     dedicated density query (the search radius is the normal cell rather
     than the reference's 2x-density cell — a superset, so the NN distance
-    is identical wherever the smaller search finds a neighbor)."""
+    is identical wherever the smaller search finds a neighbor).
+
+    gather_rows: for row-sharded callers (parallel/batch.py) — maps the
+    local d_raw shard to the full row space so the smoothing neighbor
+    (a GLOBAL index) can live on another peer's shard."""
     big = jnp.float32(3.0e38)
-    dmat = jnp.where(mask & (dist > 1e-12), dist, big)
+    seen = mask & (dist > 1e-12)
+    dmat = jnp.where(seen, dist, big)
     a = jnp.argmin(dmat, axis=1)
     d_raw = jnp.take_along_axis(dmat, a[:, None], axis=1)[:, 0]
     nn = jnp.take_along_axis(idx, a[:, None], axis=1)[:, 0]
-    d_nn = d_raw[nn]
+    # rows with NO in-radius neighbor must stay 0: their argmin lane (and
+    # thus nn) is garbage, and the smoothing min would otherwise inherit
+    # that arbitrary row's density
+    has = jnp.any(seen, axis=1)
+    d_all = d_raw if gather_rows is None else gather_rows(d_raw)
+    d_nn = d_all[nn]
     out = jnp.minimum(d_raw, jnp.where(d_nn < big, d_nn, d_raw))
-    return jnp.where(valid & (out < big), out, 0.0)
+    return jnp.where(valid & has & (out < big), out, 0.0)
 
 
 def _fpfh_fixed(xyz, normal, valid, kp_mask, radius, cfg: FlagshipConfig):
@@ -167,12 +177,23 @@ def ransac_solve(p, q, thr, cvalid, key, cfg: FlagshipConfig):
     (metric.h:98).  The entropy is evaluated for the cfg.uniformity_top
     count-ranked hypotheses per round."""
     if cfg.ransac_compact and cfg.ransac_compact < p.shape[0]:
-        # compact the correspondence set to a static prefix: every round's
+        # compact the correspondence set to a static budget: every round's
         # [B, M] inlier test (and the entropy scatter) shrinks from the
-        # padded cloud length to the actual correspondence budget.  The
-        # stable argsort keeps row order, so the cluster path's
-        # consensus-ranked cap stays intact.
-        sel = jnp.argsort(~cvalid)[: cfg.ransac_compact]
+        # padded cloud length to the correspondence budget.  When MORE
+        # valid rows exist than the budget (keypoint=any mutual matching
+        # at 64k+), take an evenly-strided systematic sample over row
+        # order — scan-line-ordered clouds are spatially coherent in row
+        # order, so a plain prefix would keep one spatial corner of the
+        # overlap and bias the pose.  The cluster path's consensus-ranked
+        # cap (<= 1024 rows) always fits the budget, so its ranking is
+        # never subsampled.
+        M = cfg.ransac_compact
+        sel = jnp.argsort(~cvalid)  # stable: valid rows first, row order kept
+        K = jnp.sum(cvalid.astype(jnp.int32))
+        ar = jnp.arange(M, dtype=jnp.int32)
+        # floor(ar * K / M) without int32 overflow (K can be millions)
+        strided = ar * (K // M) + (ar * (K % M)) // M
+        sel = sel[jnp.where(K > M, strided, ar)]
         p, q, thr, cvalid = p[sel], q[sel], thr[sel], cvalid[sel]
     if cfg.degree_top and cfg.degree_top < p.shape[0] <= 8192:
         # (the shape bound keeps the [M, M] consistency matrix to compacted
@@ -577,23 +598,20 @@ def register_pair_staged(
         normals within 0.04 rad of gravity — on flat ground that is MOST
         keypoints, so the fallback frames are computed unconditionally and
         blended on device (no host sync)."""
-        from lidar_global_registration_tpu.ops import grid as gridmod
         from lidar_global_registration_tpu.ops import lrf as lrfmod
         from lidar_global_registration_tpu.ops.shot import shot as shot_full
 
         frames = None
+        needs_fb = None
         if cfg.lrf == "gravity":
             frames, needs_fb = lrfmod.gravity_lrf(kp_normal)
-            g = gridmod.build_grid(kp_xyz, kpv, feature_radius, cell_cap=32)
-            idx, _d, mask = gridmod.radius_neighbors(
-                g, kp_xyz, kpv, feature_radius, k=64, cap=32,
-            )
-            fb, _ok = lrfmod.shot_lrf(kp_xyz, feature_radius, kp_xyz, idx, mask)
-            frames = jnp.where(needs_fb[:, None, None], fb, frames)
+        # degenerate gravity frames fall back to the SHOT-LRF computed over
+        # the FULL surface support, reusing shot()'s own neighbor query
+        # (keypoint-only support gave sparse, unstable fallback frames)
         return shot_full(
             kp_xyz, kpv, surf_xyz, surf_normal, surf_valid, feature_radius,
-            frames=frames, k_neighbors=cfg.shot_k, cap=cfg.shot_cap,
-            chunk=cfg.query_chunk,
+            frames=frames, fallback_mask=needs_fb, k_neighbors=cfg.shot_k,
+            cap=cfg.shot_cap, chunk=cfg.query_chunk,
         )
 
     def _fpfh_stage(xyz, normal, valid, kp_mask, vp):

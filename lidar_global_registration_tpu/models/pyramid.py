@@ -59,7 +59,8 @@ from lidar_global_registration_tpu.types import (
 # ---------------------------------------------------------------------------
 # Descriptor dispatch
 # ---------------------------------------------------------------------------
-def _estimate_frames(params: AlignmentParameters, kps: Cloud, radius):
+def _estimate_frames(params: AlignmentParameters, kps: Cloud, surface: Cloud,
+                     radius):
     """estimateReferenceFrames (common.cpp:693-755) -> f32[M,3,3] or None."""
     from lidar_global_registration_tpu.ops import lrf as lrfmod
 
@@ -73,11 +74,17 @@ def _estimate_frames(params: AlignmentParameters, kps: Cloud, radius):
         frames, needs_fb = lrfmod.gravity_lrf(kps.normal)
         needs_fb = np.asarray(needs_fb) & np.asarray(kps.valid)
         if needs_fb.any():
-            g = gridmod.build_grid(kps.xyz, kps.valid, radius, cell_cap=32)
+            # fallback SHOT-LRF over the FULL surface support, like the
+            # reference's lrf_estimator->setSearchSurface(surface)
+            # (common.cpp:737-747) — keypoint-only support gives sparse,
+            # unstable frames exactly where gravity already failed
+            g = gridmod.build_grid(surface.xyz, surface.valid, radius,
+                                   cell_cap=64)
             idx, _d, mask = gridmod.radius_neighbors(
-                g, kps.xyz, kps.valid, radius, k=64, cap=32
+                g, kps.xyz, kps.valid, radius, k=128, cap=64
             )
-            fb_frames, _ok = lrfmod.shot_lrf(kps.xyz, radius, kps.xyz, idx, mask)
+            fb_frames, _ok = lrfmod.shot_lrf(kps.xyz, radius, surface.xyz,
+                                             idx, mask)
             frames = jnp.where(jnp.asarray(needs_fb)[:, None, None], fb_frames, frames)
         return frames
     return None  # default LRF: descriptor's own
@@ -92,7 +99,7 @@ def compute_descriptors(
     """estimateFeatures<FeatureT> dispatch (common.h:312-415).
 
     Returns (features f32[M,D], valid bool[M])."""
-    frames = _estimate_frames(params, kps, radius)
+    frames = _estimate_frames(params, kps, surface, radius)
     did = params.descriptor_id
     if did == DESCRIPTOR_FPFH:
         from lidar_global_registration_tpu.ops.fpfh import fpfh

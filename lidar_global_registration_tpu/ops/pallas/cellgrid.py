@@ -290,13 +290,28 @@ def _sort_stats(xyz, normal, valid, cell, m, auto_m: bool = False):
     prev_occ = jnp.concatenate([jnp.zeros((1,), jnp.int32), occ[:-1]])
     next_k = jnp.concatenate([ks[1:], jnp.full((1,), _BIG_KEY)])
     next_occ = jnp.concatenate([occ[1:], jnp.zeros((1,), jnp.int32)])
-    a_first = occ + jnp.where((kz > 0) & (prev_k == ks - 1), prev_occ, 0)
-    a_prop = jax.lax.associative_scan(jnp.maximum, jnp.where(first, a_first, -1))
-    b_last = jnp.where((kz < clip_z) & (next_k == ks + 1), next_occ, 0)
-    b_prop = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(last, b_last, -1), reverse=True
-    )
-    colocc = jnp.where(vs, a_prop + b_prop, 0)
+    def _run_prop(flag, val):
+        # propagate val from flagged rows forward across each run: a
+        # select-by-latest-flagged-index scan (a bare max-scan would leak
+        # the global max across runs since val is not monotone)
+        tag = jnp.where(flag, idx, -1)
+
+        def pick(a, b):
+            ia, va = a
+            ib, vb = b
+            t = ib >= ia
+            return jnp.where(t, ib, ia), jnp.where(t, vb, va)
+
+        _, out = jax.lax.associative_scan(
+            pick, (tag, jnp.where(flag, val, 0))
+        )
+        return out
+
+    a_contrib = jnp.where((kz > 0) & (prev_k == ks - 1), prev_occ, 0)
+    a_prop = _run_prop(first, a_contrib)
+    b_contrib = jnp.where((kz < clip_z) & (next_k == ks + 1), next_occ, 0)
+    b_prop = _run_prop(last[::-1], b_contrib[::-1])[::-1]
+    colocc = jnp.where(vs, occ + a_prop + b_prop, 0)
     # gap-centered windows: a query in cell z references column (x', y')
     # whose z and z-1 may be empty while z-2/z+1 are not; the widest such
     # window is occ(r) + occ(next) when the next run is exactly 2 z-cells up
@@ -574,7 +589,7 @@ def _row_stencil_any(state, row_key, row_key_hi, flags_sorted, s: int,
 
 
 def _build_tab(state, C: int, SEG: int, R_pad: int, need_sorted=None,
-               flag_stencil=None, packed: bool = False):
+               flag_stencil=None, packed: bool = False, layout=None):
     """Per-QUERY-BLOCK 9-column span table + packed [N + 2*SEG, 128] lanes.
 
     A cell with more than C points occupies ceil(occ/C) consecutive table
@@ -596,9 +611,9 @@ def _build_tab(state, C: int, SEG: int, R_pad: int, need_sorted=None,
     N = ks.shape[0]
     bx, by, bz = bits_arr[0], bits_arr[1], bits_arr[2]
     n_valid = jnp.sum(vs.astype(jnp.int32))
-    prow, posb, n_blocks, row_start, row_len, row_key, row_key_hi = (
-        _block_layout(state, C, R_pad, packed)
-    )
+    if layout is None:
+        layout = _block_layout(state, C, R_pad, packed)
+    prow, posb, n_blocks, row_start, row_len, row_key, row_key_hi = layout
     rows = jnp.arange(R_pad, dtype=jnp.int32)
 
     run = rows < n_blocks
@@ -724,14 +739,16 @@ def _build_tab(state, C: int, SEG: int, R_pad: int, need_sorted=None,
 
 
 def _retab(tab, state, C: int, R_pad: int, need_sorted=None,
-           flag_stencil=None, packed: bool = False):
+           flag_stencil=None, packed: bool = False, layout=None):
     """Re-derive ONLY the lane-34 compute flags of an existing span table
     for a different query mask (the spans themselves are mask-invariant).
     Saves rebuilding the searchsorted column spans between the SPFH and
-    combine passes."""
-    prow, posb, n_blocks, row_start, row_len, row_key, row_key_hi = (
-        _block_layout(state, C, R_pad, packed)
-    )
+    combine passes.  Pass `layout` (the _block_layout tuple the caller
+    already has) to skip recomputing its full-length scans/searches —
+    several whole-N device passes each at 10M points."""
+    if layout is None:
+        layout = _block_layout(state, C, R_pad, packed)
+    prow, posb, n_blocks, row_start, row_len, row_key, row_key_hi = layout
     (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
     rows = jnp.arange(R_pad, dtype=jnp.int32)
     run = rows < n_blocks
@@ -764,15 +781,6 @@ def _build_packed(state, C: int, SEG: int):
         [packed, jnp.full((SEG + max(C, SEG), 128), jnp.float32(PAD))], axis=0
     )
     return packed
-
-
-def _build_tables(state, C: int, SEG: int, R_pad: int, need_sorted=None,
-                  flag_stencil=None, packed: bool = False):
-    tab, n_blocks, prow, posb = _build_tab(
-        state, C, SEG, R_pad, need_sorted, flag_stencil, packed
-    )
-    packed = _build_packed(state, C, SEG)
-    return packed, tab, n_blocks, prow, posb
 
 
 def _inverse_perm(order):
@@ -1467,8 +1475,10 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
     and one device program for the whole side stage."""
     (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
     N = ks.shape[0]
-    packed, tab, n_rows, prow, posb = _build_tables(state, C, SEG, R_pad,
-                                                    packed=packed_rows)
+    layout = _block_layout(state, C, R_pad, packed_rows)
+    tab, n_rows, prow, posb = _build_tab(state, C, SEG, R_pad,
+                                         packed=packed_rows, layout=layout)
+    packed = _build_packed(state, C, SEG)
     nrows_f = jnp.minimum(n_rows, R_pad).astype(jnp.float32)
     inv = _inverse_perm(order)
     out = {}
@@ -1494,7 +1504,7 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
         # NMS only decides rows that passed the eigen gates (is_kp needs
         # q_ok); blocks without a single survivor skip entirely
         tab_nms = _retab(tab, state, C, R_pad, need_sorted=(ok_sorted > 0.5),
-                         packed=packed_rows)
+                         packed=packed_rows, layout=layout)
         o3 = _run_pass(_iss_nms_cell, meta, tab_nms, packed, R_pad, C, SEG, 8,
                        interpret)
         kp_sorted, _ = _slot_gather(o3[:, :, 0], prow, posb, vs, R_pad, C)
@@ -1518,7 +1528,7 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
             # marks points whose normals/density any later stage reads)
             tab_s = _retab(tab, state, C, R_pad,
                            need_sorted=surface_need[order],
-                           packed=packed_rows)
+                           packed=packed_rows, layout=layout)
         meta = jnp.stack([normal_r2, nrows_f, jnp.float32(0), jnp.float32(0),
                           jnp.float32(0)])
         srf = _run_pass(_surface_cell, meta, tab_s, packed, R_pad, C, SEG,
@@ -1569,8 +1579,9 @@ def _fpfh_impl(state, r2, C, SEG, R_pad, interpret, kp=None,
     (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
     N = ks.shape[0]
     packed = _build_packed(state, C, SEG)
+    layout = _block_layout(state, C, R_pad, packed_rows)
     tab, n_rows, prow, posb = _build_tab(state, C, SEG, R_pad,
-                                         packed=packed_rows)
+                                         packed=packed_rows, layout=layout)
     nrows_f = jnp.minimum(n_rows, R_pad).astype(jnp.float32)
     # grid-independent centering anchor for the pair features: AABB center
     # (min/max are order-independent, so every plan of this cloud agrees)
@@ -1585,9 +1596,9 @@ def _fpfh_impl(state, r2, C, SEG, R_pad, interpret, kp=None,
     if kp is not None:
         kp_sorted = kp[order] & vs
         tab_spfh = _retab(tab, state, C, R_pad, flag_stencil=(kp_sorted, 1),
-                          packed=packed_rows)
+                          packed=packed_rows, layout=layout)
         tab_comb = _retab(tab, state, C, R_pad, need_sorted=kp_sorted,
-                          packed=packed_rows)
+                          packed=packed_rows, layout=layout)
     spfh = _run_pass(
         _spfh_cell, meta, tab_spfh, packed, R_pad, C, SEG, DIM + 1, interpret,
         extra_scratch=(pltpu.VMEM((DIM + 1, C), jnp.float32),),

@@ -206,11 +206,16 @@ def shot(
     chunk: int | None = None,
     approx: bool | None = None,
     use_scatter: bool | None = None,
+    fallback_mask=None,
 ):
     """Full SHOT pipeline: neighbors + (optional external) LRFs + histogram.
 
     frames: optional f32[M,3,3] precomputed LRFs (gravity / gt modes,
-    common.h:394-415 setInputReferenceFrames); default = SHOT LRF."""
+    common.h:394-415 setInputReferenceFrames); default = SHOT LRF.
+    fallback_mask: optional bool[M] — rows where the precomputed frame is
+    degenerate (e.g. gravity parallel to the normal) take the SHOT-LRF
+    computed over the FULL surface support instead, reusing this call's
+    own neighbor query (shot_lrf.hpp fallback semantics)."""
     if approx is None:
         approx = gridmod.approx_topk_default()
     if use_scatter is None:
@@ -221,6 +226,11 @@ def shot(
     )
     if frames is None:
         frames, frames_ok = lrfmod.shot_lrf(kp_xyz, radius, surface_xyz, idx, mask)
+    elif fallback_mask is not None:
+        fb, fb_ok = lrfmod.shot_lrf(kp_xyz, radius, surface_xyz, idx, mask)
+        frames = jnp.where(fallback_mask[:, None, None], fb,
+                           jnp.asarray(frames))
+        frames_ok = jnp.where(fallback_mask, fb_ok, True)
     else:
         frames_ok = jnp.ones((kp_xyz.shape[0],), bool)
     desc, ok = shot_from_neighbors(

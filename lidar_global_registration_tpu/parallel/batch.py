@@ -90,8 +90,6 @@ def _pair_step_tp(src_xyz, src_valid, tgt_xyz, tgt_valid, key, scalars, cfg):
         g = jax.lax.all_gather(x_l, "tp")  # [tp, shard, ...]
         return g.reshape((N,) + x_l.shape[1:])
 
-    big = jnp.float32(3.0e38)
-
     def side(xyz, valid, iss_radius):
         xyz_l, valid_l = shard_rows(xyz), shard_rows(valid)
         qidx_l = ti * shard + jnp.arange(shard, dtype=jnp.int32)
@@ -103,15 +101,10 @@ def _pair_step_tp(src_xyz, src_valid, tgt_xyz, tgt_valid, key, scalars, cfg):
         normal_l, _c, _o = normals_from_neighbors(xyz_l, xyz, idx, mask)
         normal = gather_rows(normal_l)
         # k=2 smoothed density (common.cpp:531-547): the smoothing neighbor
-        # may live on another peer's row shard -> gather the raw distances
-        dmat = jnp.where(mask & (dist > 1e-12), dist, big)
-        a = jnp.argmin(dmat, axis=1)
-        d_raw_l = jnp.take_along_axis(dmat, a[:, None], axis=1)[:, 0]
-        nn_l = jnp.take_along_axis(idx, a[:, None], axis=1)[:, 0]
-        d_raw = gather_rows(d_raw_l)
-        d_nn = d_raw[nn_l]
-        out_l = jnp.minimum(d_raw_l, jnp.where(d_nn < big, d_nn, d_raw_l))
-        density_l = jnp.where(valid_l & (out_l < big), out_l, 0.0)
+        # may live on another peer's row shard -> the shared helper gathers
+        # the raw distances across peers
+        density_l = fs._density_from_knn(idx, dist, mask, valid_l,
+                                         gather_rows=gather_rows)
         density = gather_rows(density_l)
         if cfg.use_iss:
             gi = gridmod.build_grid(xyz, valid, iss_radius, cell_cap=cfg.neighbor_cap)

@@ -107,3 +107,59 @@ def test_thin_fraction_matches_oracle(rng):
     got = float(cg._thin_fraction(jnp.asarray(keys), bz))
     np.testing.assert_allclose(got, oracle, atol=1e-6)
     assert 0.8 < oracle < 1.0  # the fixture actually mixes both regimes
+
+
+def test_column_occupancy_matches_bruteforce(rng):
+    """colmax / colq50 (3-cell z-union occupancy) vs a numpy oracle.
+
+    Regression: the per-run propagation of the z-neighbor occupancies used
+    a bare max-scan, which leaks the global maximum across runs — a cloud
+    with one dense column inflated every later column's stat, and SEG was
+    then sized for the inflated median (wasted masked compute on every
+    small candidate column)."""
+    # one dense wall column + sparse terrain
+    n_t, n_w = 4000, 900
+    xy = rng.uniform(0, 12.0, (n_t, 2))
+    zt = 0.1 * rng.normal(size=n_t)
+    wall = np.column_stack([
+        6.0 + 0.2 * rng.uniform(size=n_w),
+        6.0 + 0.2 * rng.uniform(size=n_w),
+        rng.uniform(0, 12.0, n_w),
+    ])
+    xyz_np = np.concatenate(
+        [np.column_stack([xy, zt]), wall]
+    ).astype(np.float32)
+    cell = 0.5
+    state, stats = cg._stats_device(
+        jnp.asarray(xyz_np), jnp.zeros((len(xyz_np), 3), jnp.float32),
+        jnp.ones((len(xyz_np),), bool), cell, exact=True)
+    st = np.asarray(stats)
+
+    lo = xyz_np.min(axis=0)
+    origin = lo - 0.5 * cell
+    ids = np.floor((xyz_np - origin) / cell).astype(np.int64)
+    key = (ids[:, 0] << 40) | (ids[:, 1] << 20) | ids[:, 2]
+    uniq, counts = np.unique(key, return_counts=True)
+    occ_of = dict(zip(uniq.tolist(), counts.tolist()))
+    zmax = int(ids[:, 2].max())
+    colocc = np.array([
+        occ_of[k]
+        + (occ_of.get(k - 1, 0) if (k & 0xFFFFF) > 0 else 0)
+        + (occ_of.get(k + 1, 0) if (k & 0xFFFFF) < zmax else 0)
+        for k in key
+    ])
+    # the stat also covers gap-centered windows: occ(z) + occ(z+2) when
+    # z+1 is empty (a query at z may reference that union)
+    gap = max(
+        (occ_of[k] + occ_of[k + 2]
+         for k in uniq.tolist()
+         if (k & 0xFFFFF) + 2 <= zmax and (k + 1) not in occ_of
+         and (k + 2) in occ_of),
+        default=0,
+    )
+    want = max(int(colocc.max()), gap)
+    assert int(st[cg._ST_COLMAX]) == want, (int(st[cg._ST_COLMAX]), want)
+    # the sampled median must be in the right regime (terrain-sized, not
+    # wall-sized): the pre-fix build reported the wall's occupancy here
+    assert int(st[cg._ST_COLQ50]) <= int(np.percentile(colocc, 75)), (
+        int(st[cg._ST_COLQ50]), int(np.percentile(colocc, 75)))
