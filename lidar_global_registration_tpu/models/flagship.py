@@ -19,6 +19,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lidar_global_registration_tpu.ops.metrics import (
     estimate_max_iterations,
@@ -217,7 +218,7 @@ def ransac_solve(p, q, thr, cvalid, key, cfg: FlagshipConfig):
         qc = (q - jnp.sum(q * pv[:, None], axis=0) / nv) * pv[:, None]
 
         def _pdist(a):
-            g = a @ a.T
+            g = jnp.matmul(a, a.T, precision=jax.lax.Precision.HIGH)
             n2 = jnp.diagonal(g)
             return jnp.sqrt(jnp.maximum(n2[:, None] + n2[None, :] - 2.0 * g, 0.0))
 
@@ -320,14 +321,16 @@ def ransac_solve(p, q, thr, cvalid, key, cfg: FlagshipConfig):
     )
 
     # final: rebuild inliers, Kabsch re-fit, convergence gates (sac:265-296)
-    tp = p @ best_R.T + best_t
+    tx, ty, tz = transform_points_soa(best_R[None], best_t[None], p)
+    tp = jnp.stack([tx[0], ty[0], tz[0]], axis=-1)
     d = jnp.sqrt(jnp.maximum(jnp.sum((tp - q) ** 2, axis=-1), 0.0))
     inl = (d < thr) & cvalid
     n_inl = jnp.sum(inl)
     w = inl.astype(jnp.float32)
     Rf, tf = kabsch(p[None], q[None], w[None])
     T = to_matrix4(Rf[0], tf[0])
-    tp2 = p @ Rf[0].T + tf[0]
+    t2x, t2y, t2z = transform_points_soa(Rf, tf, p)
+    tp2 = jnp.stack([t2x[0], t2y[0], t2z[0]], axis=-1)
     d2 = jnp.sqrt(jnp.maximum(jnp.sum((tp2 - q) ** 2, axis=-1), 0.0))
     inl2_mask = (d2 < thr) & cvalid
     inl2 = jnp.sum(inl2_mask)
@@ -607,11 +610,24 @@ def register_pair_staged(
             frames, needs_fb = lrfmod.gravity_lrf(kp_normal)
         # degenerate gravity frames fall back to the SHOT-LRF computed over
         # the FULL surface support, reusing shot()'s own neighbor query
-        # (keypoint-only support gave sparse, unstable fallback frames)
+        # (keypoint-only support gave sparse, unstable fallback frames).
+        # cell_cap must hold a feature-radius cell of the FULL surface:
+        # overflow drops points in CLOUD order — a spatially biased,
+        # side-asymmetric truncation (nearest-k truncation is fine).  The
+        # expected occupancy is (radius / spacing)^2 for a 2.5D scan.
+        cap = cfg.shot_cap
+        try:
+            spacing = max(float(density_cell_src), float(density_cell_tgt),
+                          1e-9)
+            occ = 4.0 * (float(feature_radius) / spacing) ** 2
+            cap = int(min(2048, max(cfg.shot_cap, 2 ** int(np.ceil(
+                np.log2(max(occ, 1.0)))))))
+        except (TypeError, jax.errors.TracerArrayConversionError):
+            pass  # traced radii: keep the static default
         return shot_full(
             kp_xyz, kpv, surf_xyz, surf_normal, surf_valid, feature_radius,
             frames=frames, fallback_mask=needs_fb, k_neighbors=cfg.shot_k,
-            cap=cfg.shot_cap, chunk=cfg.query_chunk,
+            cap=cap, chunk=cfg.query_chunk,
         )
 
     def _fpfh_stage(xyz, normal, valid, kp_mask, vp):

@@ -395,7 +395,7 @@ def align_gror(
     tb = t[best_e]
     rot = _axis_rotation(axis[best_e], jnp.float32(best_angle_v))
     # compose: translate to origin, rotate about axis, translate back
-    Rf = rot @ Rb
+    Rf = jnp.matmul(rot, Rb, precision=jax.lax.Precision.HIGHEST)
     tf = rot @ (tb - origin[best_e]) + origin[best_e]
 
     # 4. refine: inliers < 2*resolution over ALL input correspondences ->

@@ -264,7 +264,8 @@ def _closest_plane_refit(ctx: MetricContext, T, iterations: int = 3):
     for _ in range(iterations):
         R = Tcur[:3, :3]
         t = Tcur[:3, 3]
-        tp = ctx.sample_xyz @ R.T + t
+        tp = jnp.einsum("ij,nj->ni", R, ctx.sample_xyz,
+                        precision=jax.lax.Precision.HIGHEST) + t
         idx, dist, mask = gridmod.radius_neighbors(
             ctx.tgt_grid, tp, ctx.sample_valid, radius, k=1, cap=32
         )

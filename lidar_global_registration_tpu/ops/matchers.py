@@ -131,7 +131,8 @@ def match_local(
     around each transformed query from the train cloud, and ranks them by
     descriptor L2.  Returns (idx, dist, mask) like match_bf."""
     R, t = guess[:3, :3], guess[:3, 3]
-    tq = query_xyz @ R.T + t
+    tq = jnp.einsum("ij,nj->ni", R, query_xyz,
+                    precision=jax.lax.Precision.HIGHEST) + t
     g = gridmod.build_grid(train_xyz, tvalid, jnp.maximum(search_radius, 1e-12), cell_cap=cap)
     cidx, _cdist, cmask = gridmod.radius_neighbors(
         g, tq, qvalid, search_radius, k=cand, cap=cap

@@ -439,6 +439,14 @@ def _plan_from_stats(state, st):
         # packed candidate spans run ~C + 2 y-columns long; stream them
         # through the big window
         SEG = SEG_BUCKETS[-1] if C >= 256 else max(SEG, 256)
+    # Mosaic allocates the kernel body's [SEG, C] dataflow on the VMEM
+    # stack (~15 live f32 intermediates in the pair-feature chunk, ~55 B
+    # per element measured); SEG*C = 512k blew the 16 MiB scoped-vmem
+    # limit at 1M points (28.9 MiB).  Cap the product so the stack stays
+    # under ~8 MiB — SEG is a pure streaming-window knob, so shrinking it
+    # costs only DMA wait granularity, never correctness or coverage.
+    while SEG > SEG_BUCKETS[0] and SEG * C > 131072:
+        SEG //= 2
     # geometric R_pad ladder: each distinct R_pad is a fresh XLA+Mosaic
     # compile (~minutes over the remote-compile tunnel), so quantize the
     # grid length instead of rounding to the next multiple of G
@@ -799,10 +807,29 @@ def _slot_gather(out_ch, prow, posb, vs, R_pad, C):
     return vals_sorted, kept
 
 
+# Explicit MXU precisions: the runtime may lower DEFAULT-precision f32
+# dots to ONE bf16 pass (measured after a toolchain update:
+# --xla_allow_excess_precision=true made the eye-transpose lossy, maxerr
+# 6e-2 — every self-pair diff stopped being exactly 0 and ISS NMS
+# returned ZERO keypoints).  Identity transposes must be BIT-EXACT
+# (PREC_EXACT); moment/histogram accumulations need f32-grade accuracy
+# (PREC_ACC = 3-pass bf16, exact for 0/1 masks and block-scale values).
+PREC_EXACT = jax.lax.Precision.HIGHEST
+# Mosaic supports only DEFAULT/HIGHEST inside kernels (HIGH raises
+# NotImplementedError); the accumulation dots are tiny-K contractions far
+# off the critical path, so the 6-pass cost is invisible
+PREC_ACC = jax.lax.Precision.HIGHEST
+
+
 def _query_lanes(qblk, eye):
-    """[C, 128] own block (sublanes) -> [128, C] lane-major via one MXU op."""
+    """[C, 128] own block (sublanes) -> [128, C] lane-major via one MXU op.
+
+    BIT-EXACT required: these lanes are compared against the same values
+    read straight from the packed candidate rows (ISS NMS saliency, pair
+    self-exclusion by exact-zero diff)."""
     return jax.lax.dot_general(
-        qblk, eye, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        qblk, eye, (((0,), (0,)), ((), ())),
+        precision=PREC_EXACT, preferred_element_type=jnp.float32,
     )
 
 
@@ -905,6 +932,7 @@ def _make_blocked_kernel(cell_fn, n_out: int, C: int, SEG: int):
                 # transpose; one MXU op flips the block
                 out_ref[g] = jax.lax.dot_general(
                     eye, obuf[...], (((1,), (1,)), ((), ())),
+                    precision=PREC_EXACT,  # values re-enter packed lanes
                     preferred_element_type=jnp.float32,
                 )
 
@@ -1104,6 +1132,7 @@ def _surface_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
         ], axis=1)  # [SEG, 16]
         mom = mom + jax.lax.dot_general(
             F, okf, (((0,), (0,)), ((), ())),
+            precision=PREC_ACC,
             preferred_element_type=jnp.float32,
         )
         dpos = jnp.where(ok & (d2 > 1e-24), d2, BIG)
@@ -1158,6 +1187,7 @@ def _iss_count_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
         okf = ok.astype(jnp.float32)
         return s1 + jax.lax.dot_general(
             cvf, okf, (((0,), (0,)), ((), ())),
+            precision=PREC_ACC,
             preferred_element_type=jnp.float32,
         )
 
@@ -1198,6 +1228,7 @@ def _iss_saliency_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
         ], axis=1)  # [SEG, 16]
         return mom + jax.lax.dot_general(
             F, okf, (((0,), (0,)), ((), ())),
+            precision=PREC_ACC,
             preferred_element_type=jnp.float32,
         )
 
@@ -1304,6 +1335,7 @@ def _pair_feature_bins(qgeom, cc, bx, by, bz, r2):
     def mm(lhs, rhs):
         return jax.lax.dot_general(
             lhs, rhs, (((1,), (0,)), ((), ())),
+            precision=PREC_ACC,
             preferred_element_type=jnp.float32,
         )
 
@@ -1431,6 +1463,7 @@ def _combine_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
             cc[:, CH_EXTRA:CH_EXTRA + DIM],
             w,
             (((0,), (0,)), ((), ())),
+            precision=PREC_ACC,
             preferred_element_type=jnp.float32,
         )
         return 0

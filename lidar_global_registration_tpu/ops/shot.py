@@ -172,19 +172,26 @@ def shot_from_neighbors(kp_xyz, kp_frames, surface_xyz, surface_normal, idx, mas
             )
         desc = desc.reshape(M, DIM)
     else:
-        # scatter-free: per output slot d, sum the contributions whose
-        # target index equals d (5 masked [M,K] reductions per slot)
-        masked = [
-            (jnp.clip(ti, 0, DIM - 1), jnp.where(use, v, 0.0)) for ti, v in ways
-        ]
-        cols = []
-        for dslot in range(DIM):
-            acc = None
-            for ti, v in masked:
-                c = jnp.sum(jnp.where(ti == dslot, v, 0.0), axis=1)
-                acc = c if acc is None else acc + c
-            cols.append(acc)
-        desc = jnp.stack(cols, axis=1)
+        # scatter-free fused one-hot reduction: concatenate the 5 (index,
+        # value) contributions along K and reduce the virtual
+        # [M, 5K, 352] compare-select tensor in ONE fused pass (XLA keeps
+        # the broadcast in registers; the per-slot form emits 1760 separate
+        # masked reductions that each re-read the [M, K] operands).
+        idx_all = jnp.concatenate(
+            [jnp.clip(ti, 0, DIM - 1) for ti, _ in ways], axis=1
+        )  # [M, 5K]
+        val_all = jnp.concatenate(
+            [jnp.where(use, v, 0.0) for _, v in ways], axis=1
+        )
+        slots = jnp.arange(DIM, dtype=idx_all.dtype)
+        desc = jnp.sum(
+            jnp.where(
+                idx_all[:, :, None] == slots[None, None, :],
+                val_all[:, :, None],
+                0.0,
+            ),
+            axis=1,
+        )
 
     n_nb = jnp.sum(mask & (dist > 1e-12), axis=1)
     ok = n_nb >= MIN_NEIGHBORS

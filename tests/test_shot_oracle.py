@@ -180,3 +180,32 @@ def test_shot_oracle_few_neighbors_invalid(rng):
     )
     assert not bool(np.asarray(ok)[0])
     assert np.all(np.asarray(desc)[0] == 0)
+
+
+def test_shot_fused_onehot_matches_scatter(rng):
+    """The TPU lowering (fused one-hot reduction, use_scatter=False) and the
+    CPU lowering (segment-sum scatter) are the same math; they must agree to
+    float32 round-off on identical inputs."""
+    M, K = 16, 64
+    radius = 0.8
+    centers = rng.uniform(-2, 2, size=(M, 3)).astype(np.float32)
+    frames = np.stack([_random_frame(rng) for _ in range(M)])
+    dirs = rng.normal(size=(M, K, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    radii = radius * rng.uniform(0.05, 0.999, size=(M, K, 1)) ** (1 / 3)
+    nbr = (centers[:, None, :] + dirs * radii).astype(np.float32)
+    nrm = rng.normal(size=(M, K, 3))
+    nrm = (nrm / np.linalg.norm(nrm, axis=-1, keepdims=True)).astype(np.float32)
+    idx = np.arange(M * K, dtype=np.int32).reshape(M, K)
+    mask = rng.uniform(size=(M, K)) > 0.1
+    args = (
+        jnp.asarray(centers), jnp.asarray(frames),
+        jnp.asarray(nbr.reshape(M * K, 3)), jnp.asarray(nrm.reshape(M * K, 3)),
+        jnp.asarray(idx), jnp.asarray(mask), jnp.float32(radius),
+    )
+    d_scatter, ok_s = shot_from_neighbors(*args, use_scatter=True)
+    d_fused, ok_f = shot_from_neighbors(*args, use_scatter=False)
+    np.testing.assert_array_equal(np.asarray(ok_s), np.asarray(ok_f))
+    np.testing.assert_allclose(
+        np.asarray(d_fused), np.asarray(d_scatter), atol=1e-6
+    )
