@@ -412,6 +412,11 @@ def _plan_from_stats(state, st):
     colq50 = int(st[_ST_COLQ50])
     if bits > 30:
         raise ValueError(f"grid needs {bits} key bits (> 30); XLA fallback")
+    N = state[0].shape[0]
+    if N >= 1 << 24:
+        # point ids ride f32 packed lanes (order / NN-id channels), exact
+        # only below 2^24 — fail loudly instead of corrupting neighbor ids
+        raise ValueError(f"N={N} >= 2^24: f32 id lanes inexact; XLA fallback")
     over = st[_ST_OVER:_ST_OVER + len(C_BUCKETS)]
     blocks = st[_ST_BLOCKS:_ST_BLOCKS + len(C_BUCKETS)]
     packed = int(st[_ST_PACK]) > 0  # thin-column (2.5D scan) grids pack rows
@@ -979,6 +984,12 @@ def _run_pass(cell_fn, meta, tab, packed, R_pad, C, SEG, n_out, interpret,
         out_shape=jax.ShapeDtypeStruct((R_pad, C, n_out), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
+        # the packed-row layout (C=512) needs ~29 MB of scoped VMEM for the
+        # double-buffered out blocks + stream scratch; the Mosaic default
+        # (16 MB) is conservative vs the 128 MB physical VMEM on v5e
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(meta, tab, packed)
 
 
