@@ -29,7 +29,7 @@ ROWS = {
     "iss4m": ({"LGR_BENCH_N": "4194304", "LGR_BENCH_REPEATS": "3",
                "LGR_BENCH_ISS": "1"}, 7200),
     "iss10m": ({"LGR_BENCH_N": "10485760", "LGR_BENCH_REPEATS": "2",
-                "LGR_BENCH_ISS": "1"}, 10800),
+                "LGR_BENCH_ISS": "1"}, 18000),
     "shot256k": ({"LGR_BENCH_N": "262144", "LGR_BENCH_REPEATS": "3",
                   "LGR_BENCH_ISS": "1", "LGR_BENCH_DESC": "shot"}, 5400),
     "shot1m": ({"LGR_BENCH_N": "1048576", "LGR_BENCH_REPEATS": "3",
