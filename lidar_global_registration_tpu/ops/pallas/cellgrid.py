@@ -168,6 +168,20 @@ _ST_PBLOCKS = _ST_NSLABS + 1  # len(C_BUCKETS): packed-row block counts
 _ST_LEN = _ST_PBLOCKS + len(C_BUCKETS)
 
 
+def _run_fill_fwd(flag, val, fill):
+    """out[i] = val[j] for the LATEST j <= i with flag[j], else fill.
+
+    Semantically the pair-carry associative max-scan, but built from the
+    cummax primitive + ONE gather: jax.lax.associative_scan's recursive
+    slice/concat tree makes XLA compile time blow up superlinearly in N
+    (measured: 56 s per scan at N=1M on CPU, the dominant share of the
+    20-minute-per-program TPU compiles at 4M), while cummax lowers to a
+    single reduce-window op and compiles in seconds at any N."""
+    idx = jnp.arange(flag.shape[0], dtype=jnp.int32)
+    f = jax.lax.cummax(jnp.where(flag, idx, -1), axis=0)
+    return jnp.where(f >= 0, val[jnp.maximum(f, 0)], fill)
+
+
 def _thin_fraction(ks, bz):
     """Fraction of valid points within 4 z-cells of their xy-column's
     first occupied z-cell, from keys sorted ascending.
@@ -188,15 +202,7 @@ def _thin_fraction(ks, bz):
         [jnp.ones((1,), bool), kxy[1:] != kxy[:-1]]
     )
 
-    def pick(a, b):  # select-by-latest-column-start (associative)
-        ia, za = a
-        ib, zb = b
-        take_b = ib >= ia
-        return jnp.where(take_b, ib, ia), jnp.where(take_b, zb, za)
-
-    _, kz0 = jax.lax.associative_scan(
-        pick, (jnp.where(cfirst, idx, -1), jnp.where(cfirst, kz, 0))
-    )
+    kz0 = _run_fill_fwd(cfirst, kz, 0)  # z of the latest column start
     thin_pt = vs & (kz - kz0 <= 3)
     return jnp.sum(thin_pt.astype(jnp.float32)) / n_valid.astype(jnp.float32)
 
@@ -233,10 +239,10 @@ def _sort_stats(xyz, normal, valid, cell, m, auto_m: bool = False):
         fn_valid = jnp.sum(fvs.astype(jnp.int32))
         fidx = jnp.arange(Nf, dtype=jnp.int32)
         ffirst = fvs & jnp.concatenate([jnp.ones((1,), bool), fs[1:] != fs[:-1]])
-        frs = jax.lax.associative_scan(jnp.maximum, jnp.where(ffirst, fidx, -1))
+        frs = jax.lax.cummax(jnp.where(ffirst, fidx, -1), axis=0)
         flast = fvs & jnp.concatenate([fs[1:] != fs[:-1], jnp.ones((1,), bool)])
-        fre = jax.lax.associative_scan(
-            jnp.minimum, jnp.where(flast, fidx, jnp.int32(2**30)), reverse=True
+        fre = jax.lax.cummin(
+            jnp.where(flast, fidx, jnp.int32(2**30)), axis=0, reverse=True
         )
         focc = jnp.where(fvs, fre - frs + 1, 0)
         fsamp = (
@@ -270,11 +276,11 @@ def _sort_stats(xyz, normal, valid, cell, m, auto_m: bool = False):
     first = vs & jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
     rank = jnp.cumsum(first.astype(jnp.int32)) - 1
     n_rows = jnp.maximum(rank[-1] + 1, 0)
-    run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, -1))
+    run_start = jax.lax.cummax(jnp.where(first, idx, -1), axis=0)
     pos = idx - run_start
     last = vs & jnp.concatenate([ks[1:] != ks[:-1], jnp.ones((1,), bool)])
-    run_end = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(last, idx, jnp.int32(2**30)), reverse=True
+    run_end = jax.lax.cummin(
+        jnp.where(last, idx, jnp.int32(2**30)), axis=0, reverse=True
     )
     occ = jnp.where(vs, run_end - run_start + 1, 0)
     maxocc = jnp.max(occ)
@@ -290,27 +296,13 @@ def _sort_stats(xyz, normal, valid, cell, m, auto_m: bool = False):
     prev_occ = jnp.concatenate([jnp.zeros((1,), jnp.int32), occ[:-1]])
     next_k = jnp.concatenate([ks[1:], jnp.full((1,), _BIG_KEY)])
     next_occ = jnp.concatenate([occ[1:], jnp.zeros((1,), jnp.int32)])
-    def _run_prop(flag, val):
-        # propagate val from flagged rows forward across each run: a
-        # select-by-latest-flagged-index scan (a bare max-scan would leak
-        # the global max across runs since val is not monotone)
-        tag = jnp.where(flag, idx, -1)
-
-        def pick(a, b):
-            ia, va = a
-            ib, vb = b
-            t = ib >= ia
-            return jnp.where(t, ib, ia), jnp.where(t, vb, va)
-
-        _, out = jax.lax.associative_scan(
-            pick, (tag, jnp.where(flag, val, 0))
-        )
-        return out
-
+    # propagate val from flagged rows forward across each run: select-by-
+    # latest-flagged-index (a bare max-scan would leak the global max
+    # across runs since val is not monotone) — cummax + gather
     a_contrib = jnp.where((kz > 0) & (prev_k == ks - 1), prev_occ, 0)
-    a_prop = _run_prop(first, a_contrib)
+    a_prop = _run_fill_fwd(first, a_contrib, 0)
     b_contrib = jnp.where((kz < clip_z) & (next_k == ks + 1), next_occ, 0)
-    b_prop = _run_prop(last[::-1], b_contrib[::-1])[::-1]
+    b_prop = _run_fill_fwd(last[::-1], b_contrib[::-1], 0)[::-1]
     colocc = jnp.where(vs, occ + a_prop + b_prop, 0)
     # gap-centered windows: a query in cell z references column (x', y')
     # whose z and z-1 may be empty while z-2/z+1 are not; the widest such
@@ -333,9 +325,7 @@ def _sort_stats(xyz, normal, valid, cell, m, auto_m: bool = False):
     slab_first = vs & jnp.concatenate(
         [jnp.ones((1,), bool), kxs[1:] != kxs[:-1]]
     )
-    slab_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(slab_first, idx, -1)
-    )
+    slab_start = jax.lax.cummax(jnp.where(slab_first, idx, -1), axis=0)
     pos_slab = idx - slab_start
     n_slabs = jnp.sum(slab_first.astype(jnp.int32))
     pblocks_c = [
@@ -518,9 +508,7 @@ def _block_layout(state, C: int, R_pad: int, packed: bool = False):
         slab_first = vs & jnp.concatenate(
             [jnp.ones((1,), bool), kxs[1:] != kxs[:-1]]
         )
-        slab_start = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(slab_first, idx, -1)
-        )
+        slab_start = jax.lax.cummax(jnp.where(slab_first, idx, -1), axis=0)
         pos_slab = idx - slab_start
         bfirst = vs & (slab_first | (pos_slab % C == 0))
         posb = pos_slab % C
