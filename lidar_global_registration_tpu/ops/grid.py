@@ -245,7 +245,11 @@ def radius_neighbors(
     # budget.  Chunks are an UNROLLED traced loop: lax.map serializes and
     # defeats fusion (measured 400x slower than inline at 64k queries).
     if chunk is None:
-        budget_slots = 300_000_000  # ~1.2GB f32 per live candidate array
+        # a live candidate slot costs ~16 B of transients at once (3 f32
+        # coordinate views + the distance matrix + top-k sort copies), so
+        # 64M slots ~ 1 GB peak per chunk; 300M slots OOMed a 16 GB v5e at
+        # 10M queries during the bench's density derivation
+        budget_slots = 64_000_000
         slots = M * 27 * cap
         if slots > budget_slots:
             n_chunks = -(-slots // budget_slots)
