@@ -800,6 +800,35 @@ def _slot_gather(out_ch, prow, posb, vs, R_pad, C):
     return vals_sorted, kept
 
 
+_FAST_PASS_GIB = float(os.environ.get("LGR_PASS_FAST_GIB", "4.0"))
+
+
+def _tposed_out(R_pad: int, C: int) -> bool:
+    """True when a pass must emit [R_pad, n_out, C] instead of the fast
+    [R_pad, C, n_out] layout.
+
+    TPU tiling T(8,128) pads the minor dim to 128 lanes, so the fast
+    layout physically costs R_pad*C*512 B regardless of n_out — 16x for
+    the 8-channel side passes; at 10M points the unpacked side pass hit a
+    21.5 GiB single allocation on a 16 GiB v5e.  The transposed layout is
+    padding-free but its consumers pay one element gather per channel
+    (measured 244 ms vs 62 ms for 10 channels of 1M rows), so it engages
+    only when the padded buffer would not fit comfortably."""
+    return R_pad * C * 512 > _FAST_PASS_GIB * 2**30
+
+
+def _rows_at_slots(o, k, slot, kept, tposed):
+    """[len(slot), k] rows of the first k output channels, either layout."""
+    if tposed:
+        cols = [
+            jnp.where(kept, o[:, ch, :].reshape(-1)[slot], 0.0)
+            for ch in range(k)
+        ]
+        return jnp.stack(cols, axis=1)
+    flat = o[:, :, :k].reshape(o.shape[0] * o.shape[1], k)
+    return jnp.where(kept[:, None], flat[slot], 0.0)
+
+
 # Explicit MXU precisions: the runtime may lower DEFAULT-precision f32
 # dots to ONE bf16 pass (measured after a toolchain update:
 # --xla_allow_excess_precision=true made the eye-transpose lossy, maxerr
@@ -871,12 +900,15 @@ def _make_stream_fold(tab_ref, g, packed_ref, segbuf, segsems, SEG):
     return fold
 
 
-def _make_blocked_kernel(cell_fn, n_out: int, C: int, SEG: int):
+def _make_blocked_kernel(cell_fn, n_out: int, C: int, SEG: int,
+                         tposed: bool = False):
     """Wrap a per-query-block compute into the G-blocked driver.
 
     cell_fn(meta_ref, tab_ref, g, fold, qrow, out_g, scratch) writes
     out_g [n_out, C]; qrow is the lane-major [128, C] own block; fold
-    streams the candidate columns."""
+    streams the candidate columns.  tposed: emit the channel-major
+    [n_out, C] block as-is (memory-constrained layout, see _tposed_out)
+    instead of MXU-flipping it to point-major [C, n_out]."""
 
     def kernel(meta_ref, tab_ref, packed_ref, out_ref, segbuf, qblk, *rest):
         segsems, qsem = rest[-3], rest[-2]
@@ -920,18 +952,22 @@ def _make_blocked_kernel(cell_fn, n_out: int, C: int, SEG: int):
                 fold = _make_stream_fold(tab_ref, g, packed_ref, segbuf,
                                          segsems, SEG)
                 cell_fn(meta_ref, tab_ref, g, fold, qrow, obuf, scratch)
-                # out rides [C, n_out] (point-major) so the XLA scatter-back
-                # is a plain reshape + row gather, no [R_pad, n_out, C]
-                # transpose; one MXU op flips the block
-                out_ref[g] = jax.lax.dot_general(
-                    eye, obuf[...], (((1,), (1,)), ((), ())),
-                    precision=PREC_EXACT,  # values re-enter packed lanes
-                    preferred_element_type=jnp.float32,
-                )
+                if tposed:
+                    out_ref[g] = obuf[...]
+                else:
+                    # out rides [C, n_out] (point-major) so the XLA
+                    # scatter-back is a plain reshape + row gather, no
+                    # [R_pad, n_out, C] transpose; one MXU op flips the block
+                    out_ref[g] = jax.lax.dot_general(
+                        eye, obuf[...], (((1,), (1,)), ((), ())),
+                        precision=PREC_EXACT,  # values re-enter packed lanes
+                        preferred_element_type=jnp.float32,
+                    )
 
             @pl.when(jnp.logical_not(live(g)))
             def _():
-                out_ref[g] = jnp.zeros((C, n_out), jnp.float32)
+                shape = (n_out, C) if tposed else (C, n_out)
+                out_ref[g] = jnp.zeros(shape, jnp.float32)
 
             return 0
 
@@ -941,10 +977,11 @@ def _make_blocked_kernel(cell_fn, n_out: int, C: int, SEG: int):
 
 
 def _run_pass(cell_fn, meta, tab, packed, R_pad, C, SEG, n_out, interpret,
-              extra_scratch=()):
+              extra_scratch=(), tposed=False):
     # sub-ref slicing (out_ref.at[g]) requires the sublane dim 8-aligned
     n_out = _round_up(n_out, 8)
-    kernel = _make_blocked_kernel(cell_fn, n_out, C, SEG)
+    kernel = _make_blocked_kernel(cell_fn, n_out, C, SEG, tposed=tposed)
+    out_block = (G_CELLS, n_out, C) if tposed else (G_CELLS, C, n_out)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(R_pad // G_CELLS,),
@@ -956,7 +993,7 @@ def _run_pass(cell_fn, meta, tab, packed, R_pad, C, SEG, n_out, interpret,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (G_CELLS, C, n_out), lambda r, *_: (r, 0, 0), memory_space=pltpu.VMEM
+            out_block, lambda r, *_: (r, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, SEG, 128), jnp.float32),
@@ -967,9 +1004,10 @@ def _run_pass(cell_fn, meta, tab, packed, R_pad, C, SEG, n_out, interpret,
             pltpu.VMEM((n_out, C), jnp.float32),  # obuf: cell_fn output block
         ],
     )
+    out_shape = (R_pad, n_out, C) if tposed else (R_pad, C, n_out)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((R_pad, C, n_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         # the packed-row layout (C=512) needs ~29 MB of scoped VMEM for the
@@ -1493,13 +1531,13 @@ def _default_interpret(interpret):
     jax.jit,
     static_argnames=("C", "SEG", "R_pad", "interpret", "do_surface", "do_iss",
                      "min_neighbors", "need_C", "need_R_pad", "need_s",
-                     "packed_rows", "need_packed_rows"),
+                     "packed_rows", "need_packed_rows", "tposed"),
 )
 def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
                       C, SEG, R_pad, interpret, do_surface, do_iss,
                       min_neighbors, surface_need=None, need_state=None,
                       need_C=0, need_R_pad=0, need_s=0, packed_rows=False,
-                      need_packed_rows=False):
+                      need_packed_rows=False, tposed=None):
     """need_state (+ its need_C/need_R_pad statics): fused keypoint-regime
     side stage — ISS runs first, the surface `need` mask derives from the
     fresh keypoints via the OTHER grid's stencil (point_need), and the
@@ -1513,22 +1551,25 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
     packed = _build_packed(state, C, SEG)
     nrows_f = jnp.minimum(n_rows, R_pad).astype(jnp.float32)
     inv = _inverse_perm(order)
+    if tposed is None:
+        tposed = _tposed_out(R_pad, C)
     out = {}
 
     if do_iss:
         meta = jnp.stack([iss_r2, nrows_f, gamma21, gamma32,
                           jnp.float32(min_neighbors)])
         o1 = _run_pass(_iss_count_cell, meta, tab, packed, R_pad, C, SEG, 8,
-                       interpret)
-        counts_sorted, _ = _slot_gather(o1[:, :, 0], prow, posb, vs, R_pad, C)
+                       interpret, tposed=tposed)
+        counts_sorted, _ = _slot_gather(
+            o1[:, 0, :] if tposed else o1[:, :, 0], prow, posb, vs, R_pad, C
+        )
         packed = packed.at[:N, CH_EXTRA].set(counts_sorted)
 
         o2 = _run_pass(_iss_saliency_cell, meta, tab, packed, R_pad, C, SEG, 8,
-                       interpret)
+                       interpret, tposed=tposed)
         slot_i = jnp.clip(prow, 0, R_pad - 1) * C + posb
         kept_i = vs & (prow >= 0) & (prow < R_pad)
-        flat2 = o2[:, :, 0:2].reshape(R_pad * C, 2)
-        rows2 = jnp.where(kept_i[:, None], flat2[slot_i], 0.0)
+        rows2 = _rows_at_slots(o2, 2, slot_i, kept_i, tposed)
         sal_sorted, ok_sorted = rows2[:, 0], rows2[:, 1]
         packed = packed.at[:N, CH_SAL].set(sal_sorted)
         packed = packed.at[:N, CH_OK].set(ok_sorted)
@@ -1538,8 +1579,10 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
         tab_nms = _retab(tab, state, C, R_pad, need_sorted=(ok_sorted > 0.5),
                          packed=packed_rows, layout=layout)
         o3 = _run_pass(_iss_nms_cell, meta, tab_nms, packed, R_pad, C, SEG, 8,
-                       interpret)
-        kp_sorted, _ = _slot_gather(o3[:, :, 0], prow, posb, vs, R_pad, C)
+                       interpret, tposed=tposed)
+        kp_sorted, _ = _slot_gather(
+            o3[:, 0, :] if tposed else o3[:, :, 0], prow, posb, vs, R_pad, C
+        )
         valid_o_i = vs[inv]
         kp_input = (kp_sorted[inv] > 0.5) & valid_o_i
         out.update(
@@ -1564,13 +1607,13 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
         meta = jnp.stack([normal_r2, nrows_f, jnp.float32(0), jnp.float32(0),
                           jnp.float32(0)])
         srf = _run_pass(_surface_cell, meta, tab_s, packed, R_pad, C, SEG,
-                        N_CH_SURF, interpret)
+                        N_CH_SURF, interpret, tposed=tposed)
         # ONE row gather for all 10 channels (element gathers are ~100x off
-        # speed-of-light on this hardware; rows ~7x faster — BASELINE.md)
+        # speed-of-light on this hardware; rows ~7x faster — BASELINE.md);
+        # the tposed layout pays per-channel gathers to stay within HBM
         slot = jnp.clip(prow, 0, R_pad - 1) * C + posb
         kept = vs & (prow >= 0) & (prow < R_pad)
-        flat_s = srf[:, :, 0:10].reshape(R_pad * C, 10)
-        rows_s = jnp.where(kept[:, None], flat_s[slot], 0.0)[inv]
+        rows_s = _rows_at_slots(srf, 10, slot, kept, tposed)[inv]
         (nx, ny, nz, curv, l0, l1, l2, cnt, dmin, nnid_f) = (
             rows_s[:, ch] for ch in range(10)
         )
@@ -1599,9 +1642,9 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
 
 
 @functools.partial(jax.jit, static_argnames=("C", "SEG", "R_pad", "interpret",
-                                             "packed_rows"))
+                                             "packed_rows", "tposed"))
 def _fpfh_impl(state, r2, C, SEG, R_pad, interpret, kp=None,
-               packed_rows=False):
+               packed_rows=False, tposed=None):
     """kp (input-order bool[N] or None): the keypoint-regime fast path.
     FPFH is consumed only at keypoint rows, so SPFH runs only on blocks
     within ONE cell of a keypoint cell (every neighbor the combine pass
@@ -1631,23 +1674,25 @@ def _fpfh_impl(state, r2, C, SEG, R_pad, interpret, kp=None,
                           packed=packed_rows, layout=layout)
         tab_comb = _retab(tab, state, C, R_pad, need_sorted=kp_sorted,
                           packed=packed_rows, layout=layout)
+    if tposed is None:
+        tposed = _tposed_out(R_pad, C)
     spfh = _run_pass(
         _spfh_cell, meta, tab_spfh, packed, R_pad, C, SEG, DIM + 1, interpret,
         extra_scratch=(pltpu.VMEM((DIM + 1, C), jnp.float32),),
+        tposed=tposed,
     )
     # write each point's SPFH into its packed lanes for the combine pass
     slot = jnp.clip(prow, 0, R_pad - 1) * C + posb
     kept = vs & (prow >= 0) & (prow < R_pad)
-    spfh_lanes = spfh[:, :, 0:DIM].reshape(R_pad * C, DIM)
-    spfh_sorted = jnp.where(kept[:, None], spfh_lanes[slot], 0.0)
+    spfh_sorted = _rows_at_slots(spfh, DIM, slot, kept, tposed)
     packed = packed.at[:N, CH_EXTRA:CH_EXTRA + DIM].set(spfh_sorted)
 
     outp = _run_pass(
         _combine_cell, meta, tab_comb, packed, R_pad, C, SEG, DIM + 1, interpret,
         extra_scratch=(pltpu.VMEM((DIM + 1, C), jnp.float32),),
+        tposed=tposed,
     )
-    flat = outp[:, :, : DIM + 1].reshape(R_pad * C, DIM + 1)
-    feats_sorted = jnp.where(kept[:, None], flat[slot], 0.0)
+    feats_sorted = _rows_at_slots(outp, DIM + 1, slot, kept, tposed)
     inv = _inverse_perm(order)
     feats = feats_sorted[inv]
     feat = feats[:, :DIM]

@@ -117,3 +117,38 @@ def test_packed_rows_masked_need(rng):
                                   np.asarray(v_kp)[kpn])
     np.testing.assert_array_equal(np.asarray(f_full)[kpn],
                                   np.asarray(f_kp)[kpn])
+
+
+def test_tposed_out_layout_bit_identical(rng):
+    """Memory-constrained [R_pad, n_out, C] pass layout vs the fast
+    [R_pad, C, n_out] one: identical block values consumed through
+    per-channel gathers instead of one row gather, so every output must
+    agree bit-for-bit.  (The fast layout's minor n_out dim pads to 128
+    lanes under TPU tiling — 16x HBM for the 8-channel side passes; the
+    tposed layout is what lets a 10M-point side pass fit a 16 GiB v5e.)"""
+    N = 6000
+    xyz = jnp.asarray(_thin_cloud(N, rng))
+    valid = jnp.ones((N,), bool)
+    _pl_u, pl = _two_plans(xyz, valid, 0.35)
+    r2 = jnp.float32(0.35 * 0.35)
+
+    def side(tposed):
+        return cg._surface_iss_impl(
+            pl.state, r2, r2, jnp.float32(0.975), jnp.float32(0.975),
+            jnp.zeros((3,), jnp.float32), C=pl.C, SEG=pl.SEG, R_pad=pl.R_pad,
+            interpret=True, do_surface=True, do_iss=True, min_neighbors=4,
+            packed_rows=True, tposed=tposed,
+        )
+
+    out_f, out_t = side(False), side(True)
+    for key in out_f:
+        np.testing.assert_array_equal(
+            np.asarray(out_f[key]), np.asarray(out_t[key]), err_msg=key
+        )
+
+    f_f, v_f = cg._fpfh_impl(pl.state, r2, pl.C, pl.SEG, pl.R_pad, True,
+                             packed_rows=True, tposed=False)
+    f_t, v_t = cg._fpfh_impl(pl.state, r2, pl.C, pl.SEG, pl.R_pad, True,
+                             packed_rows=True, tposed=True)
+    np.testing.assert_array_equal(np.asarray(v_f), np.asarray(v_t))
+    np.testing.assert_array_equal(np.asarray(f_f), np.asarray(f_t))
