@@ -410,6 +410,21 @@ def _plan_from_stats(state, st):
     over = st[_ST_OVER:_ST_OVER + len(C_BUCKETS)]
     blocks = st[_ST_BLOCKS:_ST_BLOCKS + len(C_BUCKETS)]
     packed = int(st[_ST_PACK]) > 0  # thin-column (2.5D scan) grids pack rows
+    if not packed:
+        # memory-pressure override: the unpacked layout sizes one block per
+        # cell run, so sparse fine grids fragment into ~4x more slots than
+        # points (measured at 10M: 42M slots -> the pass buffers + tables
+        # alone exceed a v5e's HBM).  The packed layout is a pure
+        # scheduling choice (identical values, tests/test_cell_packed.py);
+        # its z-span waste is a time cost, OOM is not.
+        ci_u = next(
+            (i for i, b in enumerate(C_BUCKETS)
+             if over[i] <= 0.1 * max(n_valid, 1)),
+            len(C_BUCKETS) - 1,
+        )
+        slots_u = int(blocks[ci_u]) * C_BUCKETS[ci_u]
+        if slots_u * 512 > _FAST_PASS_GIB * 2**30:
+            packed = True
     if packed:
         # blocks are C-point windows of each x-slab: slots are ~always
         # full, so C maximizes queries amortizing each block's candidate
