@@ -484,6 +484,16 @@ def _kp_counts(a, b):
     return jnp.stack([jnp.sum(a.astype(jnp.int32)), jnp.sum(b.astype(jnp.int32))])
 
 
+def _pad_quantum(a: int) -> int:
+    """Pad a keypoint count to a ~12.5%-granularity bucket: a fixed
+    quantum put bucket boundaries every 1024 rows, so run-to-run count
+    jitter (e.g. 13.3k vs 13.4k at 1M) could cross a boundary and
+    recompile the match/RANSAC programs (~30 s remote) mid-benchmark."""
+    a = max(a, 1)
+    m = max(1024, 1 << max(a.bit_length() - 3, 0))
+    return int(-(-a // m) * m)
+
+
 @partial(jax.jit, static_argnames=("m",))
 def _compact_rows(v, n, m: int):
     """First m row ids of the valid prefix (stable: ascending original
@@ -679,6 +689,24 @@ def register_pair_staged(
             ))
             return normal, kp, dens, feat, fv & kp
 
+        def _early_compact(feat, fvalid):
+            """Compact a side's descriptors to its keypoint rows right after
+            the side finishes (one count pull), so the full [N, DIM] array
+            and the side's plan states can free BEFORE the other side's
+            descriptor pass allocates its streaming buffers — at 10M
+            points/side the two overlapping would exceed a v5e's HBM.
+            Returns (n, sj, g, v, fc) or None when compaction can't apply."""
+            import numpy as np_
+
+            n = int(np_.asarray(jnp.sum(fvalid.astype(jnp.int32))))
+            if not (0 < n <= fvalid.shape[0] // 2):
+                return None
+            m = _pad_quantum(n)
+            sj = _compact_rows(fvalid, n, m)
+            g = jnp.minimum(sj, fvalid.shape[0] - 1)
+            v = jnp.arange(m) < n
+            return n, sj, g, v, feat[g]
+
         try:
             from lidar_global_registration_tpu.ops.pallas.cellgrid import (
                 plan_grid_many,
@@ -692,15 +720,40 @@ def register_pair_staged(
                 (tgt_xyz, z_t, tgt_valid, max(normal_cell, iss_radius_tgt)),
                 (tgt_xyz, z_t, tgt_valid, feature_radius),
             ])
+            ec_q = ec_t = None
+            # the extra per-side count pull pays for itself >= 4M points
+            big_n = src_xyz.shape[0] >= int(
+                os.environ.get("LGR_EARLY_COMPACT_N", str(1 << 22))
+            )
             src_normal, src_kp, dens_s, fq, fq_valid = _masked_side_full(
                 pn_s, pf_s, iss_radius_src, vp_src, "src"
             )
+            if big_n and not shot_mode:
+                ec_q = _early_compact(fq, fq_valid)
+                if ec_q is not None:
+                    fq = None  # the [N, DIM] array frees here
+            del pn_s, pf_s  # src plan states (~1 GB at 10M) free here
             tgt_normal, tgt_kp, dens_t, ft, ft_valid = _masked_side_full(
                 pn_t, pf_t, iss_radius_tgt, vp_tgt, "tgt"
             )
+            if ec_q is not None:
+                ec_t = _early_compact(ft, ft_valid)
+                if ec_t is not None:
+                    ft = None
+                else:
+                    # degenerate tgt keypoints: restore fq for the
+                    # uncompacted path (rare; correctness over memory)
+                    fq = jnp.zeros(
+                        (fq_valid.shape[0], ec_q[4].shape[1]), ec_q[4].dtype
+                    ).at[ec_q[1]].set(ec_q[4], mode="drop")
+                    ec_q = None
+            del pn_t, pf_t
         except ValueError as e:  # cloud does not fit the kernel format
             print(f"# masked side pass -> unmasked fallback: {e}", flush=True)
             masked = False
+            ec_q = ec_t = None
+    else:
+        ec_q = ec_t = None
     fused_any = False
     if not masked and use_cells and not cfg.use_iss and not shot_mode:
         # keypoint=any cell path: ALL FOUR grids planned with ONE host
@@ -775,27 +828,25 @@ def register_pair_staged(
     import numpy as np_
 
     N_all = fq_valid.shape[0]
-    n_q, n_t = (int(x) for x in np_.asarray(_kp_counts(fq_valid, ft_valid)))
+    if ec_q is not None and ec_t is not None:
+        n_q, n_t = ec_q[0], ec_t[0]
+    else:
+        n_q, n_t = (int(x) for x in np_.asarray(_kp_counts(fq_valid, ft_valid)))
     if min(n_q, n_t) > 0 and max(n_q, n_t) <= N_all // 2:
-        def pad_to(a):
-            # pad quantum scales with the count (~12.5% granularity): a
-            # fixed 1024-quantum put bucket boundaries every 1024 rows, so
-            # run-to-run keypoint-count jitter (e.g. 13.3k vs 13.4k at 1M)
-            # could cross a boundary and recompile the match/RANSAC
-            # programs (~30 s remote) mid-benchmark
-            a = max(a, 1)
-            m = max(1024, 1 << max(a.bit_length() - 3, 0))
-            return int(-(-a // m) * m)
-
-        mq, mt = pad_to(n_q), pad_to(n_t)
-        # padding rows point at N_all: gathers clamp harmlessly (row is
-        # masked), scatters drop them instead of clobbering row 0
-        sqj = _compact_rows(fq_valid, n_q, mq)
-        stj = _compact_rows(ft_valid, n_t, mt)
-        sq_g = jnp.minimum(sqj, N_all - 1)
-        st_g = jnp.minimum(stj, N_all - 1)
-        qv = jnp.arange(mq) < n_q
-        tv = jnp.arange(mt) < n_t
+        if ec_q is not None and ec_t is not None:
+            (_, sqj, sq_g, qv, fqc) = ec_q
+            (_, stj, st_g, tv, ftc) = ec_t
+            mq, mt = qv.shape[0], tv.shape[0]
+        else:
+            mq, mt = _pad_quantum(n_q), _pad_quantum(n_t)
+            # padding rows point at N_all: gathers clamp harmlessly (row
+            # is masked), scatters drop them instead of clobbering row 0
+            sqj = _compact_rows(fq_valid, n_q, mq)
+            stj = _compact_rows(ft_valid, n_t, mt)
+            sq_g = jnp.minimum(sqj, N_all - 1)
+            st_g = jnp.minimum(stj, N_all - 1)
+            qv = jnp.arange(mq) < n_q
+            tv = jnp.arange(mt) < n_t
         if shot_mode:
             fqc, fqc_ok = _t("shot_src", _shot_stage(
                 src_xyz[sq_g], src_normal[sq_g], qv,
@@ -807,7 +858,7 @@ def register_pair_staged(
             ))
             qv = qv & fqc_ok
             tv = tv & ftc_ok
-        else:
+        elif ec_q is None or ec_t is None:
             fqc, ftc = fq[sq_g], ft[st_g]
         ic_st, _dc1, mc_st = matchers.match_bf(
             fqc, ftc, qv, tv, k=1, tile=cfg.match_tile,

@@ -64,3 +64,41 @@ def test_masked_equals_unmasked_staged(monkeypatch):
         np.asarray(out_u["transformation"]),
         atol=1e-5,
     )
+
+
+@pytest.mark.slow
+def test_early_compaction_equals_late(monkeypatch):
+    """LGR_EARLY_COMPACT_N forces the large-N path that compacts each
+    side's descriptors to keypoint rows right after its FPFH (freeing the
+    [N, 33] array and the side's plan states before the other side runs —
+    the 10M-point HBM fix).  The result must match the late-compaction
+    path exactly."""
+    monkeypatch.setenv("LGR_CELL_FPFH", "force")
+    n = 4096
+    a = _scene(n, 3, np.zeros(3, np.float32))
+    b = _scene(n, 3, np.zeros(3, np.float32))
+    import jax
+
+    key = jax.random.PRNGKey(566)
+    args = (
+        jnp.asarray(a), jnp.ones((n,), bool),
+        jnp.asarray(b), jnp.ones((n,), bool),
+        key,
+        jnp.float32(0.5),
+        jnp.float32(0.12), jnp.float32(0.12),
+        jnp.float32(0.35), jnp.float32(0.35),
+        jnp.float32(1.0),
+        jnp.float32(0.4),
+    )
+    cfg = FlagshipConfig(use_iss=True, masked_features=True,
+                         rounds=2, hypothesis_batch=128)
+    monkeypatch.setenv("LGR_EARLY_COMPACT_N", "1")  # force the big-N path
+    out_e = register_pair_staged(*args, cfg=cfg)
+    monkeypatch.setenv("LGR_EARLY_COMPACT_N", str(1 << 22))
+    out_l = register_pair_staged(*args, cfg=cfg)
+    assert int(out_e["n_correspondences"]) == int(out_l["n_correspondences"])
+    assert int(out_e["n_correspondences"]) > 0
+    np.testing.assert_array_equal(
+        np.asarray(out_e["transformation"]), np.asarray(out_l["transformation"])
+    )
+    assert int(out_e["inliers"]) == int(out_l["inliers"])
