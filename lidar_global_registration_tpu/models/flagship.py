@@ -64,6 +64,10 @@ class FlagshipConfig:
     cluster_matching: bool = True  # staged ISS path: spatial-consensus filter
     cluster_k: int = 40  # MATCHING_CLUSTER_K (common.h:49)
     cluster_threshold: float = 0.95  # MATCHING_CLUSTER_THRESHOLD
+    cluster_approx_knn: bool = True  # keypoint kNN via per-tile approx_max_k
+    # (recall ~0.95 per tile): the consensus VOTE tolerates a slightly
+    # approximate neighbor set; the exact merge's per-row sort was the
+    # dominant term of the 10M match stage (56 s of 126 s)
     max_correspondences: int = 1024  # keep the most cluster-consistent
     metric: str = "correspondences"  # hypothesis score: correspondences|uniformity
     descriptor: str = "fpfh"  # staged path: fpfh | shot (the reference's
@@ -889,9 +893,10 @@ def register_pair_staged(
             # (its own), which floods the 0.95 gate at high keypoint
             # density — measured at 1M points/side: 4305 survivors with 0
             # usable inliers vs 197 survivors and a correct pose without
-            # self.  Column 0 of the kNN is the self match; it is kept
-            # for the density estimate below and dropped from the sets.
-            kc = max(3, min(cfg.cluster_k + 1, n_q, n_t))
+            # self.  Exclusion is BY ID inside the kNN (exclude_diag):
+            # positional "column 0 is self" breaks under the approximate
+            # per-tile merge and under exact distance ties.
+            kc = max(2, min(cfg.cluster_k, n_q - 1, n_t - 1))
             # center per side before the matmul-kNN: |q|^2+|t|^2-2q.t in
             # f32 loses the inter-keypoint geometry for georeferenced
             # coordinates far from the origin
@@ -899,15 +904,21 @@ def register_pair_staged(
             kst = tgt_xyz[st_g]
             ksq = ksq - jnp.mean(jnp.where(qv[:, None], ksq, 0.0), axis=0) / jnp.maximum(jnp.mean(qv.astype(jnp.float32)), 1e-9)
             kst = kst - jnp.mean(jnp.where(tv[:, None], kst, 0.0), axis=0) / jnp.maximum(jnp.mean(tv.astype(jnp.float32)), 1e-9)
-            kq_idx, kq_d, kq_m = matchers.match_bf(ksq, ksq, qv, qv, k=kc)
-            kt_idx, kt_d, kt_m = matchers.match_bf(kst, kst, tv, tv, k=kc)
+            kq_idx, kq_d, kq_m = matchers.match_bf(
+                ksq, ksq, qv, qv, k=kc, approx=cfg.cluster_approx_knn,
+                exclude_diag=True,
+            )
+            kt_idx, kt_d, kt_m = matchers.match_bf(
+                kst, kst, tv, tv, k=kc, approx=cfg.cluster_approx_knn,
+                exclude_diag=True,
+            )
             d_i = _cluster_distances(
                 ic_st[:, 0], mc_st[:, 0],
-                kq_idx[:, 1:], kq_m[:, 1:], kt_idx[:, 1:], kt_m[:, 1:],
+                kq_idx, kq_m, kt_idx, kt_m,
             )
             d_j = _cluster_distances(
                 ic_ts[:, 0], mc_ts[:, 0],
-                kt_idx[:, 1:], kt_m[:, 1:], kq_idx[:, 1:], kq_m[:, 1:],
+                kt_idx, kt_m, kq_idx, kq_m,
             )
             thr_c = jnp.float32(cfg.cluster_threshold)
             score_q = jnp.maximum(d_i, d_j[ic_st[:, 0]])
@@ -936,9 +947,10 @@ def register_pair_staged(
             # matching.h:396-397): keypoint localization error scales with
             # keypoint spacing, not raw point spacing
             def kp_density(kn_idx, kn_d, kn_m):
-                d_raw = jnp.where(kn_m[:, 1], kn_d[:, 1], 0.0)
-                nn = kn_idx[:, 1]
-                d_nn = jnp.where(kn_m[:, 1], d_raw[nn], d_raw)
+                # column 0 is the nearest NON-SELF keypoint (exclude_diag)
+                d_raw = jnp.where(kn_m[:, 0], kn_d[:, 0], 0.0)
+                nn = kn_idx[:, 0]
+                d_nn = jnp.where(kn_m[:, 0], d_raw[nn], d_raw)
                 return jnp.minimum(d_raw, jnp.where(d_nn > 0, d_nn, d_raw))
 
             dens_s = dens_s.at[sqj].set(

@@ -50,7 +50,8 @@ def _use_pallas() -> bool:
         return False
 
 
-@partial(jax.jit, static_argnames=("k", "tile", "bf16"))
+@partial(jax.jit, static_argnames=("k", "tile", "bf16", "approx",
+                                   "exclude_diag"))
 def match_bf(
     query: jax.Array,
     train: jax.Array,
@@ -59,6 +60,8 @@ def match_bf(
     k: int = 1,
     tile: int = 4096,
     bf16: bool = False,
+    approx: bool = False,
+    exclude_diag: bool = False,
 ):
     """Exact k-NN in descriptor space (L2), tiled over the train set.
 
@@ -71,7 +74,8 @@ def match_bf(
     """
     # D cap: at 1024-row tiles a 1960-d USC tile alone is 8MB of VMEM;
     # wide descriptors stay on the XLA path
-    if k == 1 and not bf16 and query.shape[1] <= 512 and _use_pallas():
+    if (k == 1 and not bf16 and not exclude_diag and query.shape[1] <= 512
+            and _use_pallas()):
         from lidar_global_registration_tpu.ops.pallas.topk_l2 import nn_l2_pallas
 
         i1, d1, m1 = nn_l2_pallas(
@@ -98,9 +102,30 @@ def match_bf(
         d2 = jnp.maximum(d2, 0.0)
         d2 = jnp.where(vb[None, :], d2, BIG)
         ids = it * tile + jnp.arange(tile, dtype=jnp.int32)
-        # merge with running best
-        cat_d = jnp.concatenate([best_d, d2], axis=1)
-        cat_i = jnp.concatenate([best_i, jnp.broadcast_to(ids[None], d2.shape)], axis=1)
+        if exclude_diag:
+            # self-match exclusion BY ID for same-set kNN (query is train):
+            # positional "column 0 is self" breaks under approximate
+            # merges and under exact ties
+            d2 = jnp.where(
+                ids[None, :] == jnp.arange(Nq, dtype=jnp.int32)[:, None],
+                BIG, d2,
+            )
+        if approx and k > 1 and tile > 4 * k:
+            # per-tile TPU PartialReduce (approx_max_k, recall ~0.95 within
+            # the tile) then an EXACT 2k merge: lax.top_k over the raw
+            # [Nq, k + tile] concat lowers to a full per-row sort on TPU —
+            # measured as the dominant term of the 10M cluster kNN (36
+            # scan steps x sort(4137) per row).  Opt-in: consensus votes
+            # tolerate a ~0.95-recall neighbor set, parity paths do not.
+            tneg, tsel = jax.lax.approx_max_k(-d2, k)
+            cat_d = jnp.concatenate([best_d, -tneg], axis=1)
+            cat_i = jnp.concatenate([best_i, ids[tsel]], axis=1)
+        else:
+            # merge with running best
+            cat_d = jnp.concatenate([best_d, d2], axis=1)
+            cat_i = jnp.concatenate(
+                [best_i, jnp.broadcast_to(ids[None], d2.shape)], axis=1
+            )
         neg, sel = jax.lax.top_k(-cat_d, k)
         return (-neg, jnp.take_along_axis(cat_i, sel, axis=1)), None
 
