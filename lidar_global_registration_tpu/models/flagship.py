@@ -533,7 +533,11 @@ def register_pair_staged(
             import numpy as _np
 
             for leaf in jax.tree_util.tree_leaves(out):
-                _np.asarray(leaf if leaf.ndim == 0 else leaf[..., :1])
+                # flat [1] slice: forces the whole buffer to compute but
+                # transfers 4 B — leaf[..., :1] of an [N, 1] output moved
+                # the ENTIRE array over the tunnel (~40 s at 10M), charging
+                # transfer time to whatever stage produced a 2-D output
+                _np.asarray(leaf if leaf.ndim == 0 else leaf.reshape(-1)[:1])
             now = _time.perf_counter()
             print(f"#   stage {label}: {now - _t.last:.3f}s", flush=True)
             _t.last = now
