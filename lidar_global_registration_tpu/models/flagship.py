@@ -68,6 +68,10 @@ class FlagshipConfig:
     # (recall ~0.95 per tile): the consensus VOTE tolerates a slightly
     # approximate neighbor set; the exact merge's per-row sort was the
     # dominant term of the 10M match stage (56 s of 126 s)
+    cluster_knn_tile: int = 32768  # train-tile for the consensus kNN scan:
+    # the per-step overhead dominates at 147k keypoints (measured 5.0 s at
+    # tile 4096 vs 0.76 s at 32768; XLA fuses the distance tile into the
+    # partial reduce, so the big tile never materializes)
     max_correspondences: int = 1024  # keep the most cluster-consistent
     metric: str = "correspondences"  # hypothesis score: correspondences|uniformity
     descriptor: str = "fpfh"  # staged path: fpfh | shot (the reference's
@@ -909,12 +913,12 @@ def register_pair_staged(
             ksq = ksq - jnp.mean(jnp.where(qv[:, None], ksq, 0.0), axis=0) / jnp.maximum(jnp.mean(qv.astype(jnp.float32)), 1e-9)
             kst = kst - jnp.mean(jnp.where(tv[:, None], kst, 0.0), axis=0) / jnp.maximum(jnp.mean(tv.astype(jnp.float32)), 1e-9)
             kq_idx, kq_d, kq_m = matchers.match_bf(
-                ksq, ksq, qv, qv, k=kc, approx=cfg.cluster_approx_knn,
-                exclude_diag=True,
+                ksq, ksq, qv, qv, k=kc, tile=cfg.cluster_knn_tile,
+                approx=cfg.cluster_approx_knn, exclude_diag=True,
             )
             kt_idx, kt_d, kt_m = matchers.match_bf(
-                kst, kst, tv, tv, k=kc, approx=cfg.cluster_approx_knn,
-                exclude_diag=True,
+                kst, kst, tv, tv, k=kc, tile=cfg.cluster_knn_tile,
+                approx=cfg.cluster_approx_knn, exclude_diag=True,
             )
             d_i = _cluster_distances(
                 ic_st[:, 0], mc_st[:, 0],
