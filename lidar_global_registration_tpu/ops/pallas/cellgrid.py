@@ -452,10 +452,12 @@ def _plan_from_stats(state, st):
     # Mosaic allocates the kernel body's [SEG, C] dataflow on the VMEM
     # stack (~15 live f32 intermediates in the pair-feature chunk, ~55 B
     # per element measured); SEG*C = 512k blew the 16 MiB scoped-vmem
-    # limit at 1M points (28.9 MiB).  Cap the product so the stack stays
-    # under ~8 MiB — SEG is a pure streaming-window knob, so shrinking it
-    # costs only DMA wait granularity, never correctness or coverage.
-    while SEG > SEG_BUCKETS[0] and SEG * C > 131072:
+    # limit at 1M points (28.9 MiB) — the pass limit is 100 MiB now, so
+    # the product cap is tunable (LGR_SEG_CAP).  SEG is a pure
+    # streaming-window knob: shrinking it costs only DMA wait
+    # granularity, never correctness or coverage.
+    seg_cap = int(os.environ.get("LGR_SEG_CAP", "131072"))
+    while SEG > SEG_BUCKETS[0] and SEG * C > seg_cap:
         SEG //= 2
     # geometric R_pad ladder: each distinct R_pad is a fresh XLA+Mosaic
     # compile (~minutes over the remote-compile tunnel), so quantize the
