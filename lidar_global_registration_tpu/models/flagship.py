@@ -690,16 +690,36 @@ def register_pair_staged(
             if shot_mode:
                 # SHOT runs later at the compacted keypoint rows only; the
                 # feature grid (used for the need mask) frees right here
-                return normal, kp, dens, None, kp
+                return normal, kp, dens, None, kp, None
             from lidar_global_registration_tpu.ops.pallas.cellgrid import (
                 fpfh_pass,
                 set_normals,
             )
 
+            if big_n:
+                # pull the keypoint COUNT before the descriptor pass (the
+                # same one-per-side sync _early_compact paid after it) so
+                # FPFH emits compacted [M, 33] rows directly: no [N, 33]
+                # materialization, and no full-N per-channel element
+                # gathers in the memory-constrained tposed output layout
+                # (measured +5.1 s per side at 4M points)
+                import numpy as np_
+
+                n = int(np_.asarray(jnp.sum(kp.astype(jnp.int32))))
+                if 0 < n <= kp.shape[0] // 2:
+                    m = _pad_quantum(n)
+                    sj = _compact_rows(kp, n, m)
+                    featc, fvc = _t(f"fpfh_{which}", fpfh_pass(
+                        set_normals(plan_f, normal), feature_radius,
+                        kp=kp, kp_rows=sj,
+                    ))
+                    g = jnp.minimum(sj, kp.shape[0] - 1)
+                    v = (jnp.arange(m) < n) & fvc
+                    return normal, kp, dens, None, None, (n, sj, g, v, featc)
             feat, fv = _t(f"fpfh_{which}", fpfh_pass(
                 set_normals(plan_f, normal), feature_radius, kp=kp
             ))
-            return normal, kp, dens, feat, fv & kp
+            return normal, kp, dens, feat, fv & kp, None
 
         def _early_compact(feat, fvalid):
             """Compact a side's descriptors to its keypoint rows right after
@@ -737,28 +757,38 @@ def register_pair_staged(
             big_n = src_xyz.shape[0] >= int(
                 os.environ.get("LGR_EARLY_COMPACT_N", str(1 << 22))
             )
-            src_normal, src_kp, dens_s, fq, fq_valid = _masked_side_full(
+            src_normal, src_kp, dens_s, fq, fq_valid, ec_q = _masked_side_full(
                 pn_s, pf_s, iss_radius_src, vp_src, "src"
             )
-            if big_n and not shot_mode:
+            if big_n and not shot_mode and ec_q is None and fq is not None:
+                # in-pass compaction declined (degenerate counts): the
+                # post-hoc path still bounds memory when fv qualifies
                 ec_q = _early_compact(fq, fq_valid)
                 if ec_q is not None:
                     fq = None  # the [N, DIM] array frees here
             del pn_s, pf_s  # src plan states (~1 GB at 10M) free here
-            tgt_normal, tgt_kp, dens_t, ft, ft_valid = _masked_side_full(
+            tgt_normal, tgt_kp, dens_t, ft, ft_valid, ec_t = _masked_side_full(
                 pn_t, pf_t, iss_radius_tgt, vp_tgt, "tgt"
             )
-            if ec_q is not None:
+            if ec_q is not None and ec_t is None and ft is not None:
                 ec_t = _early_compact(ft, ft_valid)
                 if ec_t is not None:
                     ft = None
-                else:
-                    # degenerate tgt keypoints: restore fq for the
-                    # uncompacted path (rare; correctness over memory)
-                    fq = jnp.zeros(
-                        (fq_valid.shape[0], ec_q[4].shape[1]), ec_q[4].dtype
-                    ).at[ec_q[1]].set(ec_q[4], mode="drop")
-                    ec_q = None
+
+            def _restore_rows(ec, n_side):
+                # degenerate counterpart: restore full-row arrays for the
+                # uncompacted path (rare; correctness over memory)
+                f = jnp.zeros((n_side, ec[4].shape[1]), ec[4].dtype)
+                f = f.at[ec[1]].set(ec[4], mode="drop")
+                v = jnp.zeros((n_side,), bool).at[ec[1]].set(ec[3], mode="drop")
+                return f, v
+
+            if ec_q is not None and ec_t is None:
+                fq, fq_valid = _restore_rows(ec_q, src_kp.shape[0])
+                ec_q = None
+            elif ec_t is not None and ec_q is None:
+                ft, ft_valid = _restore_rows(ec_t, tgt_kp.shape[0])
+                ec_t = None
             del pn_t, pf_t
         except ValueError as e:  # cloud does not fit the kernel format
             print(f"# masked side pass -> unmasked fallback: {e}", flush=True)
@@ -839,7 +869,7 @@ def register_pair_staged(
     # layout itself is built on device.
     import numpy as np_
 
-    N_all = fq_valid.shape[0]
+    N_all = src_valid.shape[0]
     if ec_q is not None and ec_t is not None:
         n_q, n_t = ec_q[0], ec_t[0]
     else:

@@ -434,6 +434,13 @@ def _plan_from_stats(state, st):
         ci = len(C_BUCKETS) - 1
         while ci > 0 and C_BUCKETS[ci] > 2 * per_slab:
             ci -= 1
+        # the pair product per query scales with the block's candidate span
+        # (~C + 2*occ rows), while DMA per query is ~C-independent, so on
+        # compute-bound passes a SMALLER C is strictly less wasted work;
+        # LGR_PACKED_C overrides the DMA-amortizing default for measurement
+        c_env = int(os.environ.get("LGR_PACKED_C", "0"))
+        if c_env in C_BUCKETS:
+            ci = C_BUCKETS.index(c_env)
         C = C_BUCKETS[ci]
         n_blocks = int(st[_ST_PBLOCKS + ci])
     else:
@@ -1661,13 +1668,19 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
 @functools.partial(jax.jit, static_argnames=("C", "SEG", "R_pad", "interpret",
                                              "packed_rows", "tposed"))
 def _fpfh_impl(state, r2, C, SEG, R_pad, interpret, kp=None,
-               packed_rows=False, tposed=None):
+               packed_rows=False, tposed=None, kp_rows=None):
     """kp (input-order bool[N] or None): the keypoint-regime fast path.
     FPFH is consumed only at keypoint rows, so SPFH runs only on blocks
     within ONE cell of a keypoint cell (every neighbor the combine pass
     reads — cell == radius makes |q-k| <= r imply adjacent cells) and the
     combine pass only on blocks whose own 1-cell stencil holds a keypoint
-    (i.e. cells that can contain one; block granularity is conservative)."""
+    (i.e. cells that can contain one; block granularity is conservative).
+
+    kp_rows (int32[M] input-order row ids, >= N padding): compacted
+    output.  Returns ([M, 33], bool[M]) gathered ONLY at those rows —
+    the full-N consumer (33 per-channel element gathers in the
+    memory-constrained tposed layout, measured +5.1 s at 4M points) and
+    the [N, 33] materialization are skipped entirely."""
     (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
     N = ks.shape[0]
     packed = _build_packed(state, C, SEG)
@@ -1709,8 +1722,15 @@ def _fpfh_impl(state, r2, C, SEG, R_pad, interpret, kp=None,
         extra_scratch=(pltpu.VMEM((DIM + 1, C), jnp.float32),),
         tposed=tposed,
     )
-    feats_sorted = _rows_at_slots(outp, DIM + 1, slot, kept, tposed)
     inv = _inverse_perm(order)
+    if kp_rows is not None:
+        srt = inv[jnp.minimum(kp_rows, N - 1)]
+        feats_kp = _rows_at_slots(outp, DIM + 1, slot[srt],
+                                  kept[srt] & (kp_rows < N), tposed)
+        feat = feats_kp[:, :DIM]
+        feat_valid = (kp_rows < N) & kept[srt] & (feats_kp[:, DIM] > 0)
+        return jnp.where(feat_valid[:, None], feat, 0.0), feat_valid
+    feats_sorted = _rows_at_slots(outp, DIM + 1, slot, kept, tposed)
     feats = feats_sorted[inv]
     feat = feats[:, :DIM]
     k_cnt = feats[:, DIM]
@@ -1911,10 +1931,12 @@ def set_normals(plan, normal):
                     packed=plan.packed)
 
 
-def fpfh_pass(plan, radius, kp=None, interpret=None):
+def fpfh_pass(plan, radius, kp=None, interpret=None, kp_rows=None):
     """FPFH on an existing plan (normals already in the state):
-    (feat f32[N,33], feat_valid bool[N]).  See fpfh_cells for kp."""
+    (feat f32[N,33], feat_valid bool[N]).  See fpfh_cells for kp;
+    kp_rows compacts the output to those rows ([M,33], bool[M])."""
     interpret = _default_interpret(interpret)
     r = jnp.asarray(radius, jnp.float32)
     return _fpfh_impl(plan.state, r * r, plan.C, plan.SEG, plan.R_pad,
-                      interpret, kp=kp, packed_rows=plan.packed)
+                      interpret, kp=kp, packed_rows=plan.packed,
+                      kp_rows=kp_rows)

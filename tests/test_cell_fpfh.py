@@ -87,3 +87,52 @@ def test_cell_fpfh_handles_invalid_tail(rng):
     assert np.all(np.asarray(feat)[~fv] == 0.0)
     # interior points must have informative (nonzero) descriptors
     assert fv[:N].mean() > 0.95
+
+
+def test_cell_fpfh_kp_rows_compacted(rng):
+    """kp_rows parity: the compacted [M, 33] output must equal the full
+    pass gathered at those rows (both layouts), including validity and
+    out-of-range padding rows."""
+    from lidar_global_registration_tpu.ops.pallas.cellgrid import (
+        _fpfh_impl,
+        plan_grid,
+        set_normals,
+    )
+
+    N, pad = 1200, 1280
+    xyz_np = _bump_cloud(N, rng)
+    xyz = jnp.zeros((pad, 3), jnp.float32).at[:N].set(jnp.asarray(xyz_np))
+    valid = jnp.arange(pad) < N
+    radius = jnp.float32(0.9)
+    normal = _normals(xyz, valid, radius)
+
+    plan = plan_grid(xyz, jnp.zeros_like(xyz), valid, float(radius))
+    plan = set_normals(plan, normal)
+    kp = np.zeros(pad, bool)
+    kp_idx = rng.choice(N, size=96, replace=False)
+    kp[kp_idx] = True
+    kp = jnp.asarray(kp)
+    M = 128  # padded row list: tail entries point past N
+    rows = jnp.full((M,), pad, jnp.int32).at[:96].set(
+        jnp.asarray(np.sort(kp_idx).astype(np.int32))
+    )
+
+    r2 = radius * radius
+    for tposed in (False, True):
+        full, fv_full = _fpfh_impl(
+            plan.state, r2, plan.C, plan.SEG, plan.R_pad, True, kp=kp,
+            packed_rows=plan.packed, tposed=tposed,
+        )
+        comp, fv_comp = _fpfh_impl(
+            plan.state, r2, plan.C, plan.SEG, plan.R_pad, True, kp=kp,
+            packed_rows=plan.packed, tposed=tposed, kp_rows=rows,
+        )
+        fv_full = np.asarray(fv_full)
+        fv_comp = np.asarray(fv_comp)
+        np.testing.assert_array_equal(fv_comp[:96], fv_full[np.sort(kp_idx)])
+        assert not fv_comp[96:].any()
+        np.testing.assert_allclose(
+            np.asarray(comp)[:96], np.asarray(full)[np.sort(kp_idx)],
+            rtol=0, atol=0,
+        )
+        assert np.all(np.asarray(comp)[96:] == 0.0)

@@ -204,3 +204,52 @@ def test_cluster_filter_rescues_repetitive_structure():
     # mutual-only matching must NOT find the pose here (else the fixture
     # stopped exercising the repetitive-structure failure mode)
     assert (not bool(out_off["converged"])) or float(r2) > 0.05
+
+
+def test_flagship_in_pass_compaction_matches(monkeypatch):
+    """big_n in-pass FPFH compaction (fpfh_pass kp_rows) must register the
+    same scene as the default post-hoc path, with matching pose."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _synthetic_scene_pair
+    from lidar_global_registration_tpu.models.flagship import (
+        FlagshipConfig,
+        register_pair_staged,
+    )
+    from lidar_global_registration_tpu.ops.transform import (
+        rotation_translation_error,
+    )
+
+    n = 32768
+    a, b, vp_a, vp_b = _synthetic_scene_pair(n)
+    spacing = float(np.sqrt(1150.0 / n))
+    args = (
+        jnp.asarray(a), jnp.ones((n,), bool), jnp.asarray(b), jnp.ones((n,), bool),
+        jax.random.PRNGKey(566),
+        jnp.float32(spacing * 4.0), jnp.float32(spacing * 2.0),
+        jnp.float32(spacing * 2.0), jnp.float32(spacing * 3.0),
+        jnp.float32(spacing * 3.0), jnp.float32(spacing * 8.0),
+        jnp.float32(spacing * 4.0),
+    )
+    kwargs = dict(vp_src=jnp.asarray(vp_a), vp_tgt=jnp.asarray(vp_b))
+    ang = 0.4
+    R = np.array(
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
+        np.float32,
+    )
+    t = np.array([2.0, -1.0, 0.5], np.float32)
+    T_gt = np.eye(4, dtype=np.float32)
+    T_gt[:3, :3] = R.T
+    T_gt[:3, 3] = -R.T @ t
+
+    monkeypatch.setenv("LGR_EARLY_COMPACT_N", "1")  # force big_n path
+    cfg = FlagshipConfig(rounds=8, hypothesis_batch=1024, use_iss=True,
+                         cluster_matching=True)
+    out = register_pair_staged(*args, cfg=cfg, **kwargs)
+    assert bool(out["converged"])
+    r_err, t_err = rotation_translation_error(
+        jnp.asarray(out["transformation"]), jnp.asarray(T_gt)
+    )
+    assert float(r_err) < 0.02, float(r_err)
+    assert float(t_err) < 8.0 * spacing, float(t_err)
