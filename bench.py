@@ -64,7 +64,7 @@ def _enable_compile_cache():
         pass
 
 
-def _derive_radii(a, b, valid_n):
+def _derive_radii(a, b, valid_n, valid_a=None, valid_b=None):
     """Density-derived parameters, reference auto-derivation semantics."""
     import jax.numpy as jnp
 
@@ -75,16 +75,17 @@ def _derive_radii(a, b, valid_n):
         Cloud,
     )
 
-    def _cloud(x):
+    def _cloud(x, v=None):
         x = jnp.asarray(x)
-        z = jnp.zeros((valid_n,), jnp.float32)
+        n_rows = x.shape[0]
+        z = jnp.zeros((n_rows,), jnp.float32)
         return Cloud(
             xyz=x, normal=jnp.zeros_like(x), weight=z + 1.0, curvature=z,
-            valid=jnp.ones((valid_n,), bool),
+            valid=jnp.ones((n_rows,), bool) if v is None else v,
         )
 
-    ca = _cloud(a)
-    cb = _cloud(b)
+    ca = _cloud(a, valid_a)
+    cb = _cloud(b, valid_b)
     ds = cloud_density(ca)
     dt = cloud_density(cb)
     d = max(ds, dt)
@@ -147,6 +148,29 @@ def run_step(n: int, repeats: int):
 
     radii = _derive_radii(a, b, n)
 
+    # Loader-equivalent fine pre-downsample (the reference ALWAYS voxels
+    # each scan at 2 x density before aligning, common.cpp:444-464); the
+    # registration params re-derive from the downsampled clouds exactly
+    # as the reference derives them post-load.  The per-repeat TIMED
+    # region includes the downsample, so the benched number is the full
+    # post-load pipeline on the raw N-point pair.
+    use_preds = use_iss and os.environ.get("LGR_BENCH_PREDS", "1") == "1"
+    if use_preds:
+        from lidar_global_registration_tpu.models.flagship import (
+            pre_downsample_pair,
+        )
+
+        vox_s = 2.0 * radii["density_src"]
+        vox_t = 2.0 * radii["density_tgt"]
+        sx, sv, tx, tv = pre_downsample_pair(
+            jnp.asarray(a), jnp.ones((n,), bool),
+            jnp.asarray(b), jnp.ones((n,), bool), vox_s, vox_t,
+        )
+        m_rows = sx.shape[0]
+        radii = _derive_radii(sx, tx, m_rows, valid_a=sv, valid_b=tv)
+        print(f"# pre-downsample: {n} -> {m_rows} rows/side "
+              f"(voxel {vox_s:.3f}/{vox_t:.3f})", file=sys.stderr)
+
     # known GT of both synthetic generators: q = R^T (p - t)
     ang = 0.4
     Rgt = np.array(
@@ -172,12 +196,7 @@ def run_step(n: int, repeats: int):
         # (data/tests.yaml: `descriptor: shot, lrf: gravity`)
         descriptor=os.environ.get("LGR_BENCH_DESC", "fpfh"),
     )
-    args = (
-        jnp.asarray(a),
-        jnp.ones((n,), bool),
-        jnp.asarray(b),
-        jnp.ones((n,), bool),
-        jax.random.PRNGKey(566),
+    floats = (
         # host floats: the staged path skips its device-scalar radii pull
         float(radii["normal_cell"]),
         float(radii["density_src"]),
@@ -188,18 +207,30 @@ def run_step(n: int, repeats: int):
         float(radii["thr"]),
     )
     kwargs = dict(vp_src=jnp.asarray(vp_a), vp_tgt=jnp.asarray(vp_b))
-    out = register_pair_staged(*args, cfg=cfg, **kwargs)
+    key = jax.random.PRNGKey(566)
+    a_dev = jnp.asarray(a)
+    b_dev = jnp.asarray(b)
+    ones = jnp.ones((n,), bool)
+
+    def _step(av):
+        if use_preds:
+            sx, sv, tx, tv = pre_downsample_pair(
+                av, ones, b_dev, ones, vox_s, vox_t
+            )
+        else:
+            sx, sv, tx, tv = av, ones, b_dev, ones
+        return register_pair_staged(sx, sv, tx, tv, key, *floats,
+                                    cfg=cfg, **kwargs)
+
+    out = _step(a_dev)
     jax.block_until_ready(out)  # compile + warmup
     # vary inputs per repeat: some runtimes replay-cache identical
     # (program, args) executions, which would fake sub-real timings
-    variants = []
-    for r in range(repeats):
-        eps = jnp.float32(1e-5 * (r + 1))
-        variants.append((args[0] + eps,) + args[1:])
+    variants = [a_dev + jnp.float32(1e-5 * (r + 1)) for r in range(repeats)]
     times, oks = [], []
     for r in range(repeats):
         t0 = time.perf_counter()
-        out = register_pair_staged(*variants[r], cfg=cfg, **kwargs)
+        out = _step(variants[r])
         # force a host transfer: block_until_ready returns before device
         # completion on some tunneled runtimes
         T = np.asarray(out["transformation"])
@@ -221,7 +252,10 @@ def run_step(n: int, repeats: int):
 
 
 def cpu_baseline(n: int) -> float:
-    key = f"cpu_{n}_v3"  # keyed per radii-derivation scheme
+    # keyed per derivation/preprocessing scheme (v4: loader-equivalent
+    # pre-downsample in ISS mode)
+    mode = "iss" if os.environ.get("LGR_BENCH_ISS", "0") == "1" else "any"
+    key = f"cpu_{n}_{mode}_v4"
     if os.path.exists(CACHE):
         try:
             cache = json.load(open(CACHE))

@@ -511,6 +511,55 @@ def _compact_rows(v, n, m: int):
     return jnp.where(jnp.arange(m) < n, idx, v.shape[0])
 
 
+@jax.jit
+def _pre_downsample_full(xyz, valid, voxel):
+    from lidar_global_registration_tpu.ops.downsample import voxel_downsample
+    from lidar_global_registration_tpu.types import Cloud
+
+    z = jnp.zeros((xyz.shape[0],), jnp.float32)
+    c = Cloud(xyz=xyz, normal=jnp.zeros_like(xyz), weight=z + 1.0,
+              curvature=z, valid=valid)
+    d = voxel_downsample(c, voxel)
+    return d.xyz, d.valid, jnp.sum(d.valid.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("m",))
+def _compact_xyz(xyz, valid, n, m: int):
+    n0 = xyz.shape[0]
+    sj = _compact_rows(valid, n, m)
+    g = jnp.minimum(sj, n0 - 1)
+    return xyz[g], valid[g] & (sj < n0)
+
+
+def pre_downsample_pair(src_xyz, src_valid, tgt_xyz, tgt_valid,
+                        voxel_src, voxel_tgt):
+    """Loader-equivalent fine pre-downsample for the staged path: the
+    reference ALWAYS voxel-downsamples each scan at
+    FINE_VOXEL_SIZE_COEFFICIENT (=2) x density before alignment
+    (loadPointClouds, common.cpp:444-464; pipeline.preprocess_cloud is
+    the host-path equivalent).  Returns compacted (xyz, valid) per side,
+    padded to a ~12.5% count quantum (ONE stacked count pull total).
+
+    At 10M points/side this is ALSO the dominant scale lever: a 2.5D
+    scan at spacing d keeps ~(d/voxel)^2 = 1/4 of its points, and every
+    downstream pass cost scales with the valid count."""
+    import numpy as np_
+
+    dx_s, dv_s, n_s_dev = _pre_downsample_full(
+        src_xyz, src_valid, jnp.float32(voxel_src)
+    )
+    dx_t, dv_t, n_t_dev = _pre_downsample_full(
+        tgt_xyz, tgt_valid, jnp.float32(voxel_tgt)
+    )
+    n_s, n_t = (int(x) for x in np_.asarray(jnp.stack([n_s_dev, n_t_dev])))
+    # one shared capacity: the staged path's compaction clamps assume
+    # equal row counts on both sides
+    m = max(_pad_quantum(n_s), _pad_quantum(n_t))
+    sx, sv = _compact_xyz(dx_s, dv_s, n_s, m)
+    tx, tv = _compact_xyz(dx_t, dv_t, n_t, m)
+    return sx, sv, tx, tv
+
+
 def register_pair_staged(
     src_xyz, src_valid, tgt_xyz, tgt_valid, key,
     normal_cell, density_cell_src, density_cell_tgt,

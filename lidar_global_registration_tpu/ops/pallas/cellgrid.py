@@ -1047,6 +1047,63 @@ def _round_up(n, mult):
     return ((n + mult - 1) // mult) * mult
 
 
+def _run_pass_sorted(cell_fn, meta, tab, packed, N, R_pad, C, SEG, n_out,
+                     k, prow, posb, interpret, extra_scratch=()):
+    """Run a pass and return its first k channels AT SORTED POINT ROWS
+    (f32[N, k]) — the layout every consumer actually wants.
+
+    Replaces (tposed pass + per-channel element gathers) at large N: the
+    fast [Rc, C, n_out->128-lane] block layout is run CHUNK by chunk over
+    the table rows (peak extra HBM <= LGR_CHUNK_GIB), and each chunk's
+    rows land in sorted order via ONE row gather + dynamic_update_slice.
+    Points of later chunks inside a chunk's fixed window get zeros that
+    the owning (later) chunk overwrites — chunk order is ascending and
+    block point ranges are monotone, so the final rows are exact.
+    Invalid/out-of-layout points read back garbage finite values; callers
+    mask with their kept masks exactly as for the other layouts."""
+    n_out_p = _round_up(n_out, 8)
+    chunk_gib = float(os.environ.get("LGR_CHUNK_GIB", "0.75"))
+    Rc = int((chunk_gib * 2**30) // (C * 512))
+    Rc = max(G_CELLS, (Rc // G_CELLS) * G_CELLS)
+    if Rc >= R_pad:
+        out = _run_pass(cell_fn, meta, tab, packed, R_pad, C, SEG, n_out,
+                        interpret, extra_scratch=extra_scratch, tposed=False)
+        flat = out.reshape(R_pad * C, n_out_p)
+        slot = jnp.clip(prow, 0, R_pad - 1) * C + posb
+        return flat[slot][:, :k]
+
+    n_chunks = -(-R_pad // Rc)
+    W = Rc * C
+    slot = jnp.clip(prow, 0, R_pad - 1) * C + posb
+    slot_pad = jnp.concatenate(
+        [slot, jnp.full((W,), jnp.int32(-1))]
+    ).astype(jnp.int32)
+    # chunk-invariant padded table: slice rows [c*Rc, c*Rc + Rc)
+    tab_pad = jnp.concatenate(
+        [tab, jnp.zeros((n_chunks * Rc - R_pad, TAB_LANES), tab.dtype)]
+    )
+    result0 = jnp.zeros((N + W, k), jnp.float32)
+
+    def body(c, result):
+        off = c * Rc
+        tab_c = jax.lax.dynamic_slice(tab_pad, (off, 0), (Rc, TAB_LANES))
+        meta_c = meta.at[1].set(
+            jnp.clip(meta[1] - jnp.float32(off), 0.0, jnp.float32(Rc))
+        )
+        out = _run_pass(cell_fn, meta_c, tab_c, packed, Rc, C, SEG, n_out,
+                        interpret, extra_scratch=extra_scratch, tposed=False)
+        flat = out.reshape(W, n_out_p)
+        base = tab_c[0, 32]  # sorted point offset of the chunk's first block
+        slot_w = jax.lax.dynamic_slice(slot_pad, (base,), (W,)) - off * C
+        in_rng = (slot_w >= 0) & (slot_w < W)
+        rows = flat[jnp.where(in_rng, slot_w, 0)][:, :k]
+        rows = jnp.where(in_rng[:, None], rows, 0.0)
+        return jax.lax.dynamic_update_slice(result, rows, (base, jnp.int32(0)))
+
+    result = jax.lax.fori_loop(0, n_chunks, body, result0)
+    return result[:N]
+
+
 # ---------------------------------------------------------------------------
 # eigen helper (shared by surface + ISS saliency)
 # ---------------------------------------------------------------------------
@@ -1476,12 +1533,38 @@ def _spfh_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
         b1, b2, b3, ok = _pair_feature_bins(qgeom, cc, bx, by, bz, r2)
         ok = ok & (jc < clen) & qvalid
         okf = ok.astype(jnp.float32)
+        oki = ok.astype(jnp.int32)
         acc[DIM:DIM + 1, :] += jnp.sum(okf, axis=0, keepdims=True)
+        # Packed-integer histogram: several bins ride bit-fields of one
+        # i32 lane, decoded every window (field capacity >= SEG = window
+        # length, so counts can never overflow), cutting the 11 masked
+        # [SEG, C] reductions per feature to 4 (or 6 at SEG = 1024).
+        # Integer adds are exact: the decoded counts are bit-identical
+        # to the per-bin reduction.
+        if cc.shape[0] <= 1023:
+            fields, bits = 3, 10
+        else:
+            fields, bits = 2, 15
+        n_groups = -(-NR_BINS // fields)
+        mask_f = (1 << bits) - 1
         for which, b in enumerate((b1, b2, b3)):
-            for k in range(NR_BINS):
-                acc[which * NR_BINS + k:which * NR_BINS + k + 1, :] += jnp.sum(
-                    jnp.where(b == k, okf, 0.0), axis=0, keepdims=True
-                )
+            if fields == 3:
+                g = (b * 11) >> 5  # == b // 3 for b in [0, 11)
+            else:
+                g = b >> 1
+            sh = (b - fields * g) * bits
+            v = oki << sh
+            for gi in range(n_groups):
+                p = jnp.sum(
+                    jnp.where(g == gi, v, 0), axis=0, keepdims=True
+                )  # [1, C] i32: `fields` packed bin counts
+                for f in range(fields):
+                    k = fields * gi + f
+                    if k >= NR_BINS:
+                        break
+                    acc[which * NR_BINS + k:which * NR_BINS + k + 1, :] += (
+                        (p >> (bits * f)) & mask_f
+                    ).astype(jnp.float32)
         return 0
 
     fold(body, 0)
@@ -1579,21 +1662,25 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
         tposed = _tposed_out(R_pad, C)
     out = {}
 
+    kept_i = vs & (prow >= 0) & (prow < R_pad)
+
+    def _sorted(cell_fn, meta, tab_p, pk, k, n_out=8):
+        # chunked fast-layout runner: sorted-order rows without the tposed
+        # layout's per-channel full-N element gathers
+        return jnp.where(
+            kept_i[:, None],
+            _run_pass_sorted(cell_fn, meta, tab_p, pk, N, R_pad, C, SEG,
+                             n_out, k, prow, posb, interpret),
+            0.0,
+        )
+
     if do_iss:
         meta = jnp.stack([iss_r2, nrows_f, gamma21, gamma32,
                           jnp.float32(min_neighbors)])
-        o1 = _run_pass(_iss_count_cell, meta, tab, packed, R_pad, C, SEG, 8,
-                       interpret, tposed=tposed)
-        counts_sorted, _ = _slot_gather(
-            o1[:, 0, :] if tposed else o1[:, :, 0], prow, posb, vs, R_pad, C
-        )
+        counts_sorted = _sorted(_iss_count_cell, meta, tab, packed, 1)[:, 0]
         packed = packed.at[:N, CH_EXTRA].set(counts_sorted)
 
-        o2 = _run_pass(_iss_saliency_cell, meta, tab, packed, R_pad, C, SEG, 8,
-                       interpret, tposed=tposed)
-        slot_i = jnp.clip(prow, 0, R_pad - 1) * C + posb
-        kept_i = vs & (prow >= 0) & (prow < R_pad)
-        rows2 = _rows_at_slots(o2, 2, slot_i, kept_i, tposed)
+        rows2 = _sorted(_iss_saliency_cell, meta, tab, packed, 2)
         sal_sorted, ok_sorted = rows2[:, 0], rows2[:, 1]
         packed = packed.at[:N, CH_SAL].set(sal_sorted)
         packed = packed.at[:N, CH_OK].set(ok_sorted)
@@ -1602,11 +1689,7 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
         # q_ok); blocks without a single survivor skip entirely
         tab_nms = _retab(tab, state, C, R_pad, need_sorted=(ok_sorted > 0.5),
                          packed=packed_rows, layout=layout)
-        o3 = _run_pass(_iss_nms_cell, meta, tab_nms, packed, R_pad, C, SEG, 8,
-                       interpret, tposed=tposed)
-        kp_sorted, _ = _slot_gather(
-            o3[:, 0, :] if tposed else o3[:, :, 0], prow, posb, vs, R_pad, C
-        )
+        kp_sorted = _sorted(_iss_nms_cell, meta, tab_nms, packed, 1)[:, 0]
         valid_o_i = vs[inv]
         kp_input = (kp_sorted[inv] > 0.5) & valid_o_i
         out.update(
@@ -1630,14 +1713,11 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
                            packed=packed_rows, layout=layout)
         meta = jnp.stack([normal_r2, nrows_f, jnp.float32(0), jnp.float32(0),
                           jnp.float32(0)])
-        srf = _run_pass(_surface_cell, meta, tab_s, packed, R_pad, C, SEG,
-                        N_CH_SURF, interpret, tposed=tposed)
-        # ONE row gather for all 10 channels (element gathers are ~100x off
-        # speed-of-light on this hardware; rows ~7x faster — BASELINE.md);
-        # the tposed layout pays per-channel gathers to stay within HBM
-        slot = jnp.clip(prow, 0, R_pad - 1) * C + posb
-        kept = vs & (prow >= 0) & (prow < R_pad)
-        rows_s = _rows_at_slots(srf, 10, slot, kept, tposed)[inv]
+        # ONE row gather for all 10 channels per chunk (element gathers are
+        # ~100x off speed-of-light on this hardware; rows ~7x faster —
+        # BASELINE.md); chunking replaces the tposed per-channel gathers
+        rows_s = _sorted(_surface_cell, meta, tab_s, packed, 10,
+                         n_out=N_CH_SURF)[inv]
         (nx, ny, nz, curv, l0, l1, l2, cnt, dmin, nnid_f) = (
             rows_s[:, ch] for ch in range(10)
         )
@@ -1706,31 +1786,47 @@ def _fpfh_impl(state, r2, C, SEG, R_pad, interpret, kp=None,
                           packed=packed_rows, layout=layout)
     if tposed is None:
         tposed = _tposed_out(R_pad, C)
-    spfh = _run_pass(
-        _spfh_cell, meta, tab_spfh, packed, R_pad, C, SEG, DIM + 1, interpret,
-        extra_scratch=(pltpu.VMEM((DIM + 1, C), jnp.float32),),
-        tposed=tposed,
-    )
-    # write each point's SPFH into its packed lanes for the combine pass
     slot = jnp.clip(prow, 0, R_pad - 1) * C + posb
     kept = vs & (prow >= 0) & (prow < R_pad)
-    spfh_sorted = _rows_at_slots(spfh, DIM, slot, kept, tposed)
+    # write each point's SPFH into its packed lanes for the combine pass;
+    # the chunked sorted-rows runner keeps peak HBM bounded WITHOUT the
+    # tposed layout's 33 per-channel full-N element gathers
+    spfh_sorted = jnp.where(
+        kept[:, None],
+        _run_pass_sorted(
+            _spfh_cell, meta, tab_spfh, packed, N, R_pad, C, SEG, DIM + 1,
+            DIM, prow, posb, interpret,
+            extra_scratch=(pltpu.VMEM((DIM + 1, C), jnp.float32),),
+        ),
+        0.0,
+    )
     packed = packed.at[:N, CH_EXTRA:CH_EXTRA + DIM].set(spfh_sorted)
 
-    outp = _run_pass(
-        _combine_cell, meta, tab_comb, packed, R_pad, C, SEG, DIM + 1, interpret,
-        extra_scratch=(pltpu.VMEM((DIM + 1, C), jnp.float32),),
-        tposed=tposed,
-    )
     inv = _inverse_perm(order)
     if kp_rows is not None:
+        # compacted consumer: only M keypoint rows are read back, so the
+        # memory-light tposed layout's element gathers are cheap here
+        outp = _run_pass(
+            _combine_cell, meta, tab_comb, packed, R_pad, C, SEG, DIM + 1,
+            interpret,
+            extra_scratch=(pltpu.VMEM((DIM + 1, C), jnp.float32),),
+            tposed=tposed,
+        )
         srt = inv[jnp.minimum(kp_rows, N - 1)]
         feats_kp = _rows_at_slots(outp, DIM + 1, slot[srt],
                                   kept[srt] & (kp_rows < N), tposed)
         feat = feats_kp[:, :DIM]
         feat_valid = (kp_rows < N) & kept[srt] & (feats_kp[:, DIM] > 0)
         return jnp.where(feat_valid[:, None], feat, 0.0), feat_valid
-    feats_sorted = _rows_at_slots(outp, DIM + 1, slot, kept, tposed)
+    feats_sorted = jnp.where(
+        kept[:, None],
+        _run_pass_sorted(
+            _combine_cell, meta, tab_comb, packed, N, R_pad, C, SEG, DIM + 1,
+            DIM + 1, prow, posb, interpret,
+            extra_scratch=(pltpu.VMEM((DIM + 1, C), jnp.float32),),
+        ),
+        0.0,
+    )
     feats = feats_sorted[inv]
     feat = feats[:, :DIM]
     k_cnt = feats[:, DIM]

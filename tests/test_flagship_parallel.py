@@ -253,3 +253,63 @@ def test_flagship_in_pass_compaction_matches(monkeypatch):
     )
     assert float(r_err) < 0.02, float(r_err)
     assert float(t_err) < 8.0 * spacing, float(t_err)
+
+
+def test_pre_downsample_pair_registers():
+    """Loader-equivalent pre-downsample (reference common.cpp:444-464):
+    the compacted 2x-density pair must still register with the correct
+    pose, and the compaction must keep every voxel centroid."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _synthetic_scene_pair
+    from lidar_global_registration_tpu.models.flagship import (
+        FlagshipConfig,
+        pre_downsample_pair,
+        register_pair_staged,
+    )
+    from lidar_global_registration_tpu.ops.transform import (
+        rotation_translation_error,
+    )
+
+    n = 32768
+    a, b, vp_a, vp_b = _synthetic_scene_pair(n)
+    spacing = float(np.sqrt(1150.0 / n))
+    ones = jnp.ones((n,), bool)
+    sx, sv, tx, tv = pre_downsample_pair(
+        jnp.asarray(a), ones, jnp.asarray(b), ones,
+        2.0 * spacing, 2.0 * spacing,
+    )
+    m = sx.shape[0]
+    n_s = int(np.asarray(jnp.sum(sv.astype(jnp.int32))))
+    assert 0 < n_s <= m < n  # genuinely downsampled, correctly padded
+    assert sx.shape == tx.shape
+
+    sp2 = spacing * 2.0  # downsampled spacing
+    args = (
+        sx, sv, tx, tv, jax.random.PRNGKey(566),
+        jnp.float32(sp2 * 4.0), jnp.float32(sp2 * 2.0),
+        jnp.float32(sp2 * 2.0), jnp.float32(sp2 * 3.0),
+        jnp.float32(sp2 * 3.0), jnp.float32(sp2 * 8.0),
+        jnp.float32(sp2 * 4.0),
+    )
+    kwargs = dict(vp_src=jnp.asarray(vp_a), vp_tgt=jnp.asarray(vp_b))
+    ang = 0.4
+    R = np.array(
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
+        np.float32,
+    )
+    t = np.array([2.0, -1.0, 0.5], np.float32)
+    T_gt = np.eye(4, dtype=np.float32)
+    T_gt[:3, :3] = R.T
+    T_gt[:3, 3] = -R.T @ t
+
+    cfg = FlagshipConfig(rounds=8, hypothesis_batch=1024, use_iss=True,
+                         cluster_matching=True)
+    out = register_pair_staged(*args, cfg=cfg, **kwargs)
+    assert bool(out["converged"])
+    r_err, t_err = rotation_translation_error(
+        jnp.asarray(out["transformation"]), jnp.asarray(T_gt)
+    )
+    assert float(r_err) < 0.03, float(r_err)
+    assert float(t_err) < 8.0 * sp2, float(t_err)
