@@ -156,3 +156,72 @@ def test_surface_area_estimate(rng):
     sph = (2.0 * d).astype(np.float32)
     area_s = surface_area(Cloud.from_numpy(sph))
     assert abs(area_s - 4 * np.pi * 4) / (4 * np.pi * 4) < 0.15, area_s
+
+
+def test_voxel_centroids_matches_voxel_downsample():
+    """The xyz-only fast path (loader pre-downsample) must equal the full
+    weighted accumulator on unit-weight, normal-free clouds."""
+    import numpy as np
+    import jax.numpy as jnp
+    from lidar_global_registration_tpu.ops.downsample import (
+        voxel_centroids,
+        voxel_downsample,
+    )
+    from lidar_global_registration_tpu.types import Cloud
+
+    rng = np.random.default_rng(3)
+    N, pad = 5000, 5120
+    xyz = jnp.zeros((pad, 3), jnp.float32).at[:N].set(
+        jnp.asarray(rng.uniform(0, 9, size=(N, 3)).astype(np.float32))
+    )
+    valid = jnp.arange(pad) < N
+    z = jnp.zeros((pad,), jnp.float32)
+    c = Cloud(xyz=xyz, normal=jnp.zeros_like(xyz), weight=z + 1.0,
+              curvature=z, valid=valid)
+    ref = voxel_downsample(c, 0.7)
+    got_xyz, got_valid, got_n = voxel_centroids(xyz, valid, 0.7)
+    np.testing.assert_array_equal(np.asarray(got_valid), np.asarray(ref.valid))
+    np.testing.assert_allclose(
+        np.asarray(got_xyz)[np.asarray(ref.valid)],
+        np.asarray(ref.xyz)[np.asarray(ref.valid)], rtol=0, atol=1e-6,
+    )
+    assert int(got_n) == int(jnp.sum(ref.valid.astype(jnp.int32)))
+
+
+def test_voxel_centroids_packed_matches():
+    """Packed single-key sort path == 3-key lexsort path (the loader
+    pre-downsample fast path), including through the host wrapper."""
+    import numpy as np
+    import jax.numpy as jnp
+    from lidar_global_registration_tpu.models.flagship import (
+        _aabb_pair,
+        _voxel_bits,
+    )
+    from lidar_global_registration_tpu.ops.downsample import (
+        voxel_centroids,
+        voxel_centroids_packed,
+    )
+
+    rng = np.random.default_rng(5)
+    N = 4096
+    xyz = jnp.asarray(
+        np.column_stack([
+            rng.uniform(0, 11, N), rng.uniform(0, 7, N), rng.uniform(0, 2, N)
+        ]).astype(np.float32)
+    )
+    valid = jnp.arange(N) < N - 128  # masked tail
+    voxel = 0.55
+    ref_xyz, ref_valid, ref_n = voxel_centroids(xyz, valid, voxel)
+    aabb = np.asarray(_aabb_pair(xyz, valid, xyz, valid))
+    bits = _voxel_bits(aabb[0, 0], aabb[0, 1], voxel)
+    assert bits is not None
+    origin = jnp.asarray(aabb[0, 0] - 0.5 * voxel, jnp.float32)
+    got_xyz, got_valid, got_n = voxel_centroids_packed(
+        xyz, valid, voxel, origin, bits
+    )
+    assert int(got_n) == int(ref_n)
+    np.testing.assert_array_equal(np.asarray(got_valid), np.asarray(ref_valid))
+    np.testing.assert_allclose(
+        np.asarray(got_xyz)[np.asarray(ref_valid)],
+        np.asarray(ref_xyz)[np.asarray(ref_valid)], rtol=0, atol=1e-5,
+    )
