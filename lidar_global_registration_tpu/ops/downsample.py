@@ -67,13 +67,22 @@ def voxel_centroids(xyz, valid, voxel_size):
 def voxel_centroids_packed(xyz, valid, voxel_size, origin, bits):
     """voxel_centroids with the voxel coordinate packed into ONE int32
     sort key (static per-axis bit widths, like the cell-grid planner's
-    _lex_keys): a single-key+payload lax.sort replaces the 3-key
-    lexsort — measured ~2x on the 10.5M-point loader pre-downsample.
+    _lex_keys), carrying x/y/z through the sort as payload and reducing
+    each voxel's run with a segmented suffix-sum by prefix doubling —
+    no gather-by-order, no scatter.  Measured on a v5e at 10.5M rows the
+    old sort+(order gather)+segment_sum formulation cost 1.22 s of which
+    the sort itself was only 0.05 s; the doubling reduce is ~log2(N)
+    fused elementwise passes (tools/profile_predown.py).
+
     `origin` is the precomputed `min - voxel/2` bound (host-derived from
-    a pulled AABB, which also sized `bits`).  Same centroid values as
-    voxel_centroids: the key order within a voxel differs, but segment
-    sums are order-insensitive to 1-ulp reassociation; validity and
-    counts are exact."""
+    a pulled AABB, which also sized `bits`).  Coordinates are summed as
+    residuals against the voxel base decoded from the sort key, so the
+    summation error is ~ulp(voxel), independent of scene extent.
+
+    Output rows sit at each voxel run's FIRST sorted position (key
+    order, NOT compacted to the front); `out_valid` marks them and the
+    caller compacts (flagship._compact_xyz).  Ref: downsample.cpp:5-41.
+    """
     bx, by, bz = bits
     voxel = jnp.asarray(voxel_size, jnp.float32)
     N = xyz.shape[0]
@@ -83,22 +92,46 @@ def voxel_centroids_packed(xyz, valid, voxel_size, origin, bits):
     cy = jnp.clip(cf[:, 1], 0, (1 << by) - 1).astype(jnp.int32)
     cz = jnp.clip(cf[:, 2], 0, (1 << bz) - 1).astype(jnp.int32)
     # z-major like voxel_centroids' lexsort((cx, cy, cz)) (last key is
-    # primary), so both paths emit voxels in the SAME row order
+    # primary), so both paths emit voxels in the SAME order
     key = (cz << (by + bx)) | (cy << bx) | cx
     key = jnp.where(valid, key, jnp.int32(1 << 30))
-    iota = jnp.arange(N, dtype=jnp.int32)
-    ks, order = jax.lax.sort((key, iota), num_keys=1)
+    ks, sx, sy, sz = jax.lax.sort(
+        (key, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=1)
     svalid = ks < (1 << 30)
-    first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
-    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    # voxel base from the key: residuals live in [0, voxel)
+    kx = (ks & ((1 << bx) - 1)).astype(jnp.float32)
+    ky = ((ks >> bx) & ((1 << by) - 1)).astype(jnp.float32)
+    kz = ((ks >> (bx + by)) & ((1 << bz) - 1)).astype(jnp.float32)
+    bxr = origin[0] + kx * voxel
+    byr = origin[1] + ky * voxel
+    bzr = origin[2] + kz * voxel
     w = svalid.astype(jnp.float32)
-    xyz_s = xyz[order] * w[:, None]
-    acc_w = jax.ops.segment_sum(w, seg, num_segments=N)
-    acc_xyz = jax.ops.segment_sum(xyz_s, seg, num_segments=N)
-    out_valid = acc_w > 0
+    rx = (sx - bxr) * w
+    ry = (sy - byr) * w
+    rz = (sz - bzr) * w
+    # segmented suffix-sum: s_i += s_{i+d} while key[i+d]==key[i];
+    # after ceil(log2(N)) doublings, s at a run's first row is the run
+    # total (runs are contiguous equal-key spans).  Invalid rows share
+    # one tail run with w=0 contributions.
+    d = 1
+    while d < N:
+        same = jnp.concatenate(
+            [ks[d:] == ks[:-d], jnp.zeros((d,), bool)])
+
+        def _sh(a, d=d):
+            return jnp.concatenate([a[d:], jnp.zeros((d,), a.dtype)])
+
+        w = w + jnp.where(same, _sh(w), 0.0)
+        rx = rx + jnp.where(same, _sh(rx), 0.0)
+        ry = ry + jnp.where(same, _sh(ry), 0.0)
+        rz = rz + jnp.where(same, _sh(rz), 0.0)
+        d *= 2
+    first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    out_valid = first & svalid
+    inv = 1.0 / jnp.maximum(w, 1e-30)
     out_xyz = jnp.where(
         out_valid[:, None],
-        acc_xyz / jnp.maximum(acc_w, 1e-30)[:, None],
+        jnp.stack([bxr + rx * inv, byr + ry * inv, bzr + rz * inv], -1),
         Cloud.PAD_COORD,
     )
     return out_xyz, out_valid, jnp.sum(out_valid.astype(jnp.int32))
