@@ -61,6 +61,15 @@ class FlagshipConfig:
     # descriptors are only consumed at keypoint rows (the reference computes
     # features on keypoint clouds only, feature_analysis.cpp); parity:
     # tests/test_cell_masked.py
+    feature_scale: bool = True  # staged ISS+FPFH path: compute descriptors on
+    # a per-scale voxel surface (voxel = sqrt(pi r^2 / FEATURE_NR), so a
+    # feature disk holds ~FEATURE_NR points) with normals re-estimated at
+    # that scale — the reference pyramid's per-level semantics
+    # (matching.h:229-261) instead of the raw working cloud.  Each
+    # keypoint's descriptor is snapped to its voxel centroid row (<=
+    # voxel/2 offset, correspondence POSITIONS stay exact); engages only
+    # when the voxel surface actually shrinks the cloud (see the gate in
+    # register_pair_staged).  LGR_FEATURE_SCALE=0 disables.
     cluster_matching: bool = True  # staged ISS path: spatial-consensus filter
     cluster_k: int = 40  # MATCHING_CLUSTER_K (common.h:49)
     cluster_threshold: float = 0.95  # MATCHING_CLUSTER_THRESHOLD
@@ -768,7 +777,142 @@ def register_pair_staged(
 
     shot_mode = cfg.descriptor == "shot"
     masked = use_cells and cfg.use_iss and cfg.masked_features
-    if masked:
+    from lidar_global_registration_tpu.types import FEATURE_NR_POINTS as _FNR
+
+    _voxel_f = float(np.sqrt(np.pi * feature_radius**2 / _FNR))
+    fs_mode = (
+        masked
+        and not shot_mode
+        and cfg.cluster_matching
+        and cfg.feature_scale
+        # cheap host pre-gate: when the per-scale voxel is below the k=2
+        # density quantile the downsample merges almost nothing (density
+        # overestimates spacing 2-3x on real scans, so derived radii pass
+        # comfortably); the exact n_small gate below still decides
+        and _voxel_f >= 0.9 * max(density_cell_src, density_cell_tgt)
+        and os.environ.get("LGR_FEATURE_SCALE", "1") != "0"
+    )
+    fs_done = False
+    if fs_mode:
+        # Feature-scale FPFH: the reference pyramid computes each level's
+        # descriptors on a cloud DOWNSAMPLED to voxel = sqrt(pi r^2 / n)
+        # with normals re-estimated at that scale, so a feature disk holds
+        # ~n = FEATURE_NR points (matching.h:229-261, common.h:56).  The
+        # raw working cloud at the derived feature radius holds many times
+        # that (the radius formula assumes spacing = density, a 2-3x
+        # overestimate on real scans), so the SPFH pass pays an
+        # occupancy^2-shaped pair product for no extra recall.  Pipeline:
+        #   ISS on the working cloud (exact keypoint positions)
+        #   -> voxel surface per side + ONE stacked 6-grid plan pull
+        #   -> normals at the feature scale (NORMAL_NR-point disks)
+        #   -> FPFH at each keypoint's voxel centroid row (kp_rows).
+        # Correspondence positions stay the exact keypoints; only the
+        # descriptor is evaluated <= voxel/2 away, like the reference's
+        # per-level voxel snap of the search surface.
+        try:
+            from lidar_global_registration_tpu.ops.downsample import (
+                voxel_centroids_map,
+            )
+            from lidar_global_registration_tpu.ops.pallas.cellgrid import (
+                fpfh_pass,
+                iss_pass,
+                plan_grid_many,
+                set_normals,
+                surface_pass,
+            )
+            from lidar_global_registration_tpu.types import (
+                FEATURE_NR_POINTS,
+                NORMAL_NR_POINTS,
+            )
+
+            import numpy as np_
+
+            N_all_ = src_valid.shape[0]
+            voxel_f = float(
+                np.sqrt(np.pi * feature_radius**2 / FEATURE_NR_POINTS)
+            )
+            # NORMAL_NR-point disks on a grid of spacing voxel_f
+            normal_f = float(np.sqrt(NORMAL_NR_POINTS / np.pi)) * voxel_f
+            sm_xyz_s, sm_v_s, row_of_s, n_sm_s_dev = voxel_centroids_map(
+                src_xyz, src_valid, voxel_f
+            )
+            sm_xyz_t, sm_v_t, row_of_t, n_sm_t_dev = voxel_centroids_map(
+                tgt_xyz, tgt_valid, voxel_f
+            )
+            z_s = jnp.zeros_like(src_xyz)
+            z_t = jnp.zeros_like(tgt_xyz)
+            zs_s = jnp.zeros_like(sm_xyz_s)
+            zs_t = jnp.zeros_like(sm_xyz_t)
+            pi_s, pi_t, pns_s, pfs_s, pns_t, pfs_t = plan_grid_many([
+                (src_xyz, z_s, src_valid, iss_radius_src),
+                (tgt_xyz, z_t, tgt_valid, iss_radius_tgt),
+                (sm_xyz_s, zs_s, sm_v_s, normal_f),
+                (sm_xyz_s, zs_s, sm_v_s, feature_radius),
+                (sm_xyz_t, zs_t, sm_v_t, normal_f),
+                (sm_xyz_t, zs_t, sm_v_t, feature_radius),
+            ])
+            src_kp, _sal_s = _t("side_src", iss_pass(pi_s, iss_radius_src))
+            tgt_kp, _sal_t = _t("side_tgt", iss_pass(pi_t, iss_radius_tgt))
+            # ONE stacked pull: both keypoint counts + both surface sizes
+            cnt = np_.asarray(jnp.stack([
+                jnp.sum(src_kp.astype(jnp.int32)),
+                jnp.sum(tgt_kp.astype(jnp.int32)),
+                n_sm_s_dev,
+                n_sm_t_dev,
+            ]))
+            n_kp_s, n_kp_t, n_sm_s, n_sm_t = (int(x) for x in cnt)
+            if not (0 < n_kp_s <= N_all_ // 2 and 0 < n_kp_t <= N_all_ // 2):
+                raise ValueError(
+                    f"kp counts {n_kp_s}/{n_kp_t} of {N_all_} rows outside "
+                    "the compaction precondition"
+                )
+            if max(n_sm_s, n_sm_t) > 0.8 * max(pi_s.n_valid, pi_t.n_valid):
+                raise ValueError(
+                    f"voxel surface {max(n_sm_s, n_sm_t)} rows would not "
+                    f"shrink the {max(pi_s.n_valid, pi_t.n_valid)}-row cloud"
+                )
+
+            def _fs_side(kp, n_kp, row_of, pns, pfs, vp, which):
+                m = _pad_quantum(n_kp)
+                sj = _compact_rows(kp, n_kp, m)
+                rows_small = jnp.where(
+                    sj < N_all_,
+                    row_of[jnp.minimum(sj, N_all_ - 1)],
+                    N_all_,
+                )
+                kp_small = (
+                    jnp.zeros((N_all_,), bool)
+                    .at[rows_small]
+                    .set(True, mode="drop")
+                )
+                normal_sm = surface_pass(pns, normal_f, viewpoint=vp)[0]
+                featc, fvc = _t(f"fpfh_{which}", fpfh_pass(
+                    set_normals(pfs, normal_sm), feature_radius,
+                    kp=kp_small, kp_rows=rows_small,
+                ))
+                g = jnp.minimum(sj, N_all_ - 1)
+                v = (jnp.arange(m) < n_kp) & fvc
+                return n_kp, sj, g, v, featc
+
+            ec_q = _fs_side(src_kp, n_kp_s, row_of_s, pns_s, pfs_s,
+                            vp_src, "src")
+            ec_t = _fs_side(tgt_kp, n_kp_t, row_of_t, pns_t, pfs_t,
+                            vp_tgt, "tgt")
+            # thresholds: cluster mode (guaranteed by the fs_mode gate)
+            # overwrites density at every keypoint row with the
+            # keypoint-cloud density below; rows outside keypoints are
+            # never read, and a zero density falls back to distance_thr
+            # in _correspondence_stage
+            dens_s = jnp.zeros((N_all_,), jnp.float32)
+            dens_t = jnp.zeros((N_all_,), jnp.float32)
+            src_normal = tgt_normal = None
+            fq = ft = None
+            fq_valid, ft_valid = src_kp, tgt_kp
+            fs_done = True
+        except ValueError as e:
+            print(f"# feature-scale FPFH -> classic masked path: {e}",
+                  flush=True)
+    if masked and not fs_done:
         # Per-side side+descriptor sequencing: the BIG per-pass buffers
         # (packed lanes + block outputs, ~0.7 KB/point) live only inside
         # each pass's jit, so finishing a side's FPFH before starting the
@@ -889,7 +1033,7 @@ def register_pair_staged(
             print(f"# masked side pass -> unmasked fallback: {e}", flush=True)
             masked = False
             ec_q = ec_t = None
-    else:
+    elif not fs_done:
         ec_q = ec_t = None
     fused_any = False
     if not masked and use_cells and not cfg.use_iss and not shot_mode:

@@ -63,6 +63,59 @@ def voxel_centroids(xyz, valid, voxel_size):
     return out_xyz, out_valid, jnp.sum(out_valid.astype(jnp.int32))
 
 
+@jax.jit
+def voxel_centroids_map(xyz, valid, voxel_size):
+    """voxel_centroids + an input-row -> output-row map.
+
+    Returns (out_xyz f32[N,3], out_valid bool[N], row_of i32[N],
+    n_valid i32[]).  `row_of[i]` is the output row holding the centroid
+    of input row i's voxel (only meaningful where valid[i]); output rows
+    are the voxel segments compacted to the front in key order.  Invalid
+    output rows hold 0.0 (NOT Cloud.PAD_COORD: the cell-grid planner
+    masks by `valid`, and a 1e18 sentinel would not survive intermediate
+    arithmetic everywhere).
+
+    This is the per-scale descriptor surface of the reference's pyramid
+    (matching.h:229-261: downsample to voxel = sqrt(pi r^2/n), recompute
+    normals, compute descriptors there); `row_of` snaps each keypoint to
+    its voxel's centroid row so descriptors can be gathered per keypoint
+    without a neighbor search."""
+    voxel = jnp.asarray(voxel_size, jnp.float32)
+    N = xyz.shape[0]
+    big = jnp.float32(3.0e37)
+    masked = jnp.where(valid[:, None], xyz, big)
+    minb = jnp.min(masked, axis=0)
+    minb = jnp.where(jnp.isfinite(minb), minb, 0.0)
+    origin = minb - 0.5 * voxel
+    ref = (xyz - origin) / jnp.maximum(voxel, 1e-30)
+    c = jnp.clip(jnp.floor(ref), 0, _COORD_CLIP).astype(jnp.int32)
+    cx = jnp.where(valid, c[:, 0], _COORD_CLIP + 1)
+    cy = jnp.where(valid, c[:, 1], _COORD_CLIP + 1)
+    cz = jnp.where(valid, c[:, 2], _COORD_CLIP + 1)
+    order = jnp.lexsort((cx, cy, cz)).astype(jnp.int32)
+    sx, sy, sz = cx[order], cy[order], cz[order]
+    svalid = valid[order]
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1]),
+        ]
+    )
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    w = svalid.astype(jnp.float32)
+    xyz_s = xyz[order] * w[:, None]
+    acc_w = jax.ops.segment_sum(w, seg, num_segments=N)
+    acc_xyz = jax.ops.segment_sum(xyz_s, seg, num_segments=N)
+    out_valid = acc_w > 0
+    out_xyz = jnp.where(
+        out_valid[:, None],
+        acc_xyz / jnp.maximum(acc_w, 1e-30)[:, None],
+        0.0,
+    )
+    row_of = jnp.zeros((N,), jnp.int32).at[order].set(seg)
+    return out_xyz, out_valid, row_of, jnp.sum(out_valid.astype(jnp.int32))
+
+
 @partial(jax.jit, static_argnames=("bits",))
 def voxel_centroids_packed(xyz, valid, voxel_size, origin, bits):
     """voxel_centroids with the voxel coordinate packed into ONE int32
