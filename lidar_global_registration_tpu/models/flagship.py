@@ -720,7 +720,8 @@ def register_pair_staged(
         )
         return normal, kp, density
 
-    def _shot_stage(kp_xyz, kp_normal, kpv, surf_xyz, surf_normal, surf_valid):
+    def _shot_stage(kp_xyz, kp_normal, kpv, surf_xyz, surf_normal,
+                    surf_valid, spacing=None):
         """SHOT-352 at (compacted) keypoints over the full-cloud support
         (shot_debug.cpp:24-219).  cfg.lrf='gravity': z = keypoint normal,
         y = gravity x z (common.cpp:712-734), with the SHOT-LRF fallback for
@@ -743,9 +744,10 @@ def register_pair_staged(
         # expected occupancy is (radius / spacing)^2 for a 2.5D scan.
         cap = cfg.shot_cap
         try:
-            spacing = max(float(density_cell_src), float(density_cell_tgt),
-                          1e-9)
-            occ = 4.0 * (float(feature_radius) / spacing) ** 2
+            if spacing is None:
+                spacing = max(float(density_cell_src),
+                              float(density_cell_tgt), 1e-9)
+            occ = 4.0 * (float(feature_radius) / float(spacing)) ** 2
             cap = int(min(2048, max(cfg.shot_cap, 2 ** int(np.ceil(
                 np.log2(max(occ, 1.0)))))))
         except (TypeError, jax.errors.TracerArrayConversionError):
@@ -782,7 +784,6 @@ def register_pair_staged(
     _voxel_f = float(np.sqrt(np.pi * feature_radius**2 / _FNR))
     fs_mode = (
         masked
-        and not shot_mode
         and cfg.cluster_matching
         and cfg.feature_scale
         # cheap host pre-gate: when the per-scale voxel is below the k=2
@@ -794,7 +795,7 @@ def register_pair_staged(
     )
     fs_done = False
     if fs_mode:
-        # Feature-scale FPFH: the reference pyramid computes each level's
+        # Feature-scale descriptors: the reference pyramid computes each level's
         # descriptors on a cloud DOWNSAMPLED to voxel = sqrt(pi r^2 / n)
         # with normals re-estimated at that scale, so a feature disk holds
         # ~n = FEATURE_NR points (matching.h:229-261, common.h:56).  The
@@ -843,14 +844,25 @@ def register_pair_staged(
             z_t = jnp.zeros_like(tgt_xyz)
             zs_s = jnp.zeros_like(sm_xyz_s)
             zs_t = jnp.zeros_like(sm_xyz_t)
-            pi_s, pi_t, pns_s, pfs_s, pns_t, pfs_t = plan_grid_many([
-                (src_xyz, z_s, src_valid, iss_radius_src),
-                (tgt_xyz, z_t, tgt_valid, iss_radius_tgt),
-                (sm_xyz_s, zs_s, sm_v_s, normal_f),
-                (sm_xyz_s, zs_s, sm_v_s, feature_radius),
-                (sm_xyz_t, zs_t, sm_v_t, normal_f),
-                (sm_xyz_t, zs_t, sm_v_t, feature_radius),
-            ])
+            if shot_mode:
+                # SHOT does its own radius query over the raw small-surface
+                # arrays (ops/shot.py): no feature-radius cell plan needed
+                pi_s, pi_t, pns_s, pns_t = plan_grid_many([
+                    (src_xyz, z_s, src_valid, iss_radius_src),
+                    (tgt_xyz, z_t, tgt_valid, iss_radius_tgt),
+                    (sm_xyz_s, zs_s, sm_v_s, normal_f),
+                    (sm_xyz_t, zs_t, sm_v_t, normal_f),
+                ])
+                pfs_s = pfs_t = None
+            else:
+                pi_s, pi_t, pns_s, pfs_s, pns_t, pfs_t = plan_grid_many([
+                    (src_xyz, z_s, src_valid, iss_radius_src),
+                    (tgt_xyz, z_t, tgt_valid, iss_radius_tgt),
+                    (sm_xyz_s, zs_s, sm_v_s, normal_f),
+                    (sm_xyz_s, zs_s, sm_v_s, feature_radius),
+                    (sm_xyz_t, zs_t, sm_v_t, normal_f),
+                    (sm_xyz_t, zs_t, sm_v_t, feature_radius),
+                ])
             src_kp, _sal_s = _t("side_src", iss_pass(pi_s, iss_radius_src))
             tgt_kp, _sal_t = _t("side_tgt", iss_pass(pi_t, iss_radius_tgt))
             # ONE stacked pull: both keypoint counts + both surface sizes
@@ -872,7 +884,8 @@ def register_pair_staged(
                     f"shrink the {max(pi_s.n_valid, pi_t.n_valid)}-row cloud"
                 )
 
-            def _fs_side(kp, n_kp, row_of, pns, pfs, vp, which):
+            def _fs_side(kp, n_kp, row_of, pns, pfs, vp, xyz, sm_xyz,
+                         sm_v, which):
                 m = _pad_quantum(n_kp)
                 sj = _compact_rows(kp, n_kp, m)
                 rows_small = jnp.where(
@@ -880,24 +893,36 @@ def register_pair_staged(
                     row_of[jnp.minimum(sj, N_all_ - 1)],
                     N_all_,
                 )
+                g = jnp.minimum(sj, N_all_ - 1)
+                normal_sm = surface_pass(pns, normal_f, viewpoint=vp)[0]
+                if shot_mode:
+                    # SHOT-352 at the EXACT keypoint positions over the
+                    # per-scale surface support with per-scale normals —
+                    # the reference pyramid computes SHOT on each level's
+                    # downsampled cloud the same way (matching.h:229-261)
+                    rs_g = jnp.minimum(rows_small, N_all_ - 1)
+                    kpv = jnp.arange(m) < n_kp
+                    featc, fvc = _t(f"shot_{which}", _shot_stage(
+                        xyz[g], normal_sm[rs_g], kpv,
+                        sm_xyz, normal_sm, sm_v, spacing=voxel_f,
+                    ))
+                    return n_kp, sj, g, kpv & fvc, featc
                 kp_small = (
                     jnp.zeros((N_all_,), bool)
                     .at[rows_small]
                     .set(True, mode="drop")
                 )
-                normal_sm = surface_pass(pns, normal_f, viewpoint=vp)[0]
                 featc, fvc = _t(f"fpfh_{which}", fpfh_pass(
                     set_normals(pfs, normal_sm), feature_radius,
                     kp=kp_small, kp_rows=rows_small,
                 ))
-                g = jnp.minimum(sj, N_all_ - 1)
                 v = (jnp.arange(m) < n_kp) & fvc
                 return n_kp, sj, g, v, featc
 
             ec_q = _fs_side(src_kp, n_kp_s, row_of_s, pns_s, pfs_s,
-                            vp_src, "src")
+                            vp_src, src_xyz, sm_xyz_s, sm_v_s, "src")
             ec_t = _fs_side(tgt_kp, n_kp_t, row_of_t, pns_t, pfs_t,
-                            vp_tgt, "tgt")
+                            vp_tgt, tgt_xyz, sm_xyz_t, sm_v_t, "tgt")
             # thresholds: cluster mode (guaranteed by the fs_mode gate)
             # overwrites density at every keypoint row with the
             # keypoint-cloud density below; rows outside keypoints are
@@ -910,7 +935,7 @@ def register_pair_staged(
             fq_valid, ft_valid = src_kp, tgt_kp
             fs_done = True
         except ValueError as e:
-            print(f"# feature-scale FPFH -> classic masked path: {e}",
+            print(f"# feature-scale surface -> classic masked path: {e}",
                   flush=True)
     if masked and not fs_done:
         # Per-side side+descriptor sequencing: the BIG per-pass buffers
@@ -1128,7 +1153,8 @@ def register_pair_staged(
             st_g = jnp.minimum(stj, N_all - 1)
             qv = jnp.arange(mq) < n_q
             tv = jnp.arange(mt) < n_t
-        if shot_mode:
+        if shot_mode and (ec_q is None or ec_t is None):
+            # fs mode already produced SHOT descriptors in the ec tuples
             fqc, fqc_ok = _t("shot_src", _shot_stage(
                 src_xyz[sq_g], src_normal[sq_g], qv,
                 src_xyz, src_normal, src_valid,

@@ -111,7 +111,52 @@ def test_feature_scale_e2e_recall(monkeypatch, capsys):
     cfg = FlagshipConfig(use_iss=True, rounds=3, hypothesis_batch=256)
     out = register_pair_staged(*args, cfg=cfg)
     captured = capsys.readouterr()
-    assert "feature-scale FPFH -> classic" not in captured.out, captured.out
+    assert "-> classic masked path" not in captured.out, captured.out
+    assert bool(out["converged"])
+    T = np.asarray(out["transformation"])
+    dR = T[:3, :3] @ R.T
+    r_err = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+    assert r_err < 0.05, r_err
+    assert np.linalg.norm(T[:3, 3] - t) < 0.3
+
+
+@pytest.mark.slow
+def test_feature_scale_shot_e2e_recall(monkeypatch, capsys):
+    """Same dense scene with the reference's shipped descriptor: SHOT-352
+    + gravity LRF evaluated on the per-scale surface (exact keypoint
+    positions, per-scale normals + support)."""
+    monkeypatch.setenv("LGR_CELL_FPFH", "force")
+    from lidar_global_registration_tpu.models.flagship import (
+        FlagshipConfig,
+        register_pair_staged,
+    )
+
+    n = 16384
+    a = _scene(n, 3)
+    b = _scene(n, 4)
+    ang = 0.3
+    R = np.array(
+        [[np.cos(ang), -np.sin(ang), 0],
+         [np.sin(ang), np.cos(ang), 0],
+         [0, 0, 1]], np.float32,
+    )
+    t = np.array([1.5, -0.8, 0.2], np.float32)
+    b = b @ R.T + t
+    key = jax.random.PRNGKey(566)
+    args = (
+        jnp.asarray(a), jnp.ones((n,), bool),
+        jnp.asarray(b), jnp.ones((n,), bool), key,
+        jnp.float32(0.4), jnp.float32(0.1), jnp.float32(0.1),
+        jnp.float32(0.3), jnp.float32(0.3),
+        jnp.float32(1.2), jnp.float32(0.4),
+    )
+    cfg = FlagshipConfig(
+        use_iss=True, rounds=6, hypothesis_batch=512,
+        descriptor="shot", lrf="gravity", metric="uniformity",
+    )
+    out = register_pair_staged(*args, cfg=cfg)
+    captured = capsys.readouterr()
+    assert "-> classic masked path" not in captured.out, captured.out
     assert bool(out["converged"])
     T = np.asarray(out["transformation"])
     dR = T[:3, :3] @ R.T
