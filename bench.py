@@ -203,6 +203,9 @@ def run_step(n: int, repeats: int):
         # LGR_BENCH_DESC=shot benches the reference's shipped descriptor
         # (data/tests.yaml: `descriptor: shot, lrf: gravity`)
         descriptor=os.environ.get("LGR_BENCH_DESC", "fpfh"),
+        # LGR_BENCH_ALIGN=gror benches the GROR optimal solver in place of
+        # prerejective RANSAC (alignment.cpp:21-35, BASELINE config #3)
+        alignment=os.environ.get("LGR_BENCH_ALIGN", "ransac"),
     )
     floats = (
         # host floats: the staged path skips its device-scalar radii pull

@@ -98,6 +98,10 @@ class FlagshipConfig:
     ransac_compact: int = 4096  # staged path: compact correspondences to this
     # many rows before the RANSAC stage (0 = off); the adaptive threshold
     # arrays stay per-correspondence
+    alignment: str = "ransac"  # staged-path pose solver: ransac
+    # (sac_prerejective_omp.cpp) | gror (ia_gror.hpp via gror.gror_solve) —
+    # the reference's alignment.cpp:72-110 dispatcher choices, minus the
+    # teaser stub (host pipeline.py keeps the faithful throw)
 
 
 def _knn_fixed(xyz, valid, queries, qvalid, cell, k, cap, include_self, qidx=None,
@@ -496,6 +500,33 @@ def _ransac_stage(p, q, thr, cvalid, key, cfg: FlagshipConfig):
     return ransac_solve(p, q, thr, cvalid, key, cfg)
 
 
+@partial(jax.jit, static_argnames=("M",))
+def _corr_subset(p, q, cvalid, M: int):
+    """ransac_solve's compaction (valid-first stable order, evenly-strided
+    systematic sample when more than M rows are valid), standalone for the
+    GROR solver stage."""
+    sel = jnp.argsort(~cvalid)
+    K = jnp.sum(cvalid.astype(jnp.int32))
+    ar = jnp.arange(M, dtype=jnp.int32)
+    strided = ar * (K // M) + (ar * (K % M)) // M
+    sel = sel[jnp.where(K > M, strided, ar)]
+    return p[sel], q[sel], cvalid[sel]
+
+
+def _gror_stage(p, q, cvalid, distance_thr: float, cfg: FlagshipConfig):
+    """Staged-path GROR solver (alignment: gror, alignment.cpp:21-35):
+    graph-reliability optimal search over the compacted correspondence set
+    with resolution = distance_thr, returning the same result dict as
+    _ransac_stage (host values — the solver is host-orchestrated around
+    fixed-shape jitted kernels, see gror.gror_solve)."""
+    from lidar_global_registration_tpu.models.gror import gror_solve
+
+    M = cfg.ransac_compact or 4096
+    if M < p.shape[0]:
+        p, q, cvalid = _corr_subset(p, q, cvalid, M)
+    return gror_solve(p, q, cvalid, float(distance_thr))
+
+
 @jax.jit
 def _kp_counts(a, b):
     return jnp.stack([jnp.sum(a.astype(jnp.int32)), jnp.sum(b.astype(jnp.int32))])
@@ -641,6 +672,8 @@ def register_pair_staged(
             import numpy as _np
 
             for leaf in jax.tree_util.tree_leaves(out):
+                if not hasattr(leaf, "ndim"):
+                    continue  # host scalar (the gror stage returns those)
                 # flat [1] slice: forces the whole buffer to compute but
                 # transfers 4 B — leaf[..., :1] of an [N, 1] output moved
                 # the ENTIRE array over the tunnel (~40 s at 10M), charging
@@ -1305,6 +1338,9 @@ def register_pair_staged(
         idx_st, mask_st, idx_ts, mask_ts, dens_s, dens_t, distance_thr,
         require_mutual=not clustered,
     ))
+    if cfg.alignment == "gror":
+        return _t("gror", _gror_stage(src_xyz, tgt_xyz[j], mutual,
+                                      distance_thr, cfg))
     return _t("ransac", _ransac_stage(src_xyz, tgt_xyz[j], thr, mutual, key, cfg))
 
 

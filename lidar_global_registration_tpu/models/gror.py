@@ -238,8 +238,16 @@ def _tcfs_stab(R, t, axis, origin, p, q, valid, resolution):
     deltas = jnp.concatenate(
         [jnp.ones((E, 2 * M)), -jnp.ones((E, 2 * M))], axis=1
     )
-    # sort by (loc, starts first): key = loc*2 - is_start
-    keys = locs * 2.0 - (deltas > 0)
+    # sort by (loc, starts first).  The tie-break must reorder ONLY exact
+    # ties: all locations are non-negative f32, whose IEEE bit patterns
+    # bitcast to int32 monotonically, so (bits << 1) | is_end is an exact
+    # lexicographic key.  (A float key `loc*2 - is_start` is WRONG: the
+    # offset 1 drags every start up to 0.5 rad early, so intervals that
+    # already ended stay counted — measured a spurious count of 85 at a
+    # wrong angle vs the true optimum 84 on a zero-noise 120-pair edge.)
+    ibits = jax.lax.bitcast_convert_type(locs, jnp.uint32)
+    keys = (ibits << 1) | (deltas < 0).astype(jnp.uint32)  # uint32: the
+    # largest pattern (big=1e9 -> 0x4E6E6B28) shifted left still fits
     order = jnp.argsort(keys, axis=1)
     sl = jnp.take_along_axis(locs, order, axis=1)
     sd = jnp.take_along_axis(deltas, order, axis=1)
@@ -248,7 +256,22 @@ def _tcfs_stab(R, t, axis, origin, p, q, valid, resolution):
     run_at_start = jnp.where((sd > 0) & (sl < big), run, -jnp.inf)
     best_idx = jnp.argmax(run_at_start, axis=1)
     best_count = jnp.max(run_at_start, axis=1)
-    best_angle = jnp.take_along_axis(sl, best_idx[:, None], axis=1)[:, 0]
+    # the stab angle is the MIDPOINT between the best start event and the
+    # next strictly-greater event location, which is strictly inside every
+    # stabbed closed interval.  Documented deviation: the reference's USED
+    # intervalStab variant (one_to_one=true, ia_gror.hpp:744,595-616) keeps
+    # the start-event location itself; its one_to_one=false branch midpoints
+    # exactly like this (:584-588).  The boundary location puts noise-free
+    # inliers exactly ON the threshold, where the downstream refine test
+    # d < 2*resolution rejects every one of them (measured: a zero-noise
+    # 120-pair problem refined to 3 inliers and failed to converge) — the
+    # midpoint matches the author's own non-degenerate intent at no cost.
+    li = jnp.take_along_axis(sl, best_idx[:, None], axis=1)  # [E, 1]
+    gt = jnp.where((sl > li) & (sl < big), sl, jnp.inf)
+    nxt = jnp.min(gt, axis=1)  # next greater event location (or inf)
+    best_angle = jnp.where(
+        jnp.isfinite(nxt), 0.5 * (li[:, 0] + nxt), li[:, 0]
+    )
     best_count = jnp.where(jnp.isfinite(best_count), best_count, 0.0)
     return best_angle, best_count.astype(jnp.int32)
 
@@ -275,7 +298,8 @@ def _axis_rotation(axis, angle):
 MIN_EDGE_ADJACENCY = 10  # ia_gror.hpp:205-207: skip edges with <10 pairs
 
 
-def _edge_search(p, q, valid, resolution, i1, i2, edge_batch: int):
+def _edge_search(p, q, valid, resolution, i1, i2, edge_batch: int,
+                 e_valid=None):
     """Exact optimal edge search over the candidate edges (i1, i2).
 
     Batched two-point alignment + RCFS lower bounds for every edge at once,
@@ -286,9 +310,15 @@ def _edge_search(p, q, valid, resolution, i1, i2, edge_batch: int):
     over the edge set — same guarantee as the reference's full scan with its
     `der_in_rcfs <= best_count_` prune (ia_gror.hpp:230-236).
 
+    `e_valid` (host bool [E] or None) marks padding edges: callers that pad
+    (i1, i2) to a FIXED length for compile-shape stability mask the padding
+    here; masked edges get RCFS -1, so they sort last and can never win.
+
     Returns (best_e, best_count, best_angle, rounds, R, t, axis, origin)."""
     R, t, axis, origin = _two_point_align(p[i1], q[i1], p[i2], q[i2])
     rc_np = np.asarray(_rcfs_counts(R, t, axis, origin, p, q, valid, resolution))
+    if e_valid is not None:
+        rc_np = np.where(np.asarray(e_valid), rc_np, -1)
 
     e_order = np.argsort(-rc_np, kind="stable")
     best_count = 0
@@ -306,6 +336,7 @@ def _edge_search(p, q, valid, resolution, i1, i2, edge_batch: int):
             R[selj], t[selj], axis[selj], origin[selj], p, q, valid, resolution
         )
         counts_np = np.asarray(counts)[: len(chunk)]
+        counts_np = np.where(rc_np[chunk] < 0, -1, counts_np)
         rounds += 1
         ci = int(np.argmax(counts_np))
         if int(counts_np[ci]) > best_count:
@@ -313,6 +344,124 @@ def _edge_search(p, q, valid, resolution, i1, i2, edge_batch: int):
             best_e = int(chunk[ci])
             best_angle_v = float(np.asarray(angles)[ci])
     return best_e, best_count, best_angle_v, rounds, R, t, axis, origin
+
+
+def gror_solve(
+    p_all,
+    q_all,
+    valid,
+    resolution: float,
+    k_optimal: int = K_OPTIMAL,
+    edge_batch: int = 256,
+) -> dict:
+    """GROR over matched point pairs — the solver core, shape-stable.
+
+    Takes the correspondence ENDPOINTS directly (p_all/q_all [P,3] with a
+    validity mask), so the staged TPU path can run GROR on its compacted
+    correspondence set with the same call shape every repeat: the top-K
+    node set is padded to a FIXED min(k_optimal, P) rows and the candidate
+    edge list to one fixed row per node, so the jitted inner programs
+    (_degrees_only / _node_degrees / _two_point_align / _rcfs_counts /
+    _tcfs_stab) compile once per P, never per realized correspondence
+    count.  Algorithm and gates are align_gror's (ia_gror.hpp:126-365).
+
+    Returns the staged-solver result dict (same keys as
+    flagship.ransac_solve), all host values."""
+    P = int(p_all.shape[0])
+    valid_np = np.asarray(valid).astype(bool)
+    n_corr = int(valid_np.sum())
+    identity = np.eye(4, dtype=np.float32)
+    fail = {
+        "transformation": identity,
+        "metric": 0.0,
+        "inliers": 0,
+        "converged": False,
+        "n_correspondences": n_corr,
+        "iterations": 0,
+    }
+    if n_corr < 2:
+        return fail
+
+    # 1. node reliability, keep top K among nodes with >=1 consistent pair
+    # (chunked: only the degrees are needed here, never the [P, P] graph)
+    deg_np = np.asarray(_degrees_only(p_all, q_all, valid, resolution))
+    deg_np = np.where(valid_np, deg_np, 0)
+    k_pad = int(min(k_optimal, P))
+    order = np.argsort(-deg_np, kind="stable")[:k_pad]
+    node_ok = deg_np[order] > 0
+    if int(node_ok.sum()) < 2:
+        return fail
+    keep = jnp.asarray(order)
+    p = p_all[keep]
+    q = q_all[keep]
+    vk = jnp.asarray(node_ok)
+
+    # 2. edge enumeration among survivors (ia_gror.hpp:82-124): one edge per
+    # node i with j>i adjacency size >= 10; the partner is the highest-degree
+    # consistent j>i (the reference takes the first by index, :209 — the
+    # best-degree partner dominates it for reliability at equal cost).
+    # Fixed [k_pad] edge rows; non-qualifying nodes ride as masked padding.
+    _deg2, adj2 = _node_degrees(p, q, vk, resolution)
+    adj_np = np.asarray(adj2)
+    upper = np.triu(adj_np, 1)
+    adj_size = upper.sum(1)
+    deg_full = adj_np.sum(1)
+    e_valid = adj_size >= MIN_EDGE_ADJACENCY
+    if not e_valid.any():
+        return fail
+    partner_score = np.where(upper, deg_full[None, :], -1)
+    partners = np.argmax(partner_score, axis=1)
+    i1 = jnp.arange(k_pad, dtype=jnp.int32)
+    i2 = jnp.asarray(partners.astype(np.int32))
+
+    best_e, best_count, best_angle_v, rounds, R, t, axis, origin = _edge_search(
+        p, q, vk, resolution, i1, i2, edge_batch, e_valid=e_valid
+    )
+    if best_e < 0:
+        return fail
+
+    Rb = R[best_e]
+    tb = t[best_e]
+    rot = _axis_rotation(axis[best_e], jnp.float32(best_angle_v))
+    # compose: translate to origin, rotate about axis, translate back
+    Rf = jnp.matmul(rot, Rb, precision=jax.lax.Precision.HIGHEST)
+    tf = rot @ (tb - origin[best_e]) + origin[best_e]
+
+    # 4. refine: inliers < 2*resolution over ALL input correspondences ->
+    # Umeyama (ia_gror.hpp:261-365)
+    p_np = np.asarray(p_all)
+    q_np = np.asarray(q_all)
+    Tp = np.eye(4, dtype=np.float32)
+    Tp[:3, :3] = np.asarray(Rf)
+    Tp[:3, 3] = np.asarray(tf)
+    moved = p_np @ np.asarray(Rf).T + np.asarray(tf)
+    d = np.linalg.norm(q_np - moved, axis=1)
+    inl = (d < 2.0 * resolution) & valid_np
+    n_inl = int(inl.sum())
+    if n_inl >= 3:
+        w = jnp.asarray(inl.astype(np.float32))
+        Ru, tu = umeyama(p_all[None], q_all[None], w[None])
+        T = np.asarray(to_matrix4(Ru[0], tu[0]))
+        # re-count under the refined transform for the convergence gate
+        moved2 = p_np @ T[:3, :3].T + T[:3, 3]
+        d2 = np.linalg.norm(q_np - moved2, axis=1)
+        inl = (d2 < 2.0 * resolution) & valid_np
+        n_inl = int(inl.sum())
+    else:
+        T = Tp
+    # converged gate on the refined inlier support (the edge qualification
+    # floor): a lone degenerate edge can no longer report success
+    converged = bool(
+        n_inl >= MIN_EDGE_ADJACENCY and best_count >= MIN_EDGE_ADJACENCY
+    )
+    return {
+        "transformation": T.astype(np.float32),
+        "metric": float(n_inl),
+        "inliers": n_inl,
+        "converged": converged,
+        "n_correspondences": n_corr,
+        "iterations": rounds,
+    }
 
 
 def align_gror(
@@ -337,99 +486,30 @@ def align_gror(
     t0 = time.time()
     corrs = corrs.compact()
     n = int(np.asarray(corrs.count()))
-    resolution = params.distance_thr
     identity = np.eye(4, dtype=np.float32)
-
-    def _fail():
+    if n < 2:
         return AlignmentResult(
             src=src, tgt=tgt, transformation=identity, correspondences=corrs,
             iterations=1, converged=False, time_te=time.time() - t0,
         )
 
-    if n < 2:
-        return _fail()
-
-    p_all = src.xyz[corrs.query]
-    q_all = tgt.xyz[corrs.match]
-
-    # 1. node reliability, keep top K among nodes with >=1 consistent pair
-    # (chunked: only the degrees are needed here, never the [n, n] graph)
-    deg = _degrees_only(p_all, q_all, corrs.valid, resolution)
-    deg_np = np.asarray(deg)
-    order = np.argsort(-deg_np, kind="stable")
-    keep = order[: min(k_optimal, n)]
-    keep = keep[deg_np[keep] > 0]
-    M = len(keep)
-    if M < 2:
-        return _fail()
-    p = p_all[jnp.asarray(keep)]
-    q = q_all[jnp.asarray(keep)]
-    valid = jnp.ones((M,), bool)
-
-    # 2. edge enumeration among survivors (ia_gror.hpp:82-124): one edge per
-    # node i with j>i adjacency size >= 10; the partner is the highest-degree
-    # consistent j>i (the reference takes the first by index, :209 — the
-    # best-degree partner dominates it for reliability at equal cost).
-    _deg2, adj2 = _node_degrees(p, q, valid, resolution)
-    adj_np = np.asarray(adj2)
-    upper = np.triu(adj_np, 1)
-    adj_size = upper.sum(1)
-    deg_full = adj_np.sum(1)
-    qualify = np.nonzero(adj_size >= MIN_EDGE_ADJACENCY)[0]
-    if len(qualify) == 0:
-        return _fail()
-    partner_score = np.where(upper[qualify], deg_full[None, :], -1)
-    partners = np.argmax(partner_score, axis=1)
-    i1_np = qualify.astype(np.int64)
-    i2_np = partners.astype(np.int64)
-    i1 = jnp.asarray(i1_np)
-    i2 = jnp.asarray(i2_np)
-
-    best_e, best_count, best_angle_v, rounds, R, t, axis, origin = _edge_search(
-        p, q, valid, resolution, i1, i2, edge_batch
+    out = gror_solve(
+        src.xyz[corrs.query],
+        tgt.xyz[corrs.match],
+        corrs.valid,
+        float(params.distance_thr),
+        k_optimal=k_optimal,
+        edge_batch=edge_batch,
     )
-    if best_e < 0:
-        return _fail()
-
-    Rb = R[best_e]
-    tb = t[best_e]
-    rot = _axis_rotation(axis[best_e], jnp.float32(best_angle_v))
-    # compose: translate to origin, rotate about axis, translate back
-    Rf = jnp.matmul(rot, Rb, precision=jax.lax.Precision.HIGHEST)
-    tf = rot @ (tb - origin[best_e]) + origin[best_e]
-
-    # 4. refine: inliers < 2*resolution over ALL input correspondences ->
-    # Umeyama (ia_gror.hpp:261-365)
-    Tp = np.eye(4, dtype=np.float32)
-    Tp[:3, :3] = np.asarray(Rf)
-    Tp[:3, 3] = np.asarray(tf)
-    moved = p_all @ np.asarray(Rf).T + np.asarray(tf)
-    d = np.linalg.norm(np.asarray(q_all) - np.asarray(moved), axis=1)
-    inl = (d < 2.0 * resolution) & np.asarray(corrs.valid)
-    n_inl = int(inl.sum())
-    if n_inl >= 3:
-        w = jnp.asarray(inl.astype(np.float32))
-        Ru, tu = umeyama(p_all[None], q_all[None], w[None])
-        T = np.asarray(to_matrix4(Ru[0], tu[0]))
-        # re-count under the refined transform for the convergence gate
-        moved2 = np.asarray(p_all) @ T[:3, :3].T + T[:3, 3]
-        d2 = np.linalg.norm(np.asarray(q_all) - moved2, axis=1)
-        inl = (d2 < 2.0 * resolution) & np.asarray(corrs.valid)
-        n_inl = int(inl.sum())
-    else:
-        T = Tp
-    # converged gate on the refined inlier support (the edge qualification
-    # floor): a lone degenerate edge can no longer report success
-    converged = n_inl >= MIN_EDGE_ADJACENCY and best_count >= MIN_EDGE_ADJACENCY
     return AlignmentResult(
         src=src,
         tgt=tgt,
-        transformation=T.astype(np.float32),
+        transformation=out["transformation"],
         correspondences=corrs,
-        iterations=rounds,
-        converged=converged,
+        iterations=max(int(out["iterations"]), 1),
+        converged=bool(out["converged"]),
         time_te=time.time() - t0,
-        metric=float(n_inl),
+        metric=float(out["metric"]),
     )
 
 

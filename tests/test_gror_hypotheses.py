@@ -180,3 +180,62 @@ def test_degrees_chunked_parity(rng):
     got = np.asarray(_degrees_only(p, q, valid, 0.4, chunk=128))
     want, _ = _node_degrees(p, q, valid, 0.4)
     np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_tcfs_stab_count_realized_at_angle(rng):
+    """THE stab invariant: composing rot(axis, returned_angle) with the
+    edge transform must realize the returned count as actual inliers
+    (d < 2*resolution).  Guards the event-sort tie-break: a float key
+    `loc*2 - is_start` once dragged starts up to 0.5 rad early, reporting
+    a spurious count at a wrong angle (85 vs the true 84 on a zero-noise
+    edge) that refined to 3 inliers."""
+    import jax.numpy as jnp
+    from lidar_global_registration_tpu.models.gror import (
+        _axis_rotation,
+        _tcfs_stab,
+        _two_point_align,
+    )
+
+    for noise in (0.0, 0.01):
+        n = 100
+        p = rng.uniform(0, 5.0, (n, 3)).astype(np.float32)
+        ang = 0.7
+        R_gt = np.array(
+            [[np.cos(ang), 0, np.sin(ang)],
+             [0, 1, 0],
+             [-np.sin(ang), 0, np.cos(ang)]], np.float32,
+        )
+        t_gt = np.array([0.5, -1.0, 2.0], np.float32)
+        q = (p @ R_gt.T + t_gt).astype(np.float32)
+        q += noise * rng.normal(size=q.shape).astype(np.float32)
+        n_out = 30
+        q[:n_out] = rng.uniform(0, 5.0, (n_out, 3)).astype(np.float32)
+        res = 0.05
+        valid = jnp.ones((n,), bool)
+
+        # a handful of inlier edges
+        pairs = [(40, 80), (55, 99), (33, 66), (90, 48)]
+        i1 = np.array([a for a, _ in pairs])
+        i2 = np.array([b for _, b in pairs])
+        R, t, axis, origin = _two_point_align(
+            jnp.asarray(p[i1]), jnp.asarray(q[i1]),
+            jnp.asarray(p[i2]), jnp.asarray(q[i2]),
+        )
+        angles, counts = _tcfs_stab(
+            R, t, axis, origin, jnp.asarray(p), jnp.asarray(q), valid, res
+        )
+        angles, counts = np.asarray(angles), np.asarray(counts)
+        rot = np.asarray(_axis_rotation(axis, jnp.asarray(angles)))
+        Rb, tb, org = np.asarray(R), np.asarray(t), np.asarray(origin)
+        for e in range(len(pairs)):
+            Rf = rot[e] @ Rb[e]
+            tf = rot[e] @ (tb[e] - org[e]) + org[e]
+            d = np.linalg.norm(q - (p @ Rf.T + tf), axis=1)
+            realized = int((d < 2 * res).sum())
+            # f32 rounding at closed-arc boundaries: allow 1 count of slack
+            assert abs(realized - int(counts[e])) <= 1, (
+                f"edge {e}: stab count {counts[e]} vs realized {realized} "
+                f"at angle {angles[e]:.4f} (noise {noise})"
+            )
+            # and the true inlier population is found
+            assert int(counts[e]) >= n - n_out - 2, (counts[e], noise)

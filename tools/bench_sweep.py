@@ -34,6 +34,14 @@ ROWS = {
                   "LGR_BENCH_ISS": "1", "LGR_BENCH_DESC": "shot"}, 5400),
     "shot1m": ({"LGR_BENCH_N": "1048576", "LGR_BENCH_REPEATS": "3",
                 "LGR_BENCH_ISS": "1", "LGR_BENCH_DESC": "shot"}, 7200),
+    "shot4m": ({"LGR_BENCH_N": "4194304", "LGR_BENCH_REPEATS": "3",
+                "LGR_BENCH_ISS": "1", "LGR_BENCH_DESC": "shot"}, 7200),
+    "shot10m": ({"LGR_BENCH_N": "10485760", "LGR_BENCH_REPEATS": "2",
+                 "LGR_BENCH_ISS": "1", "LGR_BENCH_DESC": "shot"}, 18000),
+    "gror1m": ({"LGR_BENCH_N": "1048576", "LGR_BENCH_REPEATS": "3",
+                "LGR_BENCH_ISS": "1", "LGR_BENCH_ALIGN": "gror"}, 5400),
+    "gror10m": ({"LGR_BENCH_N": "10485760", "LGR_BENCH_REPEATS": "2",
+                 "LGR_BENCH_ISS": "1", "LGR_BENCH_ALIGN": "gror"}, 18000),
     # per-stage budgets (LGR_STAGE_TIMING blocks between stages: the stage
     # columns over-count vs e2e; never quote them as end-to-end)
     "prof1m": ({"LGR_BENCH_N": "1048576", "LGR_BENCH_REPEATS": "1",
