@@ -178,6 +178,21 @@ def _fpfh_fixed(xyz, normal, valid, kp_mask, radius, cfg: FlagshipConfig):
     )
 
 
+def _subset_sel(cvalid, M: int):
+    """Row selection compacting a masked correspondence set to M rows:
+    valid rows first in stable (ascending-row) order; when MORE than M are
+    valid, an evenly-strided systematic sample over row order — scan-line
+    clouds are spatially coherent in row order, so a plain prefix would
+    keep one spatial corner of the overlap and bias the pose.  Shared by
+    the RANSAC and GROR solver stages so they sample the SAME subset."""
+    sel = jnp.argsort(~cvalid)  # stable: valid rows first, row order kept
+    K = jnp.sum(cvalid.astype(jnp.int32))
+    ar = jnp.arange(M, dtype=jnp.int32)
+    # floor(ar * K / M) without int32 overflow (K can be millions)
+    strided = ar * (K // M) + (ar * (K % M)) // M
+    return sel[jnp.where(K > M, strided, ar)]
+
+
 def ransac_solve(p, q, thr, cvalid, key, cfg: FlagshipConfig):
     """Batched prerejective RANSAC over masked correspondence arrays —
     THE shared round body used by register_pair_step, _ransac_stage and
@@ -209,13 +224,7 @@ def ransac_solve(p, q, thr, cvalid, key, cfg: FlagshipConfig):
         # overlap and bias the pose.  The cluster path's consensus-ranked
         # cap (<= 1024 rows) always fits the budget, so its ranking is
         # never subsampled.
-        M = cfg.ransac_compact
-        sel = jnp.argsort(~cvalid)  # stable: valid rows first, row order kept
-        K = jnp.sum(cvalid.astype(jnp.int32))
-        ar = jnp.arange(M, dtype=jnp.int32)
-        # floor(ar * K / M) without int32 overflow (K can be millions)
-        strided = ar * (K // M) + (ar * (K % M)) // M
-        sel = sel[jnp.where(K > M, strided, ar)]
+        sel = _subset_sel(cvalid, cfg.ransac_compact)
         p, q, thr, cvalid = p[sel], q[sel], thr[sel], cvalid[sel]
     if cfg.degree_top and cfg.degree_top < p.shape[0] <= 8192:
         # (the shape bound keeps the [M, M] consistency matrix to compacted
@@ -502,14 +511,8 @@ def _ransac_stage(p, q, thr, cvalid, key, cfg: FlagshipConfig):
 
 @partial(jax.jit, static_argnames=("M",))
 def _corr_subset(p, q, cvalid, M: int):
-    """ransac_solve's compaction (valid-first stable order, evenly-strided
-    systematic sample when more than M rows are valid), standalone for the
-    GROR solver stage."""
-    sel = jnp.argsort(~cvalid)
-    K = jnp.sum(cvalid.astype(jnp.int32))
-    ar = jnp.arange(M, dtype=jnp.int32)
-    strided = ar * (K // M) + (ar * (K % M)) // M
-    sel = sel[jnp.where(K > M, strided, ar)]
+    """ransac_solve's compaction, standalone for the GROR solver stage."""
+    sel = _subset_sel(cvalid, M)
     return p[sel], q[sel], cvalid[sel]
 
 
@@ -546,9 +549,17 @@ def _pad_quantum(a: int) -> int:
 def _compact_rows(v, n, m: int):
     """First m row ids of the valid prefix (stable: ascending original
     order, like np.nonzero); padding entries get the out-of-bounds sentinel
-    v.shape[0] so scatters with mode='drop' ignore them."""
+    v.shape[0] so scatters with mode='drop' ignore them.  Total in m: a pad
+    quantum larger than the array itself (tiny clouds hit the 1024-row
+    floor; low-shrink downsamples overshoot the 12.5% bucket) yields pure
+    sentinel rows past v.shape[0] instead of a broadcast error."""
+    n0 = v.shape[0]
     idx = jnp.argsort(~v)[:m]
-    return jnp.where(jnp.arange(m) < n, idx, v.shape[0])
+    if m > n0:
+        idx = jnp.concatenate(
+            [idx, jnp.full((m - n0,), n0, idx.dtype)]
+        )
+    return jnp.where(jnp.arange(m) < n, idx, n0)
 
 
 @jax.jit
@@ -580,6 +591,8 @@ def _voxel_bits(lo, hi, voxel):
     packed key would not fit 30 bits."""
     bits = []
     for ax in range(3):
+        if not (hi[ax] >= lo[ax]):  # empty cloud: _aabb_pair's +-3e37
+            return None  # sentinels (or NaN) — packed path undefined
         ncells = int(np.floor((hi[ax] - lo[ax]) / voxel + 0.5)) + 3
         b = max(1, int(np.ceil(np.log2(ncells))))
         bits.append(b + (b & 1))  # round up to even
@@ -639,8 +652,11 @@ def pre_downsample_pair(src_xyz, src_valid, tgt_xyz, tgt_valid,
                                 aabb[1, 0], bits_t)
     n_s, n_t = (int(x) for x in np_.asarray(jnp.stack([n_s_dev, n_t_dev])))
     # one shared capacity: the staged path's compaction clamps assume
-    # equal row counts on both sides
-    m = max(_pad_quantum(n_s), _pad_quantum(n_t))
+    # equal row counts on both sides.  Clamped to the input capacity: a
+    # low-shrink cloud (spacing already >= the fine voxel) can keep enough
+    # rows that the 12.5% pad quantum overshoots the array itself.
+    m = min(max(_pad_quantum(n_s), _pad_quantum(n_t)),
+            int(dx_s.shape[0]), int(dx_t.shape[0]))
     sx, sv = _compact_xyz(dx_s, dv_s, n_s, m)
     tx, tv = _compact_xyz(dx_t, dv_t, n_t, m)
     return sx, sv, tx, tv
@@ -1289,11 +1305,29 @@ def register_pair_staged(
                 d_nn = jnp.where(kn_m[:, 0], d_raw[nn], d_raw)
                 return jnp.minimum(d_raw, jnp.where(d_nn > 0, d_nn, d_raw))
 
+            if cfg.cluster_approx_knn:
+                # the consensus sets tolerate the ~0.95-recall per-tile
+                # approximation, but the per-pair THRESHOLDS do not: a
+                # missed true nearest keypoint overestimates kq_d[:, 0],
+                # loosening thr exactly on the rows where the estimate
+                # failed.  One exact 1-NN per side is cheap (D=3 MXU
+                # pass) next to the k=cluster_k consensus kNN above.
+                kq1_i, kq1_d, kq1_m = matchers.match_bf(
+                    ksq, ksq, qv, qv, k=1, tile=cfg.cluster_knn_tile,
+                    approx=False, exclude_diag=True,
+                )
+                kt1_i, kt1_d, kt1_m = matchers.match_bf(
+                    kst, kst, tv, tv, k=1, tile=cfg.cluster_knn_tile,
+                    approx=False, exclude_diag=True,
+                )
+            else:
+                kq1_i, kq1_d, kq1_m = kq_idx, kq_d, kq_m
+                kt1_i, kt1_d, kt1_m = kt_idx, kt_d, kt_m
             dens_s = dens_s.at[sqj].set(
-                kp_density(kq_idx, kq_d, kq_m), mode="drop"
+                kp_density(kq1_i, kq1_d, kq1_m), mode="drop"
             )
             dens_t = dens_t.at[stj].set(
-                kp_density(kt_idx, kt_d, kt_m), mode="drop"
+                kp_density(kt1_i, kt1_d, kt1_m), mode="drop"
             )
         # scatter back to full rows, mapping compact train ids to originals
         zi = jnp.zeros((N_all, 1), jnp.int32)

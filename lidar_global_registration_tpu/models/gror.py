@@ -238,15 +238,22 @@ def _tcfs_stab(R, t, axis, origin, p, q, valid, resolution):
     deltas = jnp.concatenate(
         [jnp.ones((E, 2 * M)), -jnp.ones((E, 2 * M))], axis=1
     )
-    # sort by (loc, starts first).  The tie-break must reorder ONLY exact
+    # sort by (loc, ENDS first).  The tie-break must reorder ONLY exact
     # ties: all locations are non-negative f32, whose IEEE bit patterns
-    # bitcast to int32 monotonically, so (bits << 1) | is_end is an exact
+    # bitcast to int32 monotonically, so (bits << 1) | is_start is an exact
     # lexicographic key.  (A float key `loc*2 - is_start` is WRONG: the
     # offset 1 drags every start up to 0.5 rad early, so intervals that
     # already ended stay counted — measured a spurious count of 85 at a
     # wrong angle vs the true optimum 84 on a zero-noise 120-pair edge.)
+    # Ends sort BEFORE starts at exact ties because the returned angle is
+    # the OPEN-GAP midpoint below: an interval ending exactly at the best
+    # start's location is not active there, so counting it (starts-first)
+    # would inflate best_count vs the count the angle realizes.  Endpoint
+    # angles put the pair exactly ON the 2*resolution threshold, which the
+    # downstream strict `d < 2*resolution` test rejects anyway — the
+    # open-interval stab is the consistent semantics end-to-end.
     ibits = jax.lax.bitcast_convert_type(locs, jnp.uint32)
-    keys = (ibits << 1) | (deltas < 0).astype(jnp.uint32)  # uint32: the
+    keys = (ibits << 1) | (deltas > 0).astype(jnp.uint32)  # uint32: the
     # largest pattern (big=1e9 -> 0x4E6E6B28) shifted left still fits
     order = jnp.argsort(keys, axis=1)
     sl = jnp.take_along_axis(locs, order, axis=1)

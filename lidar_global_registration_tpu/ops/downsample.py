@@ -20,14 +20,11 @@ from lidar_global_registration_tpu.types import Cloud
 _COORD_CLIP = (1 << 24) - 1
 
 
-@jax.jit
-def voxel_centroids(xyz, valid, voxel_size):
-    """xyz-only voxel average (the loader's fine pre-downsample shape:
-    fresh clouds, unit weights, no normals yet — downsample.cpp:5-41
-    semantics minus the weight/normal accumulators the result never
-    reads).  Returns (xyz [N,3], valid [N], count i32[]) in segment
-    order; ~40% less gather/segment work than voxel_downsample on
-    clouds whose normals are all zero."""
+def _centroids_sorted(xyz, valid, voxel_size, fill):
+    """Shared body of voxel_centroids / voxel_centroids_map: lexsorted
+    voxel segments + per-segment xyz average.  Returns
+    (out_xyz, out_valid, order, seg) — callers discard order/seg or build
+    the row map from them."""
     voxel = jnp.asarray(voxel_size, jnp.float32)
     N = xyz.shape[0]
     big = jnp.float32(3.0e37)
@@ -58,7 +55,21 @@ def voxel_centroids(xyz, valid, voxel_size):
     out_xyz = jnp.where(
         out_valid[:, None],
         acc_xyz / jnp.maximum(acc_w, 1e-30)[:, None],
-        Cloud.PAD_COORD,
+        fill,
+    )
+    return out_xyz, out_valid, order, seg
+
+
+@jax.jit
+def voxel_centroids(xyz, valid, voxel_size):
+    """xyz-only voxel average (the loader's fine pre-downsample shape:
+    fresh clouds, unit weights, no normals yet — downsample.cpp:5-41
+    semantics minus the weight/normal accumulators the result never
+    reads).  Returns (xyz [N,3], valid [N], count i32[]) in segment
+    order; ~40% less gather/segment work than voxel_downsample on
+    clouds whose normals are all zero."""
+    out_xyz, out_valid, _, _ = _centroids_sorted(
+        xyz, valid, voxel_size, Cloud.PAD_COORD
     )
     return out_xyz, out_valid, jnp.sum(out_valid.astype(jnp.int32))
 
@@ -80,38 +91,10 @@ def voxel_centroids_map(xyz, valid, voxel_size):
     normals, compute descriptors there); `row_of` snaps each keypoint to
     its voxel's centroid row so descriptors can be gathered per keypoint
     without a neighbor search."""
-    voxel = jnp.asarray(voxel_size, jnp.float32)
+    out_xyz, out_valid, order, seg = _centroids_sorted(
+        xyz, valid, voxel_size, 0.0
+    )
     N = xyz.shape[0]
-    big = jnp.float32(3.0e37)
-    masked = jnp.where(valid[:, None], xyz, big)
-    minb = jnp.min(masked, axis=0)
-    minb = jnp.where(jnp.isfinite(minb), minb, 0.0)
-    origin = minb - 0.5 * voxel
-    ref = (xyz - origin) / jnp.maximum(voxel, 1e-30)
-    c = jnp.clip(jnp.floor(ref), 0, _COORD_CLIP).astype(jnp.int32)
-    cx = jnp.where(valid, c[:, 0], _COORD_CLIP + 1)
-    cy = jnp.where(valid, c[:, 1], _COORD_CLIP + 1)
-    cz = jnp.where(valid, c[:, 2], _COORD_CLIP + 1)
-    order = jnp.lexsort((cx, cy, cz)).astype(jnp.int32)
-    sx, sy, sz = cx[order], cy[order], cz[order]
-    svalid = valid[order]
-    first = jnp.concatenate(
-        [
-            jnp.ones((1,), bool),
-            (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1]),
-        ]
-    )
-    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
-    w = svalid.astype(jnp.float32)
-    xyz_s = xyz[order] * w[:, None]
-    acc_w = jax.ops.segment_sum(w, seg, num_segments=N)
-    acc_xyz = jax.ops.segment_sum(xyz_s, seg, num_segments=N)
-    out_valid = acc_w > 0
-    out_xyz = jnp.where(
-        out_valid[:, None],
-        acc_xyz / jnp.maximum(acc_w, 1e-30)[:, None],
-        0.0,
-    )
     row_of = jnp.zeros((N,), jnp.int32).at[order].set(seg)
     return out_xyz, out_valid, row_of, jnp.sum(out_valid.astype(jnp.int32))
 

@@ -232,8 +232,10 @@ def test_tcfs_stab_count_realized_at_angle(rng):
             tf = rot[e] @ (tb[e] - org[e]) + org[e]
             d = np.linalg.norm(q - (p @ Rf.T + tf), axis=1)
             realized = int((d < 2 * res).sum())
-            # f32 rounding at closed-arc boundaries: allow 1 count of slack
-            assert abs(realized - int(counts[e])) <= 1, (
+            # the stab count must NEVER exceed what its angle realizes
+            # (ends-before-starts tie-break guarantees the open-gap count);
+            # one count of headroom upward for f32 midpoint rounding
+            assert int(counts[e]) <= realized <= int(counts[e]) + 1, (
                 f"edge {e}: stab count {counts[e]} vs realized {realized} "
                 f"at angle {angles[e]:.4f} (noise {noise})"
             )
