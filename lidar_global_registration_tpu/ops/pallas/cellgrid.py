@@ -70,6 +70,7 @@ G_CELLS = 8  # cells per grid step (tab rows per auto-pipelined SMEM block)
 
 # packed lane assignments
 CH_ORDER = 6
+CH_ID = 6  # point id (sorted `order`) lane — exact below 2^24 (guarded)
 CH_VALID = 7
 CH_EXTRA = 8  # first pass-writable lane (ISS count / SPFH block start)
 CH_SAL = 9
@@ -349,7 +350,9 @@ def _sort_stats(xyz, normal, valid, cell, m, auto_m: bool = False):
            n_slabs.astype(jnp.float32)]
         + [d.astype(jnp.float32) for d in pblocks_c]
     )
-    state = (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos,
+    # rank is a build-time intermediate (n_rows only) — storing it in the
+    # device-resident state would hold 4 B/point of dead HBM per plan
+    state = (ks, xs, ys, zs, nxs, nys, nzs, order, vs, pos,
              jnp.stack([bx, by, bz]), jnp.asarray(m, jnp.int32))
     return state, stats
 
@@ -411,18 +414,19 @@ def _plan_from_stats(state, st):
     blocks = st[_ST_BLOCKS:_ST_BLOCKS + len(C_BUCKETS)]
     packed = int(st[_ST_PACK]) > 0  # thin-column (2.5D scan) grids pack rows
     if not packed:
+        # unpacked C bucket: smallest whose over-C spill stays under 10%
+        ci = next(
+            (i for i, b in enumerate(C_BUCKETS)
+             if over[i] <= 0.1 * max(n_valid, 1)),
+            len(C_BUCKETS) - 1,
+        )
         # memory-pressure override: the unpacked layout sizes one block per
         # cell run, so sparse fine grids fragment into ~4x more slots than
         # points (measured at 10M: 42M slots -> the pass buffers + tables
         # alone exceed a v5e's HBM).  The packed layout is a pure
         # scheduling choice (identical values, tests/test_cell_packed.py);
         # its z-span waste is a time cost, OOM is not.
-        ci_u = next(
-            (i for i, b in enumerate(C_BUCKETS)
-             if over[i] <= 0.1 * max(n_valid, 1)),
-            len(C_BUCKETS) - 1,
-        )
-        slots_u = int(blocks[ci_u]) * C_BUCKETS[ci_u]
+        slots_u = int(blocks[ci]) * C_BUCKETS[ci]
         if slots_u * 512 > _FAST_PASS_GIB * 2**30:
             packed = True
     if packed:
@@ -444,11 +448,6 @@ def _plan_from_stats(state, st):
         C = C_BUCKETS[ci]
         n_blocks = int(st[_ST_PBLOCKS + ci])
     else:
-        ci = next(
-            (i for i, b in enumerate(C_BUCKETS)
-             if over[i] <= 0.1 * max(n_valid, 1)),
-            len(C_BUCKETS) - 1,
-        )
         C = C_BUCKETS[ci]
         n_blocks = int(blocks[ci])
     SEG = next((s for s in SEG_BUCKETS if s >= colq50), SEG_BUCKETS[-1])
@@ -521,7 +520,7 @@ def _block_layout(state, C: int, R_pad: int, packed: bool = False):
     Returns (prow, posb, n_blocks, row_start, row_len, row_key_lo,
     row_key_hi): block id / in-block lane per point, and per-table-row
     start offset, length and first/last cell key."""
-    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
+    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, pos, bits_arr, m) = state
     N = ks.shape[0]
     n_valid = jnp.sum(vs.astype(jnp.int32))
     idx = jnp.arange(N, dtype=jnp.int32)
@@ -570,7 +569,7 @@ def _row_stencil_any(state, row_key, row_key_hi, flags_sorted, s: int,
     rows span [ky_lo, ky_hi] of one x-slab, so each dx needs ONE span over
     [ky_lo - s, ky_hi + s] x full z (conservative in z, which is <= 4 cells
     on packed grids)."""
-    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
+    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, pos, bits_arr, m) = state
     bx, by, bz = bits_arr[0], bits_arr[1], bits_arr[2]
     clip_cx = ((1 << bx) - 1) // m
     clip_cy = ((1 << by) - 1) // m
@@ -632,7 +631,7 @@ def _build_tab(state, C: int, SEG: int, R_pad: int, need_sorted=None,
     no DMA, no candidate streaming — and their points read back as invalid,
     so masking never changes the values of kept queries (parity test:
     tests/test_cell_masked.py)."""
-    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
+    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, pos, bits_arr, m) = state
     N = ks.shape[0]
     bx, by, bz = bits_arr[0], bits_arr[1], bits_arr[2]
     n_valid = jnp.sum(vs.astype(jnp.int32))
@@ -774,7 +773,7 @@ def _retab(tab, state, C: int, R_pad: int, need_sorted=None,
     if layout is None:
         layout = _block_layout(state, C, R_pad, packed)
     prow, posb, n_blocks, row_start, row_len, row_key, row_key_hi = layout
-    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
+    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, pos, bits_arr, m) = state
     rows = jnp.arange(R_pad, dtype=jnp.int32)
     run = rows < n_blocks
     if need_sorted is not None:
@@ -791,7 +790,7 @@ def _retab(tab, state, C: int, R_pad: int, need_sorted=None,
 
 
 def _build_packed(state, C: int, SEG: int):
-    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
+    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, pos, bits_arr, m) = state
     N = ks.shape[0]
     vflag = vs.astype(jnp.float32)
     packed = jnp.stack(
@@ -814,14 +813,6 @@ def _inverse_perm(order):
     return jnp.zeros((N,), order.dtype).at[order].set(
         jnp.arange(N, dtype=order.dtype), unique_indices=True
     )
-
-
-def _slot_gather(out_ch, prow, posb, vs, R_pad, C):
-    """Map one [R_pad, C] output channel back to sorted point order."""
-    slot = jnp.clip(prow, 0, R_pad - 1) * C + posb
-    kept = vs & (prow >= 0) & (prow < R_pad)
-    vals_sorted = jnp.where(kept, out_ch.reshape(-1)[slot], 0.0)
-    return vals_sorted, kept
 
 
 _FAST_PASS_GIB = float(os.environ.get("LGR_PASS_FAST_GIB", "4.0"))
@@ -1047,8 +1038,16 @@ def _round_up(n, mult):
     return ((n + mult - 1) // mult) * mult
 
 
+def _chunk_gib():
+    """LGR_CHUNK_GIB, read HOST-SIDE per plan/pass call (it becomes a jit
+    static below): changing the env var between runs recompiles with the
+    new window instead of silently replaying the first compile's Rc."""
+    return float(os.environ.get("LGR_CHUNK_GIB", "0.75"))
+
+
 def _run_pass_sorted(cell_fn, meta, tab, packed, N, R_pad, C, SEG, n_out,
-                     k, prow, posb, interpret, extra_scratch=()):
+                     k, prow, posb, interpret, extra_scratch=(),
+                     chunk_gib=0.75):
     """Run a pass and return its first k channels AT SORTED POINT ROWS
     (f32[N, k]) — the layout every consumer actually wants.
 
@@ -1062,7 +1061,6 @@ def _run_pass_sorted(cell_fn, meta, tab, packed, N, R_pad, C, SEG, n_out,
     Invalid/out-of-layout points read back garbage finite values; callers
     mask with their kept masks exactly as for the other layouts."""
     n_out_p = _round_up(n_out, 8)
-    chunk_gib = float(os.environ.get("LGR_CHUNK_GIB", "0.75"))
     Rc = int((chunk_gib * 2**30) // (C * 512))
     Rc = max(G_CELLS, (Rc // G_CELLS) * G_CELLS)
     if Rc >= R_pad:
@@ -1253,10 +1251,15 @@ def _surface_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
             precision=PREC_ACC,
             preferred_element_type=jnp.float32,
         )
-        dpos = jnp.where(ok & (d2 > 1e-24), d2, BIG)
+        # self-exclusion by zero distance — the framework-wide convention
+        # (ops/grid.py include_self=False uses the same predicate): exact
+        # duplicates are removed at load time (common.cpp:417-427), so only
+        # the query itself can sit at d2 = 0
+        dpos = jnp.where(ok & (d2 > 0.0), d2, BIG)
         tmin = jnp.min(dpos, axis=0, keepdims=True)
         targ = jnp.min(
-            jnp.where(dpos == tmin, cc[:, 6:7], BIG), axis=0, keepdims=True
+            jnp.where(dpos == tmin, cc[:, CH_ID:CH_ID + 1], BIG),
+            axis=0, keepdims=True,
         )
         better = tmin < dmin
         nnid = jnp.where(better, targ, nnid)
@@ -1331,7 +1334,10 @@ def _iss_saliency_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
         d2 = dx * dx + dy * dy + dz * dz
         ok = (
             (d2 <= r2)
-            & (d2 > 1e-24)  # exclude self from the scatter
+            # exclude self from the scatter by zero distance (the
+            # framework-wide include_self=False convention, ops/grid.py:
+            # duplicates are removed at load, common.cpp:417-427)
+            & (d2 > 0.0)
             & (jc < clen)
             & cval
             & qvalid
@@ -1394,7 +1400,7 @@ def _iss_nms_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
         d2 = dx * dx + dy * dy + dz * dz
         ok = (
             (d2 <= r2)
-            & (d2 > 1e-24)
+            & (d2 > 0.0)  # self-exclusion convention: see _surface_cell
             & (jc < clen)
             & cval
             & qvalid
@@ -1549,14 +1555,14 @@ def _spfh_cell(meta_ref, tab_ref, g, fold, qrow, out_g, scratch):
         mask_f = (1 << bits) - 1
         for which, b in enumerate((b1, b2, b3)):
             if fields == 3:
-                g = (b * 11) >> 5  # == b // 3 for b in [0, 11)
+                grp = (b * 11) >> 5  # == b // 3 for b in [0, 11)
             else:
-                g = b >> 1
-            sh = (b - fields * g) * bits
+                grp = b >> 1
+            sh = (b - fields * grp) * bits
             v = oki << sh
             for gi in range(n_groups):
                 p = jnp.sum(
-                    jnp.where(g == gi, v, 0), axis=0, keepdims=True
+                    jnp.where(grp == gi, v, 0), axis=0, keepdims=True
                 )  # [1, C] i32: `fields` packed bin counts
                 for f in range(fields):
                     k = fields * gi + f
@@ -1638,19 +1644,19 @@ def _default_interpret(interpret):
     jax.jit,
     static_argnames=("C", "SEG", "R_pad", "interpret", "do_surface", "do_iss",
                      "min_neighbors", "need_C", "need_R_pad", "need_s",
-                     "packed_rows", "need_packed_rows", "tposed"),
+                     "packed_rows", "need_packed_rows", "chunk_gib"),
 )
 def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
                       C, SEG, R_pad, interpret, do_surface, do_iss,
                       min_neighbors, surface_need=None, need_state=None,
                       need_C=0, need_R_pad=0, need_s=0, packed_rows=False,
-                      need_packed_rows=False, tposed=None):
+                      need_packed_rows=False, chunk_gib=0.75):
     """need_state (+ its need_C/need_R_pad statics): fused keypoint-regime
     side stage — ISS runs first, the surface `need` mask derives from the
     fresh keypoints via the OTHER grid's stencil (point_need), and the
     masked surface pass reuses THIS grid's packed table: one packed build
     and one device program for the whole side stage."""
-    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
+    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, pos, bits_arr, m) = state
     N = ks.shape[0]
     layout = _block_layout(state, C, R_pad, packed_rows)
     tab, n_rows, prow, posb = _build_tab(state, C, SEG, R_pad,
@@ -1658,8 +1664,6 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
     packed = _build_packed(state, C, SEG)
     nrows_f = jnp.minimum(n_rows, R_pad).astype(jnp.float32)
     inv = _inverse_perm(order)
-    if tposed is None:
-        tposed = _tposed_out(R_pad, C)
     out = {}
 
     kept_i = vs & (prow >= 0) & (prow < R_pad)
@@ -1670,7 +1674,8 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
         return jnp.where(
             kept_i[:, None],
             _run_pass_sorted(cell_fn, meta, tab_p, pk, N, R_pad, C, SEG,
-                             n_out, k, prow, posb, interpret),
+                             n_out, k, prow, posb, interpret,
+                             chunk_gib=chunk_gib),
             0.0,
         )
 
@@ -1705,11 +1710,16 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
     if do_surface:
         tab_s = tab
         if surface_need is not None:
-            # masked-query fast path: only blocks holding a needed point
-            # stream candidates (keypoint-regime surfaces — the need mask
-            # marks points whose normals/density any later stage reads)
+            # masked-query fast path: only blocks within ONE grid cell of a
+            # needed point stream candidates (keypoint-regime surfaces — the
+            # need mask marks points whose normals/density any later stage
+            # reads).  The 1-cell stencil (not just blocks HOLDING a needed
+            # point) guarantees the k=2 density smoothing below reads a
+            # computed d_raw at every needed point's NN — the NN lies within
+            # normal_radius <= cell, hence in an adjacent cell — for ANY
+            # caller-provided mask, not only pre-dilated point_need masks.
             tab_s = _retab(tab, state, C, R_pad,
-                           need_sorted=surface_need[order],
+                           flag_stencil=(surface_need[order] & vs, 1),
                            packed=packed_rows, layout=layout)
         meta = jnp.stack([normal_r2, nrows_f, jnp.float32(0), jnp.float32(0),
                           jnp.float32(0)])
@@ -1727,6 +1737,10 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
         has_nn = (nnid_f >= 0) & (dmin < BIG / 2)
         valid_o = vs[inv]  # vs is sorted-order; inv maps back to input order
         ok = valid_o & (cnt >= 3)
+        if surface_need is not None:
+            # stencil-only boundary rows computed real values (the density
+            # smoothing reads their d_raw) but stay cleanly invalid outputs
+            ok = ok & surface_need
         to_vp = viewpoint[None, :] - jnp.stack(
             [xs[inv], ys[inv], zs[inv]], axis=1
         )
@@ -1746,9 +1760,10 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
 
 
 @functools.partial(jax.jit, static_argnames=("C", "SEG", "R_pad", "interpret",
-                                             "packed_rows", "tposed"))
+                                             "packed_rows", "tposed",
+                                             "chunk_gib"))
 def _fpfh_impl(state, r2, C, SEG, R_pad, interpret, kp=None,
-               packed_rows=False, tposed=None, kp_rows=None):
+               packed_rows=False, tposed=None, kp_rows=None, chunk_gib=0.75):
     """kp (input-order bool[N] or None): the keypoint-regime fast path.
     FPFH is consumed only at keypoint rows, so SPFH runs only on blocks
     within ONE cell of a keypoint cell (every neighbor the combine pass
@@ -1761,7 +1776,7 @@ def _fpfh_impl(state, r2, C, SEG, R_pad, interpret, kp=None,
     the full-N consumer (33 per-channel element gathers in the
     memory-constrained tposed layout, measured +5.1 s at 4M points) and
     the [N, 33] materialization are skipped entirely."""
-    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
+    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, pos, bits_arr, m) = state
     N = ks.shape[0]
     packed = _build_packed(state, C, SEG)
     layout = _block_layout(state, C, R_pad, packed_rows)
@@ -1797,6 +1812,7 @@ def _fpfh_impl(state, r2, C, SEG, R_pad, interpret, kp=None,
             _spfh_cell, meta, tab_spfh, packed, N, R_pad, C, SEG, DIM + 1,
             DIM, prow, posb, interpret,
             extra_scratch=(pltpu.VMEM((DIM + 1, C), jnp.float32),),
+            chunk_gib=chunk_gib,
         ),
         0.0,
     )
@@ -1824,6 +1840,7 @@ def _fpfh_impl(state, r2, C, SEG, R_pad, interpret, kp=None,
             _combine_cell, meta, tab_comb, packed, N, R_pad, C, SEG, DIM + 1,
             DIM + 1, prow, posb, interpret,
             extra_scratch=(pltpu.VMEM((DIM + 1, C), jnp.float32),),
+            chunk_gib=chunk_gib,
         ),
         0.0,
     )
@@ -1859,6 +1876,7 @@ def surface_iss_cells(xyz, valid, normal_radius, iss_radius, viewpoint=None,
         plan.state, nr * nr, ir * ir, jnp.float32(gamma21),
         jnp.float32(gamma32), viewpoint, plan.C, plan.SEG, plan.R_pad,
         interpret, True, True, min_neighbors, packed_rows=plan.packed,
+        chunk_gib=_chunk_gib(),
     )
 
 
@@ -1877,7 +1895,7 @@ def surface_cells(xyz, valid, radius, viewpoint=None, interpret=None,
     out = _surface_iss_impl(
         plan.state, r * r, r * r, jnp.float32(0.975), jnp.float32(0.975),
         viewpoint, plan.C, plan.SEG, plan.R_pad, interpret, True, False, 4,
-        packed_rows=plan.packed,
+        packed_rows=plan.packed, chunk_gib=_chunk_gib(),
     )
     return out["normal"], out["curv"], out["density"], out["eigvals"], out["ok"]
 
@@ -1901,6 +1919,7 @@ def iss_cells(
         plan.state, r * r, r * r, jnp.float32(gamma21), jnp.float32(gamma32),
         jnp.zeros((3,), jnp.float32), plan.C, plan.SEG, plan.R_pad, interpret,
         False, True, min_neighbors, packed_rows=plan.packed,
+        chunk_gib=_chunk_gib(),
     )
     return out["kp"], out["saliency"]
 
@@ -1920,12 +1939,13 @@ def fpfh_cells(xyz, normal, valid, radius, interpret=None,
                      exact=exact, m=m)
     r = jnp.asarray(radius, jnp.float32)
     return _fpfh_impl(plan.state, r * r, plan.C, plan.SEG, plan.R_pad,
-                      interpret, kp=kp, packed_rows=plan.packed)
+                      interpret, kp=kp, packed_rows=plan.packed,
+                      chunk_gib=_chunk_gib())
 
 
 @functools.partial(jax.jit, static_argnames=("C", "R_pad", "s", "packed"))
 def _point_need_impl(state, C, R_pad, flags, s, packed=False):
-    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
+    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, pos, bits_arr, m) = state
     N = ks.shape[0]
     prow, posb, n_blocks, row_start, row_len, row_key, row_key_hi = (
         _block_layout(state, C, R_pad, packed)
@@ -1958,6 +1978,7 @@ def iss_pass(plan, iss_radius, gamma21: float = 0.975, gamma32: float = 0.975,
         plan.state, r * r, r * r, jnp.float32(gamma21), jnp.float32(gamma32),
         jnp.zeros((3,), jnp.float32), plan.C, plan.SEG, plan.R_pad, interpret,
         False, True, min_neighbors, packed_rows=plan.packed,
+        chunk_gib=_chunk_gib(),
     )
     return out["kp"], out["saliency"]
 
@@ -1965,8 +1986,10 @@ def iss_pass(plan, iss_radius, gamma21: float = 0.975, gamma32: float = 0.975,
 def surface_pass(plan, normal_radius, viewpoint=None, need=None,
                  interpret=None):
     """Surface pass on an existing plan: (normal, curv, density, eigvals,
-    ok).  need (bool[N] input order): only blocks holding a needed point
-    compute; other points return ok=False / zeros."""
+    ok).  need (bool[N] input order): only blocks within one grid cell of
+    a needed point compute (the 1-cell stencil keeps the k=2 density
+    smoothing exact at needed points whose NN is not itself needed);
+    non-needed points return ok=False / zero normals."""
     interpret = _default_interpret(interpret)
     if viewpoint is None:
         viewpoint = jnp.zeros((3,), jnp.float32)
@@ -1976,7 +1999,7 @@ def surface_pass(plan, normal_radius, viewpoint=None, need=None,
     out = _surface_iss_impl(
         plan.state, r * r, r * r, jnp.float32(0.975), jnp.float32(0.975),
         viewpoint, plan.C, plan.SEG, plan.R_pad, interpret, True, False, 4,
-        surface_need=need, packed_rows=plan.packed,
+        surface_need=need, packed_rows=plan.packed, chunk_gib=_chunk_gib(),
     )
     return out["normal"], out["curv"], out["density"], out["eigvals"], out["ok"]
 
@@ -2005,16 +2028,16 @@ def surface_iss_masked(plan_n, plan_f, normal_radius, iss_radius,
         interpret, True, True, min_neighbors,
         need_state=plan_f.state, need_C=plan_f.C, need_R_pad=plan_f.R_pad,
         need_s=1 if shot else 2, packed_rows=plan_n.packed,
-        need_packed_rows=plan_f.packed,
+        need_packed_rows=plan_f.packed, chunk_gib=_chunk_gib(),
     )
     return out["normal"], out["kp"], out["density"], out["saliency"]
 
 
 @jax.jit
 def _set_normals_impl(state, normal):
-    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, rank, pos, bits_arr, m) = state
+    (ks, xs, ys, zs, nxs, nys, nzs, order, vs, pos, bits_arr, m) = state
     ns = normal[order]
-    return (ks, xs, ys, zs, ns[:, 0], ns[:, 1], ns[:, 2], order, vs, rank,
+    return (ks, xs, ys, zs, ns[:, 0], ns[:, 1], ns[:, 2], order, vs,
             pos, bits_arr, m)
 
 
@@ -2035,4 +2058,4 @@ def fpfh_pass(plan, radius, kp=None, interpret=None, kp_rows=None):
     r = jnp.asarray(radius, jnp.float32)
     return _fpfh_impl(plan.state, r * r, plan.C, plan.SEG, plan.R_pad,
                       interpret, kp=kp, packed_rows=plan.packed,
-                      kp_rows=kp_rows)
+                      kp_rows=kp_rows, chunk_gib=_chunk_gib())

@@ -125,30 +125,29 @@ def test_tposed_out_layout_bit_identical(rng):
     per-channel gathers instead of one row gather, so every output must
     agree bit-for-bit.  (The fast layout's minor n_out dim pads to 128
     lanes under TPU tiling — 16x HBM for the 8-channel side passes; the
-    tposed layout is what lets a 10M-point side pass fit a 16 GiB v5e.)"""
+    tposed layout keeps the compacted FPFH consumer memory-light.)
+    The surface/ISS passes now have a single chunked sorted-rows layout;
+    the layout fork survives only in _fpfh_impl's kp_rows consumer, so
+    that is what this exercises — on the PACKED thin-column layout
+    (test_cell_fpfh covers the unpacked plan)."""
     N = 6000
     xyz = jnp.asarray(_thin_cloud(N, rng))
     valid = jnp.ones((N,), bool)
     _pl_u, pl = _two_plans(xyz, valid, 0.35)
     r2 = jnp.float32(0.35 * 0.35)
-
-    def side(tposed):
-        return cg._surface_iss_impl(
-            pl.state, r2, r2, jnp.float32(0.975), jnp.float32(0.975),
-            jnp.zeros((3,), jnp.float32), C=pl.C, SEG=pl.SEG, R_pad=pl.R_pad,
-            interpret=True, do_surface=True, do_iss=True, min_neighbors=4,
-            packed_rows=True, tposed=tposed,
-        )
-
-    out_f, out_t = side(False), side(True)
-    for key in out_f:
-        np.testing.assert_array_equal(
-            np.asarray(out_f[key]), np.asarray(out_t[key]), err_msg=key
-        )
+    normal = cg.surface_pass(pl, 0.35, interpret=True)[0]
+    pl = cg.set_normals(pl, normal)
+    kp_idx = np.sort(rng.choice(N, size=96, replace=False)).astype(np.int32)
+    M = 128
+    rows = jnp.full((M,), N, jnp.int32).at[:96].set(jnp.asarray(kp_idx))
+    kp = jnp.zeros((N,), bool).at[jnp.asarray(kp_idx)].set(True)
 
     f_f, v_f = cg._fpfh_impl(pl.state, r2, pl.C, pl.SEG, pl.R_pad, True,
-                             packed_rows=True, tposed=False)
+                             kp=kp, packed_rows=True, tposed=False,
+                             kp_rows=rows)
     f_t, v_t = cg._fpfh_impl(pl.state, r2, pl.C, pl.SEG, pl.R_pad, True,
-                             packed_rows=True, tposed=True)
+                             kp=kp, packed_rows=True, tposed=True,
+                             kp_rows=rows)
+    assert np.asarray(v_f)[:96].any()
     np.testing.assert_array_equal(np.asarray(v_f), np.asarray(v_t))
     np.testing.assert_array_equal(np.asarray(f_f), np.asarray(f_t))
