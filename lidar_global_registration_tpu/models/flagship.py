@@ -368,6 +368,11 @@ def ransac_solve(p, q, thr, cvalid, key, cfg: FlagshipConfig):
         metric = uniformity_entropy(inl2_mask[None], bins3)[0]
     else:
         metric = inl2.astype(jnp.float32) / jnp.maximum(n_corr, 1.0)
+    # DELIBERATE: the convergence gate is evaluated on the PRE-refit pose's
+    # inliers/metric while the returned transformation/inliers/metric come
+    # from the refit — exactly the reference's order (sac:276-282 tests
+    # enough_inliers + min_tolerable on the rebuilt inliers of final_tn,
+    # THEN refits and re-scores the returned pose)
     converged = (
         (n_inl > MIN_NR_FINAL_INLIERS)
         | (n_inl.astype(jnp.float32) > MIN_INLIER_RATE * n_corr)
@@ -407,7 +412,6 @@ def register_pair_step(
     the reference; defaults to the origin like PCL).  density_cell_src/tgt
     are accepted for interface stability but the k=2 smoothed density is
     derived from the normal-cell neighbor pass (see _density_from_knn)."""
-    N = src_xyz.shape[0]
 
     def side(xyz, valid, iss_radius, viewpoint):
         qidx = jnp.arange(xyz.shape[0], dtype=jnp.int32)
@@ -443,17 +447,11 @@ def register_pair_step(
     idx_ts, _dist_ts, mask_ts = matchers.match_bf(
         ft, fq, ft_valid, fq_valid, k=1, tile=cfg.match_tile, bf16=cfg.bf16_matching
     )
-    j = idx_st[:, 0]
-    mutual = (
-        mask_st[:, 0]
-        & mask_ts[j, 0]
-        & (idx_ts[j, 0] == jnp.arange(N, dtype=jnp.int32))
+    # correspondences as masked parallel arrays (query = row index); ONE
+    # body shared with the staged/front paths so they cannot drift
+    j, mutual, thr = _correspondence_stage.__wrapped__(
+        idx_st, mask_st, idx_ts, mask_ts, dens_s, dens_t, distance_thr
     )
-
-    thr = jnp.minimum(jnp.maximum(dens_s, dens_t[j]), distance_thr)
-    thr = jnp.where(thr > 0, thr, distance_thr)
-
-    # correspondences as masked parallel arrays (query = row index)
     return ransac_solve(src_xyz, tgt_xyz[j], thr, mutual, key, cfg)
 
 
@@ -524,8 +522,11 @@ def _gror_stage(p, q, cvalid, distance_thr: float, cfg: FlagshipConfig):
     fixed-shape jitted kernels, see gror.gror_solve)."""
     from lidar_global_registration_tpu.models.gror import gror_solve
 
-    M = cfg.ransac_compact or 4096
-    if M < p.shape[0]:
+    # honor the knob's documented semantics (0 = off): GROR then runs on
+    # the full correspondence set — its degree pass is row-chunked, but
+    # the RCFS/TCFS phases still scale with the set size
+    M = cfg.ransac_compact
+    if M and M < p.shape[0]:
         p, q, cvalid = _corr_subset(p, q, cvalid, M)
     return gror_solve(p, q, cvalid, float(distance_thr))
 
@@ -654,9 +655,17 @@ def pre_downsample_pair(src_xyz, src_valid, tgt_xyz, tgt_valid,
     # one shared capacity: the staged path's compaction clamps assume
     # equal row counts on both sides.  Clamped to the input capacity: a
     # low-shrink cloud (spacing already >= the fine voxel) can keep enough
-    # rows that the 12.5% pad quantum overshoots the array itself.
-    m = min(max(_pad_quantum(n_s), _pad_quantum(n_t)),
-            int(dx_s.shape[0]), int(dx_t.shape[0]))
+    # rows that the 12.5% pad quantum overshoots the array itself.  The
+    # equal-capacity precondition is load-bearing: with unequal inputs the
+    # clamp could drop the larger side's valid rows as a spatially
+    # coherent prefix (a pose-biasing truncation) — fail loudly instead.
+    if int(dx_s.shape[0]) != int(dx_t.shape[0]):
+        raise ValueError(
+            f"pre_downsample_pair requires equal padded capacities "
+            f"(got {dx_s.shape[0]} vs {dx_t.shape[0]}); pad both sides "
+            "to one shared capacity first"
+        )
+    m = min(max(_pad_quantum(n_s), _pad_quantum(n_t)), int(dx_s.shape[0]))
     sx, sv = _compact_xyz(dx_s, dv_s, n_s, m)
     tx, tv = _compact_xyz(dx_t, dv_t, n_t, m)
     return sx, sv, tx, tv
@@ -670,7 +679,16 @@ def register_pair_staged(
     vp_tgt=None,
     cfg: FlagshipConfig = FlagshipConfig(),
 ):
-    """Stage-jitted variant of register_pair_step (identical semantics).
+    """Stage-jitted registration path — the benched/shipped configuration.
+
+    Shares register_pair_step's kernels and RANSAC body, but is NOT
+    semantically identical under the default config: this path honors
+    cluster_matching (spatial-consensus filter + consensus-ranked cap),
+    feature_scale (per-scale descriptor surface), descriptor='shot' and
+    alignment='gror', none of which the monolithic single-graph
+    register_pair_step executes (it always runs mutual 1-NN over raw-cloud
+    FPFH + RANSAC — the minimum slice kept for the mesh-sharded and
+    compile-check paths).
 
     Set LGR_STAGE_TIMING=1 to print per-stage wall times (adds blocking
     between stages)."""
@@ -701,6 +719,15 @@ def register_pair_staged(
         return out
 
     _t.last = _time.perf_counter()
+
+    # the staged path sizes target-side scatter buffers and compaction
+    # clamps with the SOURCE capacity — unequal capacities would silently
+    # drop or misroute target rows, so fail loudly up front
+    if src_xyz.shape[0] != tgt_xyz.shape[0]:
+        raise ValueError(
+            f"register_pair_staged requires equal padded capacities "
+            f"(got src {src_xyz.shape[0]} vs tgt {tgt_xyz.shape[0]})"
+        )
 
     # The host orchestration below makes cell-size decisions from the
     # scalar radii.  Host scalars (python/numpy) convert for free; device
@@ -770,7 +797,7 @@ def register_pair_staged(
         return normal, kp, density
 
     def _shot_stage(kp_xyz, kp_normal, kpv, surf_xyz, surf_normal,
-                    surf_valid, spacing=None):
+                    surf_valid, spacing):
         """SHOT-352 at (compacted) keypoints over the full-cloud support
         (shot_debug.cpp:24-219).  cfg.lrf='gravity': z = keypoint normal,
         y = gravity x z (common.cpp:712-734), with the SHOT-LRF fallback for
@@ -793,10 +820,11 @@ def register_pair_staged(
         # expected occupancy is (radius / spacing)^2 for a 2.5D scan.
         cap = cfg.shot_cap
         try:
-            if spacing is None:
-                spacing = max(float(density_cell_src),
-                              float(density_cell_tgt), 1e-9)
-            occ = 4.0 * (float(feature_radius) / float(spacing)) ** 2
+            # `spacing` is the SUPPORT cloud's point spacing — callers pass
+            # the side's own density (the pair max would underestimate the
+            # denser side's cell occupancy on heterogeneous pairs and
+            # trigger the biased cloud-order truncation described above)
+            occ = 4.0 * (float(feature_radius) / max(float(spacing), 1e-9)) ** 2
             cap = int(min(2048, max(cfg.shot_cap, 2 ** int(np.ceil(
                 np.log2(max(occ, 1.0)))))))
         except (TypeError, jax.errors.TracerArrayConversionError):
@@ -807,7 +835,7 @@ def register_pair_staged(
             cap=cap, chunk=cfg.query_chunk,
         )
 
-    def _fpfh_stage(xyz, normal, valid, kp_mask, vp):
+    def _fpfh_stage(xyz, normal, valid, kp_mask):
         if use_cells:
           try:
             # fused Pallas cell kernel: uncapped radius neighborhoods like
@@ -927,10 +955,14 @@ def register_pair_staged(
                     f"kp counts {n_kp_s}/{n_kp_t} of {N_all_} rows outside "
                     "the compaction precondition"
                 )
-            if max(n_sm_s, n_sm_t) > 0.8 * max(pi_s.n_valid, pi_t.n_valid):
+            # per-side shrink gate: each side's voxel surface must actually
+            # shrink ITS cloud (a cross-side max would let one huge side
+            # mask the other's no-shrink surface, or reject both when only
+            # one fails)
+            if n_sm_s > 0.8 * pi_s.n_valid or n_sm_t > 0.8 * pi_t.n_valid:
                 raise ValueError(
-                    f"voxel surface {max(n_sm_s, n_sm_t)} rows would not "
-                    f"shrink the {max(pi_s.n_valid, pi_t.n_valid)}-row cloud"
+                    f"voxel surfaces {n_sm_s}/{n_sm_t} rows would not "
+                    f"shrink the {pi_s.n_valid}/{pi_t.n_valid}-row clouds"
                 )
 
             def _fs_side(kp, n_kp, row_of, pns, pfs, vp, xyz, sm_xyz,
@@ -1169,8 +1201,8 @@ def register_pair_staged(
             fq_valid = src_valid & src_kp
             ft_valid = tgt_valid & tgt_kp
         else:
-            fq, fq_valid = _t("fpfh_src", _fpfh_stage(src_xyz, src_normal, src_valid, src_kp, vp_src))
-            ft, ft_valid = _t("fpfh_tgt", _fpfh_stage(tgt_xyz, tgt_normal, tgt_valid, tgt_kp, vp_tgt))
+            fq, fq_valid = _t("fpfh_src", _fpfh_stage(src_xyz, src_normal, src_valid, src_kp))
+            ft, ft_valid = _t("fpfh_tgt", _fpfh_stage(tgt_xyz, tgt_normal, tgt_valid, tgt_kp))
 
     # keypoint compaction: with ISS (or heavy masking) only a fraction of
     # rows carry descriptors; matching the compact rows replaces the full
@@ -1207,10 +1239,12 @@ def register_pair_staged(
             fqc, fqc_ok = _t("shot_src", _shot_stage(
                 src_xyz[sq_g], src_normal[sq_g], qv,
                 src_xyz, src_normal, src_valid,
+                spacing=density_cell_src,
             ))
             ftc, ftc_ok = _t("shot_tgt", _shot_stage(
                 tgt_xyz[st_g], tgt_normal[st_g], tv,
                 tgt_xyz, tgt_normal, tgt_valid,
+                spacing=density_cell_tgt,
             ))
             qv = qv & fqc_ok
             tv = tv & ftc_ok
@@ -1273,27 +1307,26 @@ def register_pair_staged(
                 kt_idx, kt_m, kq_idx, kq_m,
             )
             thr_c = jnp.float32(cfg.cluster_threshold)
+            # only the SOURCE-direction survivors are consumed: the
+            # clustered correspondence stage is one-sided
+            # (require_mutual=False below ignores idx_ts/mask_ts), matching
+            # the reference's source-direction result rows
+            # (models/pyramid.py cluster path; matching.h:524-550).  d_j
+            # (the target-direction consensus distances) still gates keep_q.
             score_q = jnp.maximum(d_i, d_j[ic_st[:, 0]])
-            score_t = jnp.maximum(d_j, d_i[ic_ts[:, 0]])
             keep_q = (d_i < thr_c) & (d_j[ic_st[:, 0]] < thr_c) & mc_st[:, 0]
-            keep_t = (d_j < thr_c) & (d_i[ic_ts[:, 0]] < thr_c) & mc_ts[:, 0]
             # the reference keeps every survivor of the 0.95 gate; at high
             # keypoint counts that floods RANSAC with low-precision matches
             # (3-point sampling needs ~1/f^3 draws at inlier fraction f).
             # Rank survivors by consensus strength (the same cluster
             # distance the reference stores per correspondence) and keep
-            # the most consistent max_correspondences per direction.
+            # the most consistent max_correspondences.
             K = cfg.max_correspondences
             if K > 0 and K < score_q.shape[0]:
                 sq_scores = jnp.where(keep_q, score_q, jnp.inf)
                 kth_q = jnp.sort(sq_scores)[K - 1]
                 keep_q = keep_q & (sq_scores <= kth_q)
-            if K > 0 and K < score_t.shape[0]:
-                st_scores = jnp.where(keep_t, score_t, jnp.inf)
-                kth_t = jnp.sort(st_scores)[K - 1]
-                keep_t = keep_t & (st_scores <= kth_t)
             mc_st = mc_st & keep_q[:, None]
-            mc_ts = mc_ts & keep_t[:, None]
             # per-pair thresholds at KEYPOINT-cloud density (the reference
             # computes calculateSmoothedDensities over the keypoints,
             # matching.h:396-397): keypoint localization error scales with
@@ -1330,17 +1363,22 @@ def register_pair_staged(
                 kp_density(kt1_i, kt1_d, kt1_m), mode="drop"
             )
         # scatter back to full rows, mapping compact train ids to originals
+        clustered = bool(cfg.use_iss and cfg.cluster_matching)
         zi = jnp.zeros((N_all, 1), jnp.int32)
         zm = jnp.zeros((N_all, 1), bool)
         idx_st = zi.at[sqj].set(
             st_g[ic_st[:, 0]].astype(jnp.int32)[:, None], mode="drop"
         )
         mask_st = zm.at[sqj].set((mc_st[:, 0] & qv)[:, None], mode="drop")
-        idx_ts = zi.at[stj].set(
-            sq_g[ic_ts[:, 0]].astype(jnp.int32)[:, None], mode="drop"
-        )
-        mask_ts = zm.at[stj].set((mc_ts[:, 0] & tv)[:, None], mode="drop")
-        clustered = bool(cfg.use_iss and cfg.cluster_matching)
+        if clustered:
+            # one-sided stage: the target-direction scatters would never be
+            # read (require_mutual=False) — skip the two full-N scatters
+            idx_ts, mask_ts = zi, zm
+        else:
+            idx_ts = zi.at[stj].set(
+                sq_g[ic_ts[:, 0]].astype(jnp.int32)[:, None], mode="drop"
+            )
+            mask_ts = zm.at[stj].set((mc_ts[:, 0] & tv)[:, None], mode="drop")
         _t("match_compact", (idx_st, mask_st, idx_ts, mask_ts))
     else:
         clustered = False
@@ -1357,10 +1395,12 @@ def register_pair_staged(
             # no compaction: SHOT over every masked row (the expensive path;
             # only reachable when keypoints are a majority of the cloud)
             fq, fq_valid = _t("shot_src", _shot_stage(
-                src_xyz, src_normal, fq_valid, src_xyz, src_normal, src_valid
+                src_xyz, src_normal, fq_valid, src_xyz, src_normal, src_valid,
+                spacing=density_cell_src,
             ))
             ft, ft_valid = _t("shot_tgt", _shot_stage(
-                tgt_xyz, tgt_normal, ft_valid, tgt_xyz, tgt_normal, tgt_valid
+                tgt_xyz, tgt_normal, ft_valid, tgt_xyz, tgt_normal, tgt_valid,
+                spacing=density_cell_tgt,
             ))
         idx_st, _d1, mask_st = _t("match_st", matchers.match_bf(
             fq, ft, fq_valid, ft_valid, k=1, tile=cfg.match_tile, bf16=cfg.bf16_matching
