@@ -23,17 +23,21 @@ RF_MIN_ANGLE_RAD = 0.04  # common.cpp:21
 
 
 @partial(jax.jit, static_argnames=())
-def shot_lrf(xyz_q, radius, xyz_all, idx, mask):
+def shot_lrf(xyz_q, radius, xyz_all, idx, mask, diffs=None, dist=None):
     """SHOT LRFs for query points over indexed neighborhoods.
 
     xyz_q f32[M,3]; xyz_all f32[N,3]; idx i32[M,K]; mask bool[M,K];
     radius scalar.  Returns (frames f32[M,3,3] rows = (x,y,z), ok bool[M]).
 
     Per-coordinate gathers (SoA): [M,K,3] intermediates pad the 3-wide dim
-    to 128 lanes on TPU."""
-    diffs = [xyz_all[:, c][idx] - xyz_q[:, c][:, None] for c in range(3)]  # [M,K]
-    dist2 = diffs[0] ** 2 + diffs[1] ** 2 + diffs[2] ** 2
-    dist = jnp.sqrt(jnp.maximum(dist2, 0.0))
+    to 128 lanes on TPU.  `diffs`/`dist` accept the precomputed per-
+    coordinate neighbor offsets so a caller that also histograms the same
+    neighborhood (ops/shot.py) pays the [M,K] element gathers once."""
+    if diffs is None:
+        diffs = [xyz_all[:, c][idx] - xyz_q[:, c][:, None] for c in range(3)]
+    if dist is None:
+        dist2 = diffs[0] ** 2 + diffs[1] ** 2 + diffs[2] ** 2
+        dist = jnp.sqrt(jnp.maximum(dist2, 0.0))
     w = jnp.where(mask, jnp.maximum(radius - dist, 0.0), 0.0)
     wsum = jnp.sum(w, axis=1)
     rows = []

@@ -41,15 +41,23 @@ def shot_from_neighbors(kp_xyz, kp_frames, surface_xyz, surface_normal, idx, mas
 
     use_scatter selects the accumulation lowering: segment-sum scatters are
     fast on CPU but serialize on TPU; the TPU path (use_scatter=False)
-    histograms by 352 fused masked reductions per contribution instead
-    (compare+select+reduce rides the VPU — same design as the FPFH
-    histograms, round-1 measurement)."""
-    M, K = mask.shape
+    histograms via a factored one-hot MXU contraction instead."""
     # per-coordinate gathers (SoA)
     d = [surface_xyz[:, c][idx] - kp_xyz[:, c][:, None] for c in range(3)]  # [M,K]
     nn = [surface_normal[:, c][idx] for c in range(3)]
     dist2 = d[0] ** 2 + d[1] ** 2 + d[2] ** 2
     dist = jnp.sqrt(jnp.maximum(dist2, 0.0))
+    return _shot_hist(kp_frames, d, nn, dist, mask, radius, use_scatter)
+
+
+@partial(jax.jit, static_argnames=("use_scatter",))
+def _shot_hist(kp_frames, d, nn, dist, mask, radius, use_scatter: bool):
+    """Quadrilinear SHOT histogram from pre-gathered neighbor offsets.
+
+    d / nn are 3-lists of f32[M,K] per-coordinate neighbor offsets and
+    normals (SoA); sharing them with the LRF pass halves the element-gather
+    traffic of the full SHOT stage."""
+    M, K = mask.shape
 
     def proj(axis_row):
         ax = kp_frames[:, axis_row, :]
@@ -172,26 +180,49 @@ def shot_from_neighbors(kp_xyz, kp_frames, surface_xyz, surface_normal, idx, mas
             )
         desc = desc.reshape(M, DIM)
     else:
-        # scatter-free fused one-hot reduction: concatenate the 5 (index,
-        # value) contributions along K and reduce the virtual
-        # [M, 5K, 352] compare-select tensor in ONE fused pass (XLA keeps
-        # the broadcast in registers; the per-slot form emits 1760 separate
-        # masked reductions that each re-read the [M, K] operands).
+        # Scatter-free FACTORED one-hot reduction.  Every slot index is
+        # volume * 11 + shape_bin with volume in [0,32) and bin in [0,11),
+        # so the naive [M, 5K, 352] compare-select tensor (352 VPU
+        # compare+select+add per contribution) factors into two small
+        # one-hots and a per-row MXU contraction:
+        #   desc[m, v*11+b] = sum_k val[m,k] * (vol[m,k]==v) * (bin[m,k]==b)
+        # i.e. a batched [32, 5K] @ [5K, 11] matmul — 43 compares per
+        # contribution plus MXU FLOPs instead of 352 VPU lane ops.  Rows are
+        # processed in fixed blocks so the materialized one-hots stay
+        # bounded ([blk, 32+11, 5K] with the contraction dim in lanes).
         idx_all = jnp.concatenate(
             [jnp.clip(ti, 0, DIM - 1) for ti, _ in ways], axis=1
         )  # [M, 5K]
         val_all = jnp.concatenate(
             [jnp.where(use, v, 0.0) for _, v in ways], axis=1
         )
-        slots = jnp.arange(DIM, dtype=idx_all.dtype)
-        desc = jnp.sum(
-            jnp.where(
-                idx_all[:, :, None] == slots[None, None, :],
-                val_all[:, :, None],
-                0.0,
-            ),
-            axis=1,
-        )
+        vol = idx_all // (NR_BINS + 1)  # [M,5K] in [0,32)
+        sbin = idx_all - vol * (NR_BINS + 1)  # [M,5K] in [0,11)
+        blk = 512
+        n_blk = -(-M // blk)
+        pad = n_blk * blk - M
+        vol_p = jnp.pad(vol, ((0, pad), (0, 0))).reshape(n_blk, blk, -1)
+        bin_p = jnp.pad(sbin, ((0, pad), (0, 0))).reshape(n_blk, blk, -1)
+        val_p = jnp.pad(val_all, ((0, pad), (0, 0))).reshape(n_blk, blk, -1)
+        vols = jnp.arange(NR_VOLUMES, dtype=vol.dtype)
+        bins = jnp.arange(NR_BINS + 1, dtype=vol.dtype)
+
+        def _blk(args):
+            v, b, w = args  # [blk, 5K]
+            # one-hots with the 5K contraction dim LAST (lane dim): the
+            # [blk, 32, 5K] layout keeps sublane=32 / lane=5K tiling tight
+            voh = jnp.where(v[:, None, :] == vols[None, :, None], w[:, None, :], 0.0)
+            boh = (b[:, None, :] == bins[None, :, None]).astype(jnp.float32)
+            return jax.lax.dot_general(
+                voh,
+                boh,
+                (((2,), (2,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # [blk, 32, 11]
+
+        desc = jax.lax.map(_blk, (vol_p, bin_p, val_p))
+        desc = desc.reshape(n_blk * blk, DIM)[:M]
 
     n_nb = jnp.sum(mask & (dist > 1e-12), axis=1)
     ok = n_nb >= MIN_NEIGHBORS
@@ -231,18 +262,44 @@ def shot(
     idx, _dist, mask = gridmod.radius_neighbors(
         g, kp_xyz, kp_valid, radius, k=k_neighbors, cap=cap, chunk=chunk, approx=approx
     )
+    M = kp_xyz.shape[0]
+    frames_mode = (
+        "lrf" if frames is None
+        else ("blend" if fallback_mask is not None else "given")
+    )
     if frames is None:
-        frames, frames_ok = lrfmod.shot_lrf(kp_xyz, radius, surface_xyz, idx, mask)
-    elif fallback_mask is not None:
-        fb, fb_ok = lrfmod.shot_lrf(kp_xyz, radius, surface_xyz, idx, mask)
-        frames = jnp.where(fallback_mask[:, None, None], fb,
-                           jnp.asarray(frames))
+        frames = jnp.zeros((M, 3, 3), jnp.float32)
+    if fallback_mask is None:
+        fallback_mask = jnp.zeros((M,), bool)
+    return _shot_core(
+        kp_xyz, kp_valid, surface_xyz, surface_normal, idx, mask,
+        jnp.asarray(radius, jnp.float32), jnp.asarray(frames), fallback_mask,
+        use_scatter, frames_mode,
+    )
+
+
+@partial(jax.jit, static_argnames=("use_scatter", "frames_mode"))
+def _shot_core(kp_xyz, kp_valid, surface_xyz, surface_normal, idx, mask,
+               radius, frames, fallback_mask, use_scatter: bool,
+               frames_mode: str):
+    """One program for LRF + histogram: the [M,K] per-coordinate neighbor
+    gathers (the dominant memory traffic of the stage) are computed once
+    and shared between the LRF covariance/sign pass and the histogram."""
+    d = [surface_xyz[:, c][idx] - kp_xyz[:, c][:, None] for c in range(3)]
+    nn = [surface_normal[:, c][idx] for c in range(3)]
+    dist = jnp.sqrt(jnp.maximum(d[0] ** 2 + d[1] ** 2 + d[2] ** 2, 0.0))
+    if frames_mode == "lrf":
+        frames, frames_ok = lrfmod.shot_lrf(
+            kp_xyz, radius, surface_xyz, idx, mask, diffs=d, dist=dist
+        )
+    elif frames_mode == "blend":
+        fb, fb_ok = lrfmod.shot_lrf(
+            kp_xyz, radius, surface_xyz, idx, mask, diffs=d, dist=dist
+        )
+        frames = jnp.where(fallback_mask[:, None, None], fb, frames)
         frames_ok = jnp.where(fallback_mask, fb_ok, True)
     else:
         frames_ok = jnp.ones((kp_xyz.shape[0],), bool)
-    desc, ok = shot_from_neighbors(
-        kp_xyz, jnp.asarray(frames), surface_xyz, surface_normal, idx, mask, radius,
-        use_scatter=use_scatter,
-    )
+    desc, ok = _shot_hist(frames, d, nn, dist, mask, radius, use_scatter)
     ok = ok & frames_ok & kp_valid
     return jnp.where(ok[:, None], desc, 0.0), ok
