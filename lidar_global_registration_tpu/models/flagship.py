@@ -823,10 +823,16 @@ def register_pair_staged(
             # `spacing` is the SUPPORT cloud's point spacing — callers pass
             # the side's own density (the pair max would underestimate the
             # denser side's cell occupancy on heterogeneous pairs and
-            # trigger the biased cloud-order truncation described above)
-            occ = 4.0 * (float(feature_radius) / max(float(spacing), 1e-9)) ** 2
-            cap = int(min(2048, max(cfg.shot_cap, 2 ** int(np.ceil(
-                np.log2(max(occ, 1.0)))))))
+            # trigger the biased cloud-order truncation described above).
+            # 2.5x margin over the flat-scan estimate (slopes up to ~66 deg
+            # keep full cells), rounded up to a lane multiple of 128 —
+            # pow2 rounding doubled the candidate slots whenever the
+            # estimate crossed a power of two (the query cost is linear in
+            # cap: 4.69 s at cap=512 vs 3.68 s at 256 for 98k queries,
+            # tools/profile_shot_query.py).
+            occ = 2.5 * (float(feature_radius) / max(float(spacing), 1e-9)) ** 2
+            cap = int(min(2048, max(cfg.shot_cap,
+                                    128 * int(np.ceil(occ / 128.0)))))
         except (TypeError, jax.errors.TracerArrayConversionError):
             pass  # traced radii: keep the static default
         return shot_full(
@@ -950,6 +956,12 @@ def register_pair_staged(
                 n_sm_t_dev,
             ]))
             n_kp_s, n_kp_t, n_sm_s, n_sm_t = (int(x) for x in cnt)
+            if os.environ.get("LGR_STAGE_TIMING", "0") == "1":
+                print(
+                    f"#   fs sizes: kp {n_kp_s}/{n_kp_t}, surface "
+                    f"{n_sm_s}/{n_sm_t} of {N_all_}",
+                    flush=True,
+                )
             if not (0 < n_kp_s <= N_all_ // 2 and 0 < n_kp_t <= N_all_ // 2):
                 raise ValueError(
                     f"kp counts {n_kp_s}/{n_kp_t} of {N_all_} rows outside "
