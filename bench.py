@@ -36,6 +36,39 @@ import time
 
 import numpy as np
 
+_AXON_SITE = "/root/.axon_site"
+
+
+def _ensure_axon_env():
+    """Repair a PYTHONPATH that lost the axon TPU plugin site.
+
+    The axon backend registers via ``sitecustomize.py`` in /root/.axon_site
+    at interpreter START; launching with a PYTHONPATH that drops that
+    directory (e.g. ``PYTHONPATH=/root/repo bench.py``) kills backend
+    registration with "Backend 'axon' is not in the list of known backends"
+    (the round-3 close-out sweep died on exactly this, BASELINE.md).  If
+    axon is requested but the site dir is missing from PYTHONPATH, re-exec
+    once with a repaired env before any jax import.
+    """
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return
+    if not os.path.isdir(_AXON_SITE):
+        return
+    parts = [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep) if p]
+    if _AXON_SITE in parts and "sitecustomize" in sys.modules:
+        return
+    if os.environ.get("LGR_AXON_REEXEC") == "1":
+        return  # repaired once already; never loop
+    if _AXON_SITE not in parts:
+        parts.append(_AXON_SITE)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(parts)
+    env["LGR_AXON_REEXEC"] = "1"
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
+_ensure_axon_env()
+
 N = int(os.environ.get("LGR_BENCH_N", 65536))
 REPEATS = int(os.environ.get("LGR_BENCH_REPEATS", 5))
 # the CPU-XLA reference point is measured at <=64k by default: the same-size

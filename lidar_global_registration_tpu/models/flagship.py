@@ -437,20 +437,56 @@ def register_pair_step(
     src_normal, src_kp, dens_s = side(src_xyz, src_valid, iss_radius_src, vp_src)
     tgt_normal, tgt_kp, dens_t = side(tgt_xyz, tgt_valid, iss_radius_tgt, vp_tgt)
 
-    fq, fq_valid = _fpfh_fixed(src_xyz, src_normal, src_valid, src_kp, feature_radius, cfg)
-    ft, ft_valid = _fpfh_fixed(tgt_xyz, tgt_normal, tgt_valid, tgt_kp, feature_radius, cfg)
+    if cfg.descriptor == "shot":
+        # the reference's SHIPPED descriptor (data/tests.yaml: shot +
+        # gravity LRF): SHOT-352 at keypoint rows over full-cloud support
+        from lidar_global_registration_tpu.ops import lrf as lrfmod
+        from lidar_global_registration_tpu.ops.shot import shot as shot_full
 
-    # mutual 1-NN matching (lr strategy, matching.h:418-458)
+        def shot_side(xyz, normal, valid, kp):
+            frames = needs_fb = None
+            if cfg.lrf == "gravity":
+                frames, needs_fb = lrfmod.gravity_lrf(normal)
+            return shot_full(
+                xyz, valid & kp, xyz, normal, valid, feature_radius,
+                frames=frames, fallback_mask=needs_fb,
+                k_neighbors=cfg.shot_k, cap=cfg.shot_cap,
+                chunk=cfg.query_chunk,
+            )
+
+        fq, fq_valid = shot_side(src_xyz, src_normal, src_valid, src_kp)
+        ft, ft_valid = shot_side(tgt_xyz, tgt_normal, tgt_valid, tgt_kp)
+    else:
+        fq, fq_valid = _fpfh_fixed(src_xyz, src_normal, src_valid, src_kp, feature_radius, cfg)
+        ft, ft_valid = _fpfh_fixed(tgt_xyz, tgt_normal, tgt_valid, tgt_kp, feature_radius, cfg)
+
+    # 1-NN matching both directions (lr mutual strategy, matching.h:418-458,
+    # or the inputs of the cluster consensus filter, matching.h:480-551)
     idx_st, dist_st, mask_st = matchers.match_bf(
         fq, ft, fq_valid, ft_valid, k=1, tile=cfg.match_tile, bf16=cfg.bf16_matching
     )
     idx_ts, _dist_ts, mask_ts = matchers.match_bf(
         ft, fq, ft_valid, fq_valid, k=1, tile=cfg.match_tile, bf16=cfg.bf16_matching
     )
+    clustered = bool(cfg.use_iss and cfg.cluster_matching)
+    if clustered:
+        # the reference's DEFAULT matching strategy: spatial-consensus
+        # filter on both sides, one-sided survivors
+        def knn_self(pts, v, k, approx):
+            return matchers.match_bf(
+                pts, pts, v, v, k=k, tile=cfg.cluster_knn_tile,
+                approx=approx, exclude_diag=True,
+            )
+
+        mask_st, dens_s, dens_t = _cluster_filter_rows(
+            src_xyz, fq_valid, tgt_xyz, ft_valid,
+            idx_st, mask_st, idx_ts, mask_ts, dens_s, dens_t, cfg, knn_self,
+        )
     # correspondences as masked parallel arrays (query = row index); ONE
     # body shared with the staged/front paths so they cannot drift
     j, mutual, thr = _correspondence_stage.__wrapped__(
-        idx_st, mask_st, idx_ts, mask_ts, dens_s, dens_t, distance_thr
+        idx_st, mask_st, idx_ts, mask_ts, dens_s, dens_t, distance_thr,
+        require_mutual=not clustered,
     )
     return ransac_solve(src_xyz, tgt_xyz[j], thr, mutual, key, cfg)
 
@@ -500,6 +536,64 @@ def _correspondence_stage(idx_st, mask_st, idx_ts, mask_ts, dens_s, dens_t,
     thr = jnp.minimum(jnp.maximum(dens_s, dens_t[j]), distance_thr)
     thr = jnp.where(thr > 0, thr, distance_thr)
     return j, keep, thr
+
+
+def _cluster_filter_rows(xyz_s, kpv_s, xyz_t, kpv_t,
+                         idx_st, mask_st, idx_ts, mask_ts,
+                         dens_s, dens_t, cfg, knn_self):
+    """Spatial-consensus (cluster) filter over FULL-row arrays — the
+    reference's default ClusterMatcher (matching.h:480-551) for the
+    uncompacted monolithic/tensor-parallel paths; semantics mirror the
+    staged compacted path (one-sided survivors, self-excluded consensus
+    sets, consensus-ranked max_correspondences cap, thresholds at
+    keypoint-cloud density).
+
+    knn_self(points, valid, k, approx) -> (idx, dist, mask): same-set kNN
+    with self excluded BY ID — single-device match_bf(exclude_diag) or the
+    tensor-parallel shard merge.  Returns (mask_st', dens_s', dens_t')."""
+    from lidar_global_registration_tpu.models.pyramid import _cluster_distances
+
+    N_s, N_t = xyz_s.shape[0], xyz_t.shape[0]
+    kc = max(2, min(cfg.cluster_k, min(N_s, N_t) - 1))
+
+    def centered(x, v):
+        w = v.astype(jnp.float32)[:, None]
+        return x - jnp.sum(x * w, axis=0) / jnp.maximum(jnp.sum(w), 1e-9)
+
+    ksq = centered(xyz_s, kpv_s)
+    kst = centered(xyz_t, kpv_t)
+    kq_idx, kq_d, kq_m = knn_self(ksq, kpv_s, kc, cfg.cluster_approx_knn)
+    kt_idx, kt_d, kt_m = knn_self(kst, kpv_t, kc, cfg.cluster_approx_knn)
+    d_i = _cluster_distances(idx_st[:, 0], mask_st[:, 0], kq_idx, kq_m,
+                             kt_idx, kt_m)
+    d_j = _cluster_distances(idx_ts[:, 0], mask_ts[:, 0], kt_idx, kt_m,
+                             kq_idx, kq_m)
+    thr_c = jnp.float32(cfg.cluster_threshold)
+    score_q = jnp.maximum(d_i, d_j[idx_st[:, 0]])
+    keep_q = (d_i < thr_c) & (d_j[idx_st[:, 0]] < thr_c) & mask_st[:, 0]
+    K = cfg.max_correspondences
+    if K > 0 and K < score_q.shape[0]:
+        sq_scores = jnp.where(keep_q, score_q, jnp.inf)
+        kth_q = jnp.sort(sq_scores)[K - 1]
+        keep_q = keep_q & (sq_scores <= kth_q)
+    if cfg.cluster_approx_knn:
+        # per-pair thresholds need the EXACT nearest keypoint (see the
+        # staged path): one exact 1-NN per side
+        kq1 = knn_self(ksq, kpv_s, 1, False)
+        kt1 = knn_self(kst, kpv_t, 1, False)
+    else:
+        kq1 = (kq_idx, kq_d, kq_m)
+        kt1 = (kt_idx, kt_d, kt_m)
+
+    def kp_density(kn_idx, kn_d, kn_m):
+        d_raw = jnp.where(kn_m[:, 0], kn_d[:, 0], 0.0)
+        nn = kn_idx[:, 0]
+        d_nn = jnp.where(kn_m[:, 0], d_raw[nn], d_raw)
+        return jnp.minimum(d_raw, jnp.where(d_nn > 0, d_nn, d_raw))
+
+    dens_s2 = jnp.where(kpv_s, kp_density(*kq1), dens_s)
+    dens_t2 = jnp.where(kpv_t, kp_density(*kt1), dens_t)
+    return mask_st & keep_q[:, None], dens_s2, dens_t2
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -992,12 +1086,21 @@ def register_pair_staged(
                     # SHOT-352 at the EXACT keypoint positions over the
                     # per-scale surface support with per-scale normals —
                     # the reference pyramid computes SHOT on each level's
-                    # downsampled cloud the same way (matching.h:229-261)
-                    rs_g = jnp.minimum(rows_small, N_all_ - 1)
+                    # downsampled cloud the same way (matching.h:229-261).
+                    # The surface rows are front-compacted in the padded
+                    # [N_all] arrays (voxel_centroids_map), so slicing to a
+                    # quantum-padded n_sm shrinks the SHOT grid build +
+                    # candidate gathers by the 4-6x pad factor.
+                    n_sm = n_sm_s if which == "src" else n_sm_t
+                    ms_rows = min(_pad_quantum(n_sm), N_all_)
+                    sm_xyz_c = sm_xyz[:ms_rows]
+                    sm_v_c = sm_v[:ms_rows]
+                    normal_sm_c = normal_sm[:ms_rows]
+                    rs_g = jnp.minimum(rows_small, ms_rows - 1)
                     kpv = jnp.arange(m) < n_kp
                     featc, fvc = _t(f"shot_{which}", _shot_stage(
-                        xyz[g], normal_sm[rs_g], kpv,
-                        sm_xyz, normal_sm, sm_v, spacing=voxel_f,
+                        xyz[g], normal_sm_c[rs_g], kpv,
+                        sm_xyz_c, normal_sm_c, sm_v_c, spacing=voxel_f,
                     ))
                     return n_kp, sj, g, kpv & fvc, featc
                 kp_small = (

@@ -179,14 +179,19 @@ def _radius_neighbors_chunk(
     rows = grid.rank_table[keys]  # [M,27] cell-list row per neighbor cell
 
     view = lambda a: a.reshape(-1, grid.cell_cap)[:, :ccap]
-    ok = jnp.ones((M, 27 * ccap), bool)
-    d2 = jnp.zeros((M, 27 * ccap), jnp.float32)
+    # [M,27,ccap] broadcasting instead of materialized [M,27*ccap] repeats:
+    # the jnp.repeat `want` copies alone were ~1 GB at 16k queries x cap 512
+    ok = jnp.ones((M, 27, ccap), bool)
+    d2 = jnp.zeros((M, 27, ccap), jnp.float32)
     for d, flat in enumerate((grid.cell_x, grid.cell_y, grid.cell_z)):
-        cvals = view(flat)[rows].reshape(M, 27 * ccap)  # ROW gather
-        want = jnp.repeat(cells[d], ccap, axis=1)
-        ok = ok & (_cell_coords_1d(cvals, grid.origin[d], inv) == want)
-        dd = cvals - q[:, d][:, None]
+        cvals = view(flat)[rows]  # ROW gather, [M,27,ccap]
+        ok = ok & (
+            _cell_coords_1d(cvals, grid.origin[d], inv) == cells[d][:, :, None]
+        )
+        dd = cvals - q[:, d][:, None, None]
         d2 = d2 + dd * dd
+    ok = ok.reshape(M, 27 * ccap)
+    d2 = d2.reshape(M, 27 * ccap)
 
     ok = ok & qvalid[:, None] & (d2 <= radius * radius)
     BIG = jnp.float32(3.0e38)
@@ -205,10 +210,9 @@ def _radius_neighbors_chunk(
     else:
         neg, sel = jax.lax.top_k(-d2m, k)  # [M,k]
     dist = jnp.sqrt(jnp.maximum(-neg, 0.0))
-    # original ids only for the k winners (tiny gather)
-    win_row = jnp.take_along_axis(
-        jnp.repeat(rows, ccap, axis=1), sel, axis=1
-    )
+    # original ids only for the k winners (tiny gather); index the [M,27]
+    # row table by sel//ccap instead of materializing a [M,27*ccap] repeat
+    win_row = jnp.take_along_axis(rows, sel // ccap, axis=1)
     win_pos = sel % ccap
     idx = grid.cell_ord[win_row * grid.cell_cap + win_pos]
     mask = jnp.take_along_axis(ok, sel, axis=1)

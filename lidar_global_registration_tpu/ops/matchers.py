@@ -62,6 +62,8 @@ def match_bf(
     bf16: bool = False,
     approx: bool = False,
     exclude_diag: bool = False,
+    exclude_ids: jax.Array | None = None,
+    id_offset=0,
 ):
     """Exact k-NN in descriptor space (L2), tiled over the train set.
 
@@ -69,13 +71,18 @@ def match_bf(
     mask bool[Nq,k]); distances are euclidean (sqrt), matching the reference's
     BF (NORM_L2) and FLANN (sqrt'd) conventions (matching.h:586-588,612).
 
+    exclude_ids i32[Nq] + id_offset: self-match exclusion when `train` is a
+    SHARD of the query set (tensor-parallel same-set kNN) — a train row is
+    excluded for query q when id_offset + its local id == exclude_ids[q].
+    exclude_diag is the same-set single-shard sugar (ids == row index).
+
     With LGR_PALLAS=1 on TPU the k=1 hot path uses the fused Pallas kernel
     (ops/pallas/topk_l2.py): the distance tile never leaves VMEM.
     """
     # D cap: at 1024-row tiles a 1960-d USC tile alone is 8MB of VMEM;
     # wide descriptors stay on the XLA path
-    if (k == 1 and not bf16 and not exclude_diag and query.shape[1] <= 512
-            and _use_pallas()):
+    if (k == 1 and not bf16 and not exclude_diag and exclude_ids is None
+            and query.shape[1] <= 512 and _use_pallas()):
         from lidar_global_registration_tpu.ops.pallas.topk_l2 import nn_l2_pallas
 
         i1, d1, m1 = nn_l2_pallas(
@@ -102,12 +109,17 @@ def match_bf(
         d2 = jnp.maximum(d2, 0.0)
         d2 = jnp.where(vb[None, :], d2, BIG)
         ids = it * tile + jnp.arange(tile, dtype=jnp.int32)
-        if exclude_diag:
+        if exclude_diag or exclude_ids is not None:
             # self-match exclusion BY ID for same-set kNN (query is train):
             # positional "column 0 is self" breaks under approximate
             # merges and under exact ties
+            self_ids = (
+                jnp.arange(Nq, dtype=jnp.int32) if exclude_ids is None
+                else exclude_ids
+            )
             d2 = jnp.where(
-                ids[None, :] == jnp.arange(Nq, dtype=jnp.int32)[:, None],
+                (jnp.asarray(id_offset, jnp.int32) + ids)[None, :]
+                == self_ids[:, None],
                 BIG, d2,
             )
         if approx and k > 1 and tile > 4 * k:

@@ -27,12 +27,23 @@ except AttributeError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 
-def match_bf_tp(fq, ft, fq_valid, ft_valid, k: int, tile: int, bf16: bool, axis: str):
+def match_bf_tp(fq, ft, fq_valid, ft_valid, k: int, tile: int, bf16: bool,
+                axis: str, approx: bool = False, exclude_self: bool = False):
     """Tensor-parallel exact 1-NN: each device matches against its shard of
-    the train set, then the global best is picked across the axis."""
-    idx, dist, mask = matchers.match_bf(fq, ft, fq_valid, ft_valid, k=k, tile=tile, bf16=bf16)
+    the train set, then the global best is picked across the axis.
+
+    exclude_self: same-set kNN with the train side sharded — a train row is
+    the query's own row when its GLOBAL id (shard offset + local id) equals
+    the query row index (match_bf exclude_ids semantics)."""
     nt_local = ft.shape[0]
     offset = jax.lax.axis_index(axis) * nt_local
+    exclude_ids = (
+        jnp.arange(fq.shape[0], dtype=jnp.int32) if exclude_self else None
+    )
+    idx, dist, mask = matchers.match_bf(
+        fq, ft, fq_valid, ft_valid, k=k, tile=tile, bf16=bf16, approx=approx,
+        exclude_ids=exclude_ids, id_offset=offset,
+    )
     gidx = idx + offset
     big = jnp.float32(3.0e38)
     d = jnp.where(mask, dist, big)
@@ -51,7 +62,8 @@ def match_bf_tp(fq, ft, fq_valid, ft_valid, k: int, tile: int, bf16: bool, axis:
     return out_i, out_d, out_m
 
 
-def _pair_step_tp(src_xyz, src_valid, tgt_xyz, tgt_valid, key, scalars, cfg):
+def _pair_step_tp(src_xyz, src_valid, tgt_xyz, tgt_valid, key, scalars, vps,
+                  cfg):
     """Flagship step with every heavy stage tp-sharded; runs INSIDE
     shard_map with axis 'tp' live.
 
@@ -90,7 +102,7 @@ def _pair_step_tp(src_xyz, src_valid, tgt_xyz, tgt_valid, key, scalars, cfg):
         g = jax.lax.all_gather(x_l, "tp")  # [tp, shard, ...]
         return g.reshape((N,) + x_l.shape[1:])
 
-    def side(xyz, valid, iss_radius):
+    def side(xyz, valid, iss_radius, viewpoint):
         xyz_l, valid_l = shard_rows(xyz), shard_rows(valid)
         qidx_l = ti * shard + jnp.arange(shard, dtype=jnp.int32)
         g = gridmod.build_grid(xyz, valid, normal_cell, cell_cap=cfg.neighbor_cap)
@@ -98,7 +110,11 @@ def _pair_step_tp(src_xyz, src_valid, tgt_xyz, tgt_valid, key, scalars, cfg):
             g, xyz_l, valid_l, normal_cell, k=cfg.normal_k, cap=cfg.neighbor_cap,
             include_self=True,
         )
-        normal_l, _c, _o = normals_from_neighbors(xyz_l, xyz, idx, mask)
+        # viewpoint-consistent normal orientation (viewpoints.csv in the
+        # reference): orientation flips between the two sides otherwise,
+        # which flips SHOT's cos(normal, frame z) bins and gravity frames
+        normal_l, _c, _o = normals_from_neighbors(xyz_l, xyz, idx, mask,
+                                                  viewpoint)
         normal = gather_rows(normal_l)
         # k=2 smoothed density (common.cpp:531-547): the smoothing neighbor
         # may live on another peer's row shard -> the shared helper gathers
@@ -146,10 +162,37 @@ def _pair_step_tp(src_xyz, src_valid, tgt_xyz, tgt_valid, key, scalars, cfg):
         feat_l = jnp.where(fv_l[:, None], feat_l, 0.0)
         return gather_rows(feat_l), gather_rows(fv_l)
 
-    src_normal, src_kp, dens_s = side(src_xyz, src_valid, iss_radius_src)
-    tgt_normal, tgt_kp, dens_t = side(tgt_xyz, tgt_valid, iss_radius_tgt)
-    fq, fqv = fpfh_side(src_xyz, src_normal, src_valid, src_kp)
-    ft, ftv = fpfh_side(tgt_xyz, tgt_normal, tgt_valid, tgt_kp)
+    def shot_side(xyz, normal, valid, kp_mask):
+        """SHOT-352 (shipped descriptor) with the QUERY rows tp-sharded:
+        frames + neighbor query + histogram on the local row shard, then
+        an all_gather — identical math to the single-device shot_side in
+        register_pair_step (the grid is built over the replicated cloud,
+        so per-row results do not depend on the shard split)."""
+        from lidar_global_registration_tpu.ops import lrf as lrfmod
+        from lidar_global_registration_tpu.ops.shot import shot as shot_full
+
+        xyz_l, valid_l = shard_rows(xyz), shard_rows(valid)
+        normal_l, kp_l = shard_rows(normal), shard_rows(kp_mask)
+        frames_l = fb_l = None
+        if cfg.lrf == "gravity":
+            frames_l, fb_l = lrfmod.gravity_lrf(normal_l)
+        feat_l, fv_l = shot_full(
+            xyz_l, valid_l & kp_l, xyz, normal, valid, feature_radius,
+            frames=frames_l, fallback_mask=fb_l,
+            k_neighbors=cfg.shot_k, cap=cfg.shot_cap, chunk=cfg.query_chunk,
+        )
+        return gather_rows(feat_l), gather_rows(fv_l)
+
+    src_normal, src_kp, dens_s = side(src_xyz, src_valid, iss_radius_src,
+                                      vps[0])
+    tgt_normal, tgt_kp, dens_t = side(tgt_xyz, tgt_valid, iss_radius_tgt,
+                                      vps[1])
+    if cfg.descriptor == "shot":
+        fq, fqv = shot_side(src_xyz, src_normal, src_valid, src_kp)
+        ft, ftv = shot_side(tgt_xyz, tgt_normal, tgt_valid, tgt_kp)
+    else:
+        fq, fqv = fpfh_side(src_xyz, src_normal, src_valid, src_kp)
+        ft, ftv = fpfh_side(tgt_xyz, tgt_normal, tgt_valid, tgt_kp)
 
     # ---- tp split of the train side for matching ----
     ft_l = jax.lax.dynamic_slice_in_dim(ft, ti * shard, shard, axis=0)
@@ -163,10 +206,28 @@ def _pair_step_tp(src_xyz, src_valid, tgt_xyz, tgt_valid, key, scalars, cfg):
     idx_ts, _d, mask_ts = match_bf_tp(
         ft, fq_l, ftv, fqv_l, 1, cfg.match_tile, cfg.bf16_matching, "tp"
     )
+    clustered = bool(cfg.use_iss and cfg.cluster_matching)
+    if clustered:
+        # the reference's default spatial-consensus filter, with the
+        # keypoint self-kNNs tp-sharded over the train rows; the filter
+        # body is shared with the single-device step (_cluster_filter_rows)
+        def knn_self(pts, v, k, approx):
+            pts_l, v_l = shard_rows(pts), shard_rows(v)
+            return match_bf_tp(
+                pts, pts_l, v, v_l, k, cfg.cluster_knn_tile,
+                False, "tp", approx=approx, exclude_self=True,
+            )
+
+        mask_st, dens_s, dens_t = fs._cluster_filter_rows(
+            src_xyz, fqv, tgt_xyz, ftv,
+            idx_st, mask_st, idx_ts, mask_ts, dens_s, dens_t, cfg, knn_self,
+        )
     j = idx_st[:, 0]
-    mutual = mask_st[:, 0] & mask_ts[j, 0] & (
-        idx_ts[j, 0] == jnp.arange(N, dtype=jnp.int32)
-    )
+    mutual = mask_st[:, 0]
+    if not clustered:
+        mutual = mutual & mask_ts[j, 0] & (
+            idx_ts[j, 0] == jnp.arange(N, dtype=jnp.int32)
+        )
 
     thr = jnp.minimum(jnp.maximum(dens_s, dens_t[j]), distance_thr)
     thr = jnp.where(thr > 0, thr, distance_thr)
@@ -182,21 +243,22 @@ def make_register_batch(mesh: Mesh, cfg: FlagshipConfig = FlagshipConfig()):
 
     Inputs: src/tgt [B, N, 3] + valid [B, N] sharded over dp; scalars [B, 7]
     per-pair (normal_cell, density cells, iss radii, feature_radius,
-    distance_thr); keys [B, 2] u32.
+    distance_thr); keys [B, 2] u32; vps [B, 2, 3] scanner viewpoints
+    (src, tgt) for frame-consistent normal orientation.
     Returns (T [B,4,4], inliers [B], n_corr [B])."""
 
-    def shard_fn(sx, sv, tx, tv, keys, scalars):
+    def shard_fn(sx, sv, tx, tv, keys, scalars, vps):
         def one(args):
-            sxi, svi, txi, tvi, ki, sci = args
-            return _pair_step_tp(sxi, svi, txi, tvi, ki, tuple(sci), cfg)
+            sxi, svi, txi, tvi, ki, sci, vpi = args
+            return _pair_step_tp(sxi, svi, txi, tvi, ki, tuple(sci), vpi, cfg)
 
-        return jax.lax.map(one, (sx, sv, tx, tv, keys, scalars))
+        return jax.lax.map(one, (sx, sv, tx, tv, keys, scalars, vps))
 
     spec_b = P("dp")
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(spec_b, spec_b, spec_b, spec_b, spec_b, spec_b),
+        in_specs=(spec_b, spec_b, spec_b, spec_b, spec_b, spec_b, spec_b),
         out_specs=(spec_b, spec_b, spec_b),
         check_vma=False,
     )

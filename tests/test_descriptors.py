@@ -114,7 +114,9 @@ def test_rops_usc_run_and_rigid_invariance(rng):
     assert u1.shape == (len(xyz), 1960)
     ok = np.asarray(uok1) & np.asarray(uok2)
     dd = np.linalg.norm(np.asarray(u1)[ok] - np.asarray(u2)[ok], axis=1)
-    assert np.quantile(dd, 0.9) < 0.1  # descriptors are L2-normalized
+    # USC is raw-weight (PCL never normalizes it): gate relative to scale
+    uscale = np.linalg.norm(np.asarray(u1)[ok], axis=1).mean()
+    assert np.quantile(dd, 0.9) < 0.1 * uscale, np.quantile(dd, [0.5, 0.9])
 
 
 def test_fpfh_pair_features_oracle(rng):

@@ -16,7 +16,7 @@ from lidar_global_registration_tpu.parallel.batch import make_register_batch
 from lidar_global_registration_tpu.parallel.mesh import make_mesh, pair_sharding
 
 
-def _run_mesh(args, cfg, tp):
+def _run_mesh(args, cfg, tp, vps=None):
     n_dev = 4 * tp
     mesh = make_mesh(n_dev, tp=tp)
     step = make_register_batch(mesh, cfg)
@@ -28,11 +28,17 @@ def _run_mesh(args, cfg, tp):
     scalars = jnp.broadcast_to(
         jnp.stack([jnp.asarray(s, jnp.float32) for s in args[5:]])[None], (B, 7)
     )
+    if vps is None:
+        vps_b = jnp.zeros((B, 2, 3), jnp.float32)  # origin ≡ viewpoint=None
+    else:
+        vps_b = jnp.broadcast_to(
+            jnp.asarray(np.stack(vps), jnp.float32)[None], (B, 2, 3)
+        )
     sh = pair_sharding(mesh)
     put = lambda x: jax.device_put(x, sh)
     T, inliers, n_corr = step(
         put(batched[0]), put(batched[1]), put(batched[2]), put(batched[3]),
-        put(keys), put(scalars),
+        put(keys), put(scalars), put(vps_b),
     )
     return np.asarray(T), np.asarray(inliers), np.asarray(n_corr)
 

@@ -17,6 +17,23 @@ import sys
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+AXON_SITE = "/root/.axon_site"
+
+
+def _row_env(over):
+    """Build the row subprocess env, APPENDING to PYTHONPATH, never
+    overwriting: the axon TPU plugin registers via sitecustomize.py in
+    /root/.axon_site at interpreter start, and an env that drops that dir
+    fails with "Backend 'axon' is not in the list of known backends"
+    (the round-3 close-out lost its last three rows to this)."""
+    env = dict(os.environ)
+    env.update(over)
+    parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+    for need in (ROOT, AXON_SITE):
+        if os.path.isdir(need) and need not in parts:
+            parts.append(need)
+    env["PYTHONPATH"] = os.pathsep.join(parts)
+    return env
 
 ROWS = {
     # name: (env overrides, timeout seconds)
@@ -58,19 +75,26 @@ def main(names):
     out_log = os.path.join(ROOT, "BENCH_SWEEP.log")
     for name in names:
         env_over, tmo = ROWS[name]
-        env = dict(os.environ)
-        env.update(env_over)
+        env = _row_env(env_over)
         t0 = time.time()
         print(f"== {name} start {time.strftime('%H:%M:%S')}", flush=True)
-        try:
-            p = subprocess.run(
-                [sys.executable, os.path.join(ROOT, "bench.py")],
-                env=env, capture_output=True, text=True, timeout=tmo,
-            )
-            rc, out, err = p.returncode, p.stdout, p.stderr
-        except subprocess.TimeoutExpired as e:
-            rc, out = -9, ""
-            err = (e.stderr or "") + f"\n== TIMEOUT {tmo}s"
+        for attempt in range(2):
+            try:
+                p = subprocess.run(
+                    [sys.executable, os.path.join(ROOT, "bench.py")],
+                    env=env, capture_output=True, text=True, timeout=tmo,
+                )
+                rc, out, err = p.returncode, p.stdout, p.stderr
+            except subprocess.TimeoutExpired as e:
+                rc, out = -9, ""
+                err = (e.stderr or "") + f"\n== TIMEOUT {tmo}s"
+            # environment-loss rows (backend deregistered) are retried once
+            # rather than recorded as if the workload itself failed
+            if rc != 0 and "not in the list of known backends" in err:
+                print(f"== {name} lost the TPU backend (env); retrying",
+                      flush=True)
+                continue
+            break
         dt = time.time() - t0
         with open(out_log, "a") as f:
             f.write(f"\n==== {name} rc={rc} wall={dt:.0f}s ====\n{err}\n{out}\n")
