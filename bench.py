@@ -239,6 +239,10 @@ def run_step(n: int, repeats: int):
         # LGR_BENCH_ALIGN=gror benches the GROR optimal solver in place of
         # prerejective RANSAC (alignment.cpp:21-35, BASELINE config #3)
         alignment=os.environ.get("LGR_BENCH_ALIGN", "ransac"),
+        # LGR_BENCH_PYRAMID=1 benches the multi-scale pyramid staged path
+        # (per-keypoint log2 buckets + cross-level consensus vote,
+        # matching.h:163-354)
+        pyramid=os.environ.get("LGR_BENCH_PYRAMID", "0") == "1",
     )
     floats = (
         # host floats: the staged path skips its device-scalar radii pull
@@ -338,6 +342,67 @@ def cpu_baseline(n: int) -> float:
     return secs
 
 
+def _flagship_mode() -> bool:
+    """Default driver invocation on real TPU hardware: report the NORTH-STAR
+    workload (10M-point ISS pair), not the 64k toy (VERDICT r3 #7).
+    Explicit LGR_BENCH_N / sub-invocations keep single-workload behavior."""
+    if "LGR_BENCH_N" in os.environ or os.environ.get("LGR_BENCH_SUB") == "1":
+        return False
+    if os.environ.get("LGR_BENCH_MODE") == "cpu_worker":
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _sub_bench(env_over: dict, timeout: int):
+    """One workload in a subprocess (crash/timeout loses only that row)."""
+    env = dict(os.environ)
+    env.update(env_over)
+    env["LGR_BENCH_SUB"] = "1"
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    sys.stderr.write(p.stderr)
+    out = None
+    for line in p.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                out = json.loads(line)
+            except Exception:
+                pass
+    return out
+
+
+def _main_flagship():
+    r64 = _sub_bench({"LGR_BENCH_N": "65536", "LGR_BENCH_REPEATS": "3"}, 3600)
+    r10 = _sub_bench(
+        {"LGR_BENCH_N": "10485760", "LGR_BENCH_REPEATS": "2",
+         "LGR_BENCH_ISS": "1"}, 7200,
+    )
+    extra64 = r64.get("value") if r64 else None
+    if r10 and r10.get("value", 0) > 0:
+        out = dict(r10)
+        out["metric"] = "register_10m_pt_pair_e2e_flagship"
+        out["extra_64k_pairs_per_s"] = extra64
+    elif r64:
+        out = dict(r64)
+        out["note"] = "10M flagship row failed; reporting the 64k row"
+    else:
+        out = {"metric": "register_10m_pt_pair_e2e_flagship", "value": 0.0,
+               "unit": "pairs/s", "vs_baseline": 0.0,
+               "error": "both workloads failed"}
+    print(json.dumps(out))
+
+
 def main():
     if os.environ.get("LGR_BENCH_MODE") == "cpu_worker":
         import jax
@@ -346,6 +411,8 @@ def main():
         secs, _ok = run_step(N, REPEATS)
         print(json.dumps({"seconds_per_pair": secs}))
         return
+    if _flagship_mode():
+        return _main_flagship()
 
     secs, all_ok = run_step(N, REPEATS)
     if not all_ok:

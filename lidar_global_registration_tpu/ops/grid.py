@@ -209,13 +209,17 @@ def _radius_neighbors_chunk(
         neg = -neg2
     else:
         neg, sel = jax.lax.top_k(-d2m, k)  # [M,k]
-    dist = jnp.sqrt(jnp.maximum(-neg, 0.0))
+    d2_sel = -neg
+    dist = jnp.sqrt(jnp.maximum(d2_sel, 0.0))
     # original ids only for the k winners (tiny gather); index the [M,27]
     # row table by sel//ccap instead of materializing a [M,27*ccap] repeat
     win_row = jnp.take_along_axis(rows, sel // ccap, axis=1)
     win_pos = sel % ccap
     idx = grid.cell_ord[win_row * grid.cell_cap + win_pos]
-    mask = jnp.take_along_axis(ok, sel, axis=1)
+    # validity from the SELECTED distance (rejected slots carry BIG in d2m):
+    # gathering the [M, 27*ccap] ok matrix per winner materialized the
+    # whole candidate mask a second time (~0.2 s/side at the 10M shapes)
+    mask = (d2_sel <= radius * radius) & qvalid[:, None]
     idx = jnp.where(mask, idx, 0)
     dist = jnp.where(mask, dist, BIG)
     return idx, dist, mask
@@ -250,10 +254,13 @@ def radius_neighbors(
     # defeats fusion (measured 400x slower than inline at 64k queries).
     if chunk is None:
         # a live candidate slot costs ~16 B of transients at once (3 f32
-        # coordinate views + the distance matrix + top-k sort copies), so
-        # 64M slots ~ 1 GB peak per chunk; 300M slots OOMed a 16 GB v5e at
-        # 10M queries during the bench's density derivation
-        budget_slots = 64_000_000
+        # coordinate views + the distance matrix + top-k sort copies) —
+        # 240M slots ~ 3.8 GB peak per chunk.  300M slots OOMed a 16 GB
+        # v5e at 10M queries during the bench's density derivation; the
+        # SHOT-stage query (~16k queries x 27 x 512 = 226M slots) now runs
+        # UNCHUNKED — the 4-way chunk split cost ~0.25 s of unfused
+        # output concats per side at 10M
+        budget_slots = 240_000_000
         slots = M * 27 * cap
         if slots > budget_slots:
             n_chunks = -(-slots // budget_slots)

@@ -55,8 +55,12 @@ ROWS = {
                 "LGR_BENCH_ISS": "1", "LGR_BENCH_DESC": "shot"}, 7200),
     "shot10m": ({"LGR_BENCH_N": "10485760", "LGR_BENCH_REPEATS": "2",
                  "LGR_BENCH_ISS": "1", "LGR_BENCH_DESC": "shot"}, 18000),
+    "gror256k": ({"LGR_BENCH_N": "262144", "LGR_BENCH_REPEATS": "3",
+                  "LGR_BENCH_ISS": "1", "LGR_BENCH_ALIGN": "gror"}, 5400),
     "gror1m": ({"LGR_BENCH_N": "1048576", "LGR_BENCH_REPEATS": "3",
                 "LGR_BENCH_ISS": "1", "LGR_BENCH_ALIGN": "gror"}, 5400),
+    "gror4m": ({"LGR_BENCH_N": "4194304", "LGR_BENCH_REPEATS": "3",
+                "LGR_BENCH_ISS": "1", "LGR_BENCH_ALIGN": "gror"}, 7200),
     "gror10m": ({"LGR_BENCH_N": "10485760", "LGR_BENCH_REPEATS": "2",
                  "LGR_BENCH_ISS": "1", "LGR_BENCH_ALIGN": "gror"}, 18000),
     # per-stage budgets (LGR_STAGE_TIMING blocks between stages: the stage
