@@ -640,6 +640,12 @@ def _gror_stage(p, q, cvalid, distance_thr: float, cfg: FlagshipConfig):
     M = min(_pad_quantum(max(n, 1)), p.shape[0])
     if M < p.shape[0]:
         p, q, cvalid = _corr_subset(p, q, cvalid, M)
+    dump = os.environ.get("LGR_GROR_DUMP")
+    if dump:
+        # debug hook: capture the exact correspondence set entering the
+        # solver (offline re-runs of hard cases, tools/debug workflows)
+        np_.savez(dump, p=np_.asarray(p), q=np_.asarray(q),
+                  valid=np_.asarray(cvalid), thr=float(distance_thr))
     return gror_solve(p, q, cvalid, float(distance_thr))
 
 

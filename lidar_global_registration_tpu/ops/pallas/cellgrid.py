@@ -70,11 +70,37 @@ G_CELLS = 8  # cells per grid step (tab rows per auto-pipelined SMEM block)
 
 # packed lane assignments
 CH_ORDER = 6
-CH_ID = 6  # point id (sorted `order`) lane — exact below 2^24 (guarded)
+CH_ID = 6  # point id (sorted `order`) lane — biased-bitcast f32 (see
+# _encode_id_f32): exact and order-preserving for ANY realistic N (the
+# old order.astype(f32) encoding was exact only below 2^24 = 16.7M
+# points/side, 1.6x the 10M bench size)
 CH_VALID = 7
 CH_EXTRA = 8  # first pass-writable lane (ISS count / SPFH block start)
 CH_SAL = 9
 CH_OK = 10
+
+
+ID_BIAS = 0x0C000000  # bit-space offset for the f32 id encoding
+
+
+def _encode_id_f32(ids_i32):
+    """Monotone f32 encoding of nonnegative int32 point ids.
+
+    bitcast(id + ID_BIAS): every encoded value is a positive NORMAL f32
+    (exponent >= 0x18 — TPU denormal flush can never zero it), the IEEE
+    ordering of positive floats equals the integer ordering of their bit
+    patterns (min / compare / select preserve id order), identity-matmul
+    transposes are value-exact, and every id below 2^30 stays under the
+    BIG sentinel.  Replaces the order.astype(f32) lane, which was exact
+    only below 2^24 ids.  The lane must only ever be moved/compared —
+    arithmetic on it is meaningless."""
+    return jax.lax.bitcast_convert_type(
+        ids_i32.astype(jnp.int32) + jnp.int32(ID_BIAS), jnp.float32
+    )
+
+
+def _decode_id_f32(f):
+    return jax.lax.bitcast_convert_type(f, jnp.int32) - jnp.int32(ID_BIAS)
 
 
 def _atan2_poly(y, x):
@@ -385,11 +411,10 @@ SEG_BUCKETS = (128, 256, 512, 1024)
 def _stats_device(xyz, normal, valid, cell, exact: bool = False,
                   m: int | None = None):
     """Launch the (sort + stats) program; NO host pull happens here."""
-    if xyz.shape[0] >= (1 << 24):
-        # point ids ride in f32 packed lanes: exact only below 2^24
+    if xyz.shape[0] >= (1 << 30):
+        # the biased-bitcast id lane (_encode_id_f32) is exact to 2^30
         raise ValueError(
-            f"N={xyz.shape[0]} exceeds the 2^24 f32-exact id limit of the "
-            "packed-lane cell kernels"
+            f"N={xyz.shape[0]} exceeds the 2^30 id-lane encoding range"
         )
     if exact:
         m = 1
@@ -406,10 +431,9 @@ def _plan_from_stats(state, st):
     if bits > 30:
         raise ValueError(f"grid needs {bits} key bits (> 30); XLA fallback")
     N = state[0].shape[0]
-    if N >= 1 << 24:
-        # point ids ride f32 packed lanes (order / NN-id channels), exact
-        # only below 2^24 — fail loudly instead of corrupting neighbor ids
-        raise ValueError(f"N={N} >= 2^24: f32 id lanes inexact; XLA fallback")
+    if N >= 1 << 30:
+        # the biased-bitcast id lane (_encode_id_f32) is exact to 2^30
+        raise ValueError(f"N={N} >= 2^30: id-lane encoding range; XLA fallback")
     over = st[_ST_OVER:_ST_OVER + len(C_BUCKETS)]
     blocks = st[_ST_BLOCKS:_ST_BLOCKS + len(C_BUCKETS)]
     packed = int(st[_ST_PACK]) > 0  # thin-column (2.5D scan) grids pack rows
@@ -794,7 +818,7 @@ def _build_packed(state, C: int, SEG: int):
     N = ks.shape[0]
     vflag = vs.astype(jnp.float32)
     packed = jnp.stack(
-        [xs, ys, zs, nxs, nys, nzs, order.astype(jnp.float32), vflag], axis=1
+        [xs, ys, zs, nxs, nys, nzs, _encode_id_f32(order), vflag], axis=1
     )
     packed = jnp.where(vs[:, None], packed, jnp.float32(PAD))
     packed = jnp.concatenate(
@@ -1733,8 +1757,10 @@ def _surface_iss_impl(state, normal_r2, iss_r2, gamma21, gamma32, viewpoint,
         )
         normal = jnp.stack([nx, ny, nz], axis=1)
         eigvals = jnp.stack([l0, l1, l2], axis=1)
-        nnid = jnp.clip(nnid_f.astype(jnp.int32), 0, N - 1)
-        has_nn = (nnid_f >= 0) & (dmin < BIG / 2)
+        # id lane is the biased-bitcast encoding (tiny-positive floats);
+        # the -1.0 init of rows that never saw a neighbor stays negative
+        has_nn = (nnid_f > 0) & (dmin < BIG / 2)
+        nnid = jnp.clip(_decode_id_f32(nnid_f), 0, N - 1)
         valid_o = vs[inv]  # vs is sorted-order; inv maps back to input order
         ok = valid_o & (cnt >= 3)
         if surface_need is not None:

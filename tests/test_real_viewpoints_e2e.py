@@ -36,26 +36,32 @@ FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
 
 def _bank_scene(m, rng):
     """River-bank terrain around the real scanner network: bank rising
-    with y, mound vegetation and box structures on the bank."""
-    xy = rng.uniform([-320.0, 60.0], [-220.0, 160.0], size=(m, 2))
-    z = -8.0 + 0.08 * (xy[:, 1] - 60.0)
+    with y, mound vegetation and box structures on the bank.  The whole
+    scene stays BELOW the lowest real scanner height (RiverBank1 at
+    z = -3.47): a scan only samples surfaces it can see, and a surface
+    sampled from below would orient its normals inconsistently between
+    the two (real) viewpoints."""
+    xy = rng.uniform([-300.0, 80.0], [-240.0, 140.0], size=(m, 2))
+    z = -20.0 + 0.05 * (xy[:, 1] - 80.0)
     rng2 = np.random.default_rng(1234)
-    for _ in range(40):
-        cx = rng2.uniform(-315, -225)
-        cy = rng2.uniform(70, 155)
+    for _ in range(60):
+        cx = rng2.uniform(-298, -242)
+        cy = rng2.uniform(82, 138)
         h = rng2.uniform(0.5, 3.0)
         w = rng2.uniform(1.0, 4.0)
         d2 = (xy[:, 0] - cx) ** 2 + (xy[:, 1] - cy) ** 2
         z = z + h * np.exp(-d2 / (2 * w * w))
-    for _ in range(12):
-        cx = rng2.uniform(-310, -230)
-        cy = rng2.uniform(80, 150)
+    for _ in range(16):
+        cx = rng2.uniform(-295, -245)
+        cy = rng2.uniform(85, 135)
         sx, sy = rng2.uniform(2.0, 6.0, 2)
-        h = rng2.uniform(2.0, 6.0)
+        h = rng2.uniform(2.0, 4.0)
         msk = (np.abs(xy[:, 0] - cx) < sx) & (np.abs(xy[:, 1] - cy) < sy)
         z = z + np.where(msk, h, 0.0)
     pts = np.column_stack([xy, z]).astype(np.float32)
-    return pts + rng.normal(scale=0.02, size=pts.shape).astype(np.float32)
+    pts = pts + rng.normal(scale=0.02, size=pts.shape).astype(np.float32)
+    assert pts[:, 2].max() < -4.0, pts[:, 2].max()
+    return pts
 
 
 def _scan_from(scene_pts, scanner, n, rng):
@@ -80,7 +86,7 @@ def test_riverbank_real_viewpoints_cli(tmp_path, monkeypatch):
                                      -3.47253193])
 
     rng = np.random.default_rng(8)
-    n = 16000
+    n = 20000
     scene = _bank_scene(n * 24, rng)
     a = _scan_from(scene, vp1, n, np.random.default_rng(81))
     b_world = _scan_from(scene, vp2, n, np.random.default_rng(82))
