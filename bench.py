@@ -163,7 +163,12 @@ def run_step(n: int, repeats: int):
         extent = float(os.environ.get(
             "LGR_BENCH_EXTENT", 30.0 * max(1.0, np.sqrt(n / 2**20))
         ))
-        a, b, vp_a, vp_b = _synthetic_scene_pair_device(n, extent=extent)
+        # LGR_BENCH_GRADED=1: TLS-like range-falloff density (the pyramid
+        # bench regime — per-keypoint radii span several octaves)
+        a, b, vp_a, vp_b = _synthetic_scene_pair_device(
+            n, extent=extent,
+            graded=os.environ.get("LGR_BENCH_GRADED", "0") == "1",
+        )
     else:
         # keypoint=any (reference `keypoint: any` mode, like its corner e2e
         # fixture): dense descriptor matching dominates, and the synthetic

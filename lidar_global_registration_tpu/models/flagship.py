@@ -14,6 +14,7 @@ feature radius to stay inside one compiled graph.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 

@@ -413,10 +413,25 @@ def gror_solve(
     upper = np.triu(adj_np, 1)
     adj_size = upper.sum(1)
     deg_full = adj_np.sum(1)
-    e_valid = adj_size >= MIN_EDGE_ADJACENCY
+    # Edge-length floor for the ALIGNMENT pair (not for the consistency
+    # counts): a near-zero edge on EITHER side degenerates the two-point
+    # alignment — with one-sided (cluster) matching two source keypoints
+    # can share one target point, making |q1-q2| EXACTLY zero; the edge
+    # direction is then undefined and the interval stab degenerates to
+    # full arcs, reporting a spurious full-support count that argmax
+    # prefers over genuine edges (measured at 4M: a 353-inlier aliased
+    # pose beat the true 1152-inlier one).  Edges shorter than the 2*res
+    # consistency band cannot constrain direction better than ~90 deg.
+    p_np_k = np.asarray(p)
+    q_np_k = np.asarray(q)
+    dps = np.linalg.norm(p_np_k[:, None, :] - p_np_k[None, :, :], axis=-1)
+    dqs = np.linalg.norm(q_np_k[:, None, :] - q_np_k[None, :, :], axis=-1)
+    floor = 2.0 * resolution
+    sel_ok = (upper > 0) & (dps > floor) & (dqs > floor)
+    e_valid = (adj_size >= MIN_EDGE_ADJACENCY) & sel_ok.any(axis=1)
     if not e_valid.any():
         return fail
-    partner_score = np.where(upper, deg_full[None, :], -1)
+    partner_score = np.where(sel_ok, deg_full[None, :], -1)
     partners = np.argmax(partner_score, axis=1)
     i1 = jnp.arange(k_pad, dtype=jnp.int32)
     i2 = jnp.asarray(partners.astype(np.int32))

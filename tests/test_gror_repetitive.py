@@ -82,6 +82,37 @@ def test_gror_alias_majority_of_nodes_wins_only_with_support(rng):
     assert t_err_alias < 2 * RES, (T[:3, 3], t_alias)
 
 
+def test_gror_duplicate_target_edges(rng):
+    """One-sided (cluster) matching can map several SOURCE keypoints onto
+    one TARGET point: |q1-q2| is then EXACTLY zero for such an edge, the
+    two-point alignment direction is undefined, and (pre-fix) the interval
+    stab degenerated to full arcs — a spurious full-support count that
+    outranked every genuine edge (found on the 4M bench: a 353-inlier
+    aliased pose beat the true 1152-inlier one).  The edge-length floor
+    must keep such pairs out of the alignment-edge set."""
+    n_true = 60
+    p_true = rng.uniform(-5, 5, size=(n_true, 3)).astype(np.float32)
+    q_true = p_true @ R_TRUE.T + T_TRUE + rng.normal(
+        scale=0.01, size=(n_true, 3)
+    ).astype(np.float32)
+    # duplicate-target rows: pairs of sources 0.4 apart sharing one target
+    p_dup, q_dup = [], []
+    for i in range(20):
+        base = rng.uniform(-5, 5, size=3).astype(np.float32)
+        tgt = rng.uniform(-5, 5, size=3).astype(np.float32)
+        p_dup += [base, base + np.array([0.4, 0, 0], np.float32)]
+        q_dup += [tgt, tgt]
+    p = np.concatenate([p_true, np.asarray(p_dup)])
+    q = np.concatenate([q_true, np.asarray(q_dup)])
+    out = gror_solve(
+        jnp.asarray(p), jnp.asarray(q), jnp.ones((len(p),), bool), RES
+    )
+    assert out["converged"], out
+    r_err, t_err = _errors(np.asarray(out["transformation"]))
+    assert r_err < 0.02 and t_err < 2 * RES, (r_err, t_err, out)
+    assert out["inliers"] >= 55
+
+
 def test_gror_full_set_degree_ranking(rng):
     """The degree pass must rank over the FULL correspondence set: with the
     true clique placed at the END of a correspondence list longer than any

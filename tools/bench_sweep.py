@@ -63,6 +63,15 @@ ROWS = {
                 "LGR_BENCH_ISS": "1", "LGR_BENCH_ALIGN": "gror"}, 7200),
     "gror10m": ({"LGR_BENCH_N": "10485760", "LGR_BENCH_REPEATS": "2",
                  "LGR_BENCH_ISS": "1", "LGR_BENCH_ALIGN": "gror"}, 18000),
+    # multi-scale pyramid regime (matching.h:163-354): graded-density scene
+    # so per-keypoint radii span several octaves; pyramid + SHOT + cluster
+    # is the reference-default AUTO configuration
+    "pyr1m": ({"LGR_BENCH_N": "1048576", "LGR_BENCH_REPEATS": "3",
+               "LGR_BENCH_ISS": "1", "LGR_BENCH_DESC": "shot",
+               "LGR_BENCH_PYRAMID": "1", "LGR_BENCH_GRADED": "1"}, 7200),
+    "pyr1m_fpfh": ({"LGR_BENCH_N": "1048576", "LGR_BENCH_REPEATS": "3",
+                    "LGR_BENCH_ISS": "1", "LGR_BENCH_PYRAMID": "1",
+                    "LGR_BENCH_GRADED": "1"}, 7200),
     # per-stage budgets (LGR_STAGE_TIMING blocks between stages: the stage
     # columns over-count vs e2e; never quote them as end-to-end)
     "prof1m": ({"LGR_BENCH_N": "1048576", "LGR_BENCH_REPEATS": "1",
