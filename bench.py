@@ -390,7 +390,7 @@ def _sub_bench(env_over: dict, timeout: int):
 def _main_flagship():
     r64 = _sub_bench({"LGR_BENCH_N": "65536", "LGR_BENCH_REPEATS": "3"}, 3600)
     r10 = _sub_bench(
-        {"LGR_BENCH_N": "10485760", "LGR_BENCH_REPEATS": "2",
+        {"LGR_BENCH_N": "10485760", "LGR_BENCH_REPEATS": "3",
          "LGR_BENCH_ISS": "1"}, 7200,
     )
     extra64 = r64.get("value") if r64 else None
