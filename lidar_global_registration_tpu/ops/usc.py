@@ -7,11 +7,14 @@ minimal_radius = r/10, point_density_radius = r/5, local_radius = r
 PCL semantics reproduced here (pcl::UniqueShapeContext::initCompute /
 computePointDescriptor, features/impl/usc.hpp):
 
-- Bin counts: radius_bins=10, elevation_bins=14, azimuth_bins=14
-  (10*14*14 = 1960 — the only factorization of the
-  pcl::UniqueShapeContext1960 width into (radius, elevation, azimuth)
-  counts; PCL's 3DSC sibling uses (15, 11, 12) = ShapeContext1980, so
-  none of the 3DSC defaults can be USC's).
+- Bin counts: radius_bins=10, elevation_bins=14, azimuth_bins=14.
+  10*14*14 = 1960 is not the unique factorization of the
+  pcl::UniqueShapeContext1960 width (5*14*28, 7*14*20, ... also
+  factor); it is the PCL-convention-consistent layout: azimuth >=
+  elevation >= radius as in the 3DSC sibling (15, 11, 12) =
+  ShapeContext1980, with equal elevation/azimuth counts matching the
+  Tombari USC paper's grid.  Unverifiable against PCL's usc.h source
+  offline — re-check the constants the instant it is reachable.
 - Radial edges: logarithmic, radii_interval[j] =
   exp(log(r_min) + j/R * log(r_max/r_min)); neighbors closer than r_min
   land in the first shell (PCL's edge scan starts at interval[1]).
@@ -89,7 +92,15 @@ def usc_from_neighbors(kp_xyz, frames, surface_xyz, idx, mask, nb_density, radiu
     band = jnp.cos(el_edges[:-1]) - jnp.cos(el_edges[1:])  # [E]
     vol_ker = shell_vol[None, :] * band[:, None] * (2 * jnp.pi / N_AZIM)  # [E,R]
     vol = jnp.tile(vol_ker.reshape(-1), (N_AZIM,))  # [A*E*R] in PCL order
-    w = 1.0 / (jnp.maximum(nb_density, 1e-30) * jnp.cbrt(jnp.maximum(vol[cell], 1e-30)))
+    # PCL zeroes the contribution when the local point density is 0
+    # (computePointDescriptor guard) — unreachable from usc() (densities
+    # are self-inclusive counts >= 1) but matched here for direct callers
+    # with arbitrary nb_density.
+    w = jnp.where(
+        nb_density > 0,
+        1.0 / (jnp.maximum(nb_density, 1e-30) * jnp.cbrt(jnp.maximum(vol[cell], 1e-30))),
+        0.0,
+    )
     w = jnp.where(use, w, 0.0)
 
     rows = jnp.arange(M, dtype=jnp.int32)[:, None]

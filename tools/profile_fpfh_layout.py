@@ -80,4 +80,7 @@ def main():
 
 
 if __name__ == "__main__":
+    from bench import _ensure_axon_env
+
+    _ensure_axon_env()
     main()

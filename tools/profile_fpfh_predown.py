@@ -103,4 +103,7 @@ def main():
 
 
 if __name__ == "__main__":
+    from bench import _ensure_axon_env
+
+    _ensure_axon_env()
     main()
