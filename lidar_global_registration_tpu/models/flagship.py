@@ -33,6 +33,11 @@ from lidar_global_registration_tpu.ops.normals import normals_from_neighbors
 from lidar_global_registration_tpu.ops.transform import kabsch, to_matrix4
 
 MIN_NR_INLIERS = 10
+
+# LGR_PYRAMID_DEBUG=1: the staged pyramid records its level ranges,
+# per-keypoint buckets and vote winners here for parity tests against the
+# host pyramid (models/pyramid.py PYRAMID_DEBUG).  Test-only.
+PYRAMID_DEBUG: dict = {}
 MIN_NR_FINAL_INLIERS = 20
 MIN_INLIER_RATE = 0.15
 
@@ -550,6 +555,49 @@ def _correspondence_stage(idx_st, mask_st, idx_ts, mask_ts, dens_s, dens_t,
     return j, keep, thr
 
 
+def _consensus_keep(i_st0, m_st0, i_ts0, m_ts0, kq, kt, cfg: FlagshipConfig):
+    """ONE body for the cluster gate (ClusterMatcher, matching.h:480-551),
+    shared by the staged compacted path and _cluster_filter_rows so the two
+    cannot drift: the two-sided consensus-distance threshold followed by the
+    consensus-ranked top-max_correspondences cap.  kq/kt = (idx, dist, mask)
+    self-excluded keypoint kNN per side; i/m_*0 are the 1-NN match columns.
+    Returns keep_q over source-direction rows."""
+    from lidar_global_registration_tpu.models.pyramid import _cluster_distances
+
+    kq_idx, _d1, kq_m = kq
+    kt_idx, _d2, kt_m = kt
+    d_i = _cluster_distances(i_st0, m_st0, kq_idx, kq_m, kt_idx, kt_m)
+    d_j = _cluster_distances(i_ts0, m_ts0, kt_idx, kt_m, kq_idx, kq_m)
+    thr_c = jnp.float32(cfg.cluster_threshold)
+    # only the SOURCE-direction survivors are consumed (the clustered
+    # correspondence stage is one-sided, matching.h:524-550); d_j — the
+    # target-direction consensus distances — still gates keep_q
+    score_q = jnp.maximum(d_i, d_j[i_st0])
+    keep_q = (d_i < thr_c) & (d_j[i_st0] < thr_c) & m_st0
+    # the reference keeps every survivor of the 0.95 gate; at high keypoint
+    # counts that floods RANSAC with low-precision matches (3-point sampling
+    # needs ~1/f^3 draws at inlier fraction f).  Rank survivors by consensus
+    # strength (the same cluster distance the reference stores per
+    # correspondence) and keep the most consistent max_correspondences.
+    K = cfg.max_correspondences
+    if K > 0 and K < score_q.shape[0]:
+        sq_scores = jnp.where(keep_q, score_q, jnp.inf)
+        kth_q = jnp.sort(sq_scores)[K - 1]
+        keep_q = keep_q & (sq_scores <= kth_q)
+    return keep_q
+
+
+def _kp_density_nearest(kn_idx, kn_d, kn_m):
+    """k=2-smoothed keypoint-cloud density from a self-excluded 1-NN
+    (column 0 = nearest NON-SELF keypoint): calculateSmoothedDensities over
+    the keypoint cloud, matching.h:396-397 — keypoint localization error
+    scales with keypoint spacing, not raw point spacing."""
+    d_raw = jnp.where(kn_m[:, 0], kn_d[:, 0], 0.0)
+    nn = kn_idx[:, 0]
+    d_nn = jnp.where(kn_m[:, 0], d_raw[nn], d_raw)
+    return jnp.minimum(d_raw, jnp.where(d_nn > 0, d_nn, d_raw))
+
+
 def _cluster_filter_rows(xyz_s, kpv_s, xyz_t, kpv_t,
                          idx_st, mask_st, idx_ts, mask_ts,
                          dens_s, dens_t, cfg, knn_self):
@@ -563,8 +611,6 @@ def _cluster_filter_rows(xyz_s, kpv_s, xyz_t, kpv_t,
     knn_self(points, valid, k, approx) -> (idx, dist, mask): same-set kNN
     with self excluded BY ID — single-device match_bf(exclude_diag) or the
     tensor-parallel shard merge.  Returns (mask_st', dens_s', dens_t')."""
-    from lidar_global_registration_tpu.models.pyramid import _cluster_distances
-
     N_s, N_t = xyz_s.shape[0], xyz_t.shape[0]
     kc = max(2, min(cfg.cluster_k, min(N_s, N_t) - 1))
 
@@ -574,38 +620,48 @@ def _cluster_filter_rows(xyz_s, kpv_s, xyz_t, kpv_t,
 
     ksq = centered(xyz_s, kpv_s)
     kst = centered(xyz_t, kpv_t)
-    kq_idx, kq_d, kq_m = knn_self(ksq, kpv_s, kc, cfg.cluster_approx_knn)
-    kt_idx, kt_d, kt_m = knn_self(kst, kpv_t, kc, cfg.cluster_approx_knn)
-    d_i = _cluster_distances(idx_st[:, 0], mask_st[:, 0], kq_idx, kq_m,
-                             kt_idx, kt_m)
-    d_j = _cluster_distances(idx_ts[:, 0], mask_ts[:, 0], kt_idx, kt_m,
-                             kq_idx, kq_m)
-    thr_c = jnp.float32(cfg.cluster_threshold)
-    score_q = jnp.maximum(d_i, d_j[idx_st[:, 0]])
-    keep_q = (d_i < thr_c) & (d_j[idx_st[:, 0]] < thr_c) & mask_st[:, 0]
-    K = cfg.max_correspondences
-    if K > 0 and K < score_q.shape[0]:
-        sq_scores = jnp.where(keep_q, score_q, jnp.inf)
-        kth_q = jnp.sort(sq_scores)[K - 1]
-        keep_q = keep_q & (sq_scores <= kth_q)
+    kq = knn_self(ksq, kpv_s, kc, cfg.cluster_approx_knn)
+    kt = knn_self(kst, kpv_t, kc, cfg.cluster_approx_knn)
+    keep_q = _consensus_keep(idx_st[:, 0], mask_st[:, 0],
+                             idx_ts[:, 0], mask_ts[:, 0], kq, kt, cfg)
     if cfg.cluster_approx_knn:
         # per-pair thresholds need the EXACT nearest keypoint (see the
         # staged path): one exact 1-NN per side
         kq1 = knn_self(ksq, kpv_s, 1, False)
         kt1 = knn_self(kst, kpv_t, 1, False)
     else:
-        kq1 = (kq_idx, kq_d, kq_m)
-        kt1 = (kt_idx, kt_d, kt_m)
-
-    def kp_density(kn_idx, kn_d, kn_m):
-        d_raw = jnp.where(kn_m[:, 0], kn_d[:, 0], 0.0)
-        nn = kn_idx[:, 0]
-        d_nn = jnp.where(kn_m[:, 0], d_raw[nn], d_raw)
-        return jnp.minimum(d_raw, jnp.where(d_nn > 0, d_nn, d_raw))
-
-    dens_s2 = jnp.where(kpv_s, kp_density(*kq1), dens_s)
-    dens_t2 = jnp.where(kpv_t, kp_density(*kt1), dens_t)
+        kq1, kt1 = kq, kt
+    dens_s2 = jnp.where(kpv_s, _kp_density_nearest(*kq1), dens_s)
+    dens_t2 = jnp.where(kpv_t, _kp_density_nearest(*kt1), dens_t)
     return mask_st & keep_q[:, None], dens_s2, dens_t2
+
+
+@partial(jax.jit, static_argnames=("k_neighbors", "cap", "chunk", "approx",
+                                   "gravity"))
+def _shot_side_fused(kp_xyz, kp_normal, kpv, surf_xyz, surf_normal,
+                     surf_valid, radius, k_neighbors: int, cap: int, chunk,
+                     approx: bool, gravity: bool):
+    """ONE XLA program for a whole SHOT side: gravity frames + grid build +
+    radius query + SHOT-LRF fallback + quadrilinear histogram.
+
+    Round-4 ran build_grid/radius_neighbors as EAGER op dispatches (dozens
+    of individual launches per side over the tunneled runtime) with only
+    the core jitted; sub-second rows were launch-latency bound on exactly
+    this (BASELINE.md round-4 close-out).  Fusing the side into one program
+    brings the SHOT stage's launch count down to the FPFH stage's
+    (VERDICT r4 #3) and lets XLA fuse the query's distance math into the
+    histogram gathers."""
+    from lidar_global_registration_tpu.ops import lrf as lrfmod
+    from lidar_global_registration_tpu.ops.shot import shot as shot_full
+
+    frames = needs_fb = None
+    if gravity:
+        frames, needs_fb = lrfmod.gravity_lrf(kp_normal)
+    return shot_full(
+        kp_xyz, kpv, surf_xyz, surf_normal, surf_valid, radius,
+        frames=frames, fallback_mask=needs_fb, k_neighbors=k_neighbors,
+        cap=cap, chunk=chunk, approx=approx,
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -618,6 +674,17 @@ def _corr_subset(p, q, cvalid, M: int):
     """ransac_solve's compaction, standalone for the GROR solver stage."""
     sel = _subset_sel(cvalid, M)
     return p[sel], q[sel], cvalid[sel]
+
+
+@partial(jax.jit, static_argnames=("M",))
+def _corr_export(j, mutual, thr, M: int):
+    """Compacted (query, match, threshold, valid) arrays of the surviving
+    correspondence set — the staged path's export for the CLI/measure
+    harness, which persists the reference's correspondence CSV cache
+    (query_idx, match_idx, threshold; alignment.cpp:87,
+    common.cpp:1223-1266).  Valid rows first, row order kept."""
+    sel = _subset_sel(mutual, M)
+    return sel.astype(jnp.int32), j[sel].astype(jnp.int32), thr[sel], mutual[sel]
 
 
 def _gror_stage(p, q, cvalid, distance_thr: float, cfg: FlagshipConfig):
@@ -797,6 +864,7 @@ def register_pair_staged(
     vp_src=None,
     vp_tgt=None,
     cfg: FlagshipConfig = FlagshipConfig(),
+    return_correspondences: bool = False,
 ):
     """Stage-jitted registration path — the benched/shipped configuration.
 
@@ -922,16 +990,10 @@ def register_pair_staged(
         y = gravity x z (common.cpp:712-734), with the SHOT-LRF fallback for
         normals within 0.04 rad of gravity — on flat ground that is MOST
         keypoints, so the fallback frames are computed unconditionally and
-        blended on device (no host sync)."""
-        from lidar_global_registration_tpu.ops import lrf as lrfmod
-        from lidar_global_registration_tpu.ops.shot import shot as shot_full
-
+        blended on device (no host sync).  The whole side (frames + grid +
+        query + histogram) runs as ONE program (_shot_side_fused)."""
         if radius is None:
             radius = feature_radius
-        frames = None
-        needs_fb = None
-        if cfg.lrf == "gravity":
-            frames, needs_fb = lrfmod.gravity_lrf(kp_normal)
         # degenerate gravity frames fall back to the SHOT-LRF computed over
         # the FULL surface support, reusing shot()'s own neighbor query
         # (keypoint-only support gave sparse, unstable fallback frames).
@@ -956,10 +1018,11 @@ def register_pair_staged(
                                     128 * int(np.ceil(occ / 128.0)))))
         except (TypeError, jax.errors.TracerArrayConversionError):
             pass  # traced radii: keep the static default
-        return shot_full(
-            kp_xyz, kpv, surf_xyz, surf_normal, surf_valid, radius,
-            frames=frames, fallback_mask=needs_fb, k_neighbors=cfg.shot_k,
-            cap=cap, chunk=cfg.query_chunk,
+        return _shot_side_fused(
+            kp_xyz, kp_normal, kpv, surf_xyz, surf_normal, surf_valid,
+            jnp.float32(radius), k_neighbors=cfg.shot_k, cap=cap,
+            chunk=cfg.query_chunk, approx=gridmod.approx_topk_default(),
+            gravity=cfg.lrf == "gravity",
         )
 
     def _fpfh_stage(xyz, normal, valid, kp_mask):
@@ -1055,7 +1118,19 @@ def register_pair_staged(
                     xyz, valid, xyz, valid, 4.0 * dcell, 5, 64, True,
                     chunk=cfg.query_chunk,
                 )
-                d4 = jnp.where(m4[:, 4], d4m[:, 4], jnp.float32(dcell))
+                # rows whose 5th NN lies beyond the 4*dcell window are the
+                # SPARSE far-field tail — the rows the pyramid exists to
+                # serve.  Falling back to the global mean cell (round-4
+                # behavior) under-estimated their radii and dropped them
+                # into too-low buckets; instead use the per-row
+                # radius-bounded estimate: c self-inclusive points in the
+                # window disk => local 5-NN distance ~ window * sqrt(5/c)
+                # (uniform-disk occupancy), a lower bound that still scales
+                # with the row's true sparsity.
+                cnt4 = jnp.sum(m4, axis=1).astype(jnp.float32)
+                est = 4.0 * dcell * jnp.sqrt(5.0 / jnp.maximum(cnt4, 1.0))
+                d4 = jnp.where(m4[:, 4], d4m[:, 4], est)
+                found = m4[:, 4]  # exact 5-NN (vs windowed estimate) rows
                 r_row = jnp.sqrt(FEATURE_NR_POINTS * d4 * d4 / np.pi)
                 li = jnp.clip(
                     jnp.floor(
@@ -1066,12 +1141,12 @@ def register_pair_staged(
                 hist = jnp.zeros((n_bins,), jnp.int32).at[li - B_LO].add(
                     (kp & valid).astype(jnp.int32)
                 )
-                return li, hist
+                return li, hist, found
 
-            li_s, hist_s = _bucket_rows(src_xyz, src_valid, src_kp,
-                                        density_cell_src)
-            li_t, hist_t = _bucket_rows(tgt_xyz, tgt_valid, tgt_kp,
-                                        density_cell_tgt)
+            li_s, hist_s, fnd_s = _bucket_rows(src_xyz, src_valid, src_kp,
+                                               density_cell_src)
+            li_t, hist_t, fnd_t = _bucket_rows(tgt_xyz, tgt_valid, tgt_kp,
+                                               density_cell_tgt)
             cnt = np_.asarray(jnp.concatenate([
                 jnp.stack([jnp.sum(src_kp.astype(jnp.int32)),
                            jnp.sum(tgt_kp.astype(jnp.int32))]),
@@ -1230,6 +1305,40 @@ def register_pair_staged(
             ic_ts_p, mc_ts_p = _vote(levels_t, min_t, levels_s, min_s,
                                      kpx_s, iss_radius_src)
             _t("match_pyramid", (ic_st_p, mc_st_p, ic_ts_p, mc_ts_p))
+            if os.environ.get("LGR_PYRAMID_DEBUG") == "1":
+                mt = kpv_t.shape[0]
+                w_rows = np_.asarray(sj_t)[
+                    np_.clip(np_.asarray(ic_st_p[:, 0]), 0, mt - 1)
+                ]
+                PYRAMID_DEBUG.clear()
+                PYRAMID_DEBUG.update(
+                    side_src=dict(
+                        min_log2=min_s, max_log2=max_s,
+                        kp_indices=np_.asarray(sj_s)[:n_kp_s],
+                        log2_radii=np_.asarray(
+                            jnp.clip(li_s, min_s, max_s)
+                        )[np_.asarray(sj_s)[:n_kp_s]],
+                        exact_5nn=np_.asarray(fnd_s)[
+                            np_.asarray(sj_s)[:n_kp_s]
+                        ],
+                    ),
+                    side_tgt=dict(
+                        min_log2=min_t, max_log2=max_t,
+                        kp_indices=np_.asarray(sj_t)[:n_kp_t],
+                        log2_radii=np_.asarray(
+                            jnp.clip(li_t, min_t, max_t)
+                        )[np_.asarray(sj_t)[:n_kp_t]],
+                        exact_5nn=np_.asarray(fnd_t)[
+                            np_.asarray(sj_t)[:n_kp_t]
+                        ],
+                    ),
+                    winners_st=dict(
+                        query=np_.asarray(sj_s)[
+                            np_.asarray(mc_st_p[:, 0] & kpv_s)
+                        ],
+                        match=w_rows[np_.asarray(mc_st_p[:, 0] & kpv_s)],
+                    ),
+                )
             v_any_s = kpv_s & jnp.any(
                 jnp.stack([v for _f, v in levels_s]), axis=0
             )
@@ -1665,10 +1774,6 @@ def register_pair_staged(
             # match arbitrarily); this is what disambiguates them.
             # Keypoint kNN reuses the descriptor matcher with xyz as a
             # 3-d "descriptor" (exact L2 k-NN on the MXU).
-            from lidar_global_registration_tpu.models.pyramid import (
-                _cluster_distances,
-            )
-
             # DELIBERATE deviation from PCL's nearestKSearch (and the
             # pyramid path, which stays reference-faithful): the SELF
             # neighbor is excluded from the consensus sets.  With self
@@ -1695,46 +1800,15 @@ def register_pair_staged(
                 kst, kst, tv, tv, k=kc, tile=cfg.cluster_knn_tile,
                 approx=cfg.cluster_approx_knn, exclude_diag=True,
             )
-            d_i = _cluster_distances(
-                ic_st[:, 0], mc_st[:, 0],
-                kq_idx, kq_m, kt_idx, kt_m,
-            )
-            d_j = _cluster_distances(
-                ic_ts[:, 0], mc_ts[:, 0],
-                kt_idx, kt_m, kq_idx, kq_m,
-            )
-            thr_c = jnp.float32(cfg.cluster_threshold)
-            # only the SOURCE-direction survivors are consumed: the
-            # clustered correspondence stage is one-sided
+            # shared gate body (_consensus_keep): two-sided consensus
+            # threshold + consensus-ranked top-K — one-sided survivors
             # (require_mutual=False below ignores idx_ts/mask_ts), matching
             # the reference's source-direction result rows
-            # (models/pyramid.py cluster path; matching.h:524-550).  d_j
-            # (the target-direction consensus distances) still gates keep_q.
-            score_q = jnp.maximum(d_i, d_j[ic_st[:, 0]])
-            keep_q = (d_i < thr_c) & (d_j[ic_st[:, 0]] < thr_c) & mc_st[:, 0]
-            # the reference keeps every survivor of the 0.95 gate; at high
-            # keypoint counts that floods RANSAC with low-precision matches
-            # (3-point sampling needs ~1/f^3 draws at inlier fraction f).
-            # Rank survivors by consensus strength (the same cluster
-            # distance the reference stores per correspondence) and keep
-            # the most consistent max_correspondences.
-            K = cfg.max_correspondences
-            if K > 0 and K < score_q.shape[0]:
-                sq_scores = jnp.where(keep_q, score_q, jnp.inf)
-                kth_q = jnp.sort(sq_scores)[K - 1]
-                keep_q = keep_q & (sq_scores <= kth_q)
+            keep_q = _consensus_keep(
+                ic_st[:, 0], mc_st[:, 0], ic_ts[:, 0], mc_ts[:, 0],
+                (kq_idx, kq_d, kq_m), (kt_idx, kt_d, kt_m), cfg,
+            )
             mc_st = mc_st & keep_q[:, None]
-            # per-pair thresholds at KEYPOINT-cloud density (the reference
-            # computes calculateSmoothedDensities over the keypoints,
-            # matching.h:396-397): keypoint localization error scales with
-            # keypoint spacing, not raw point spacing
-            def kp_density(kn_idx, kn_d, kn_m):
-                # column 0 is the nearest NON-SELF keypoint (exclude_diag)
-                d_raw = jnp.where(kn_m[:, 0], kn_d[:, 0], 0.0)
-                nn = kn_idx[:, 0]
-                d_nn = jnp.where(kn_m[:, 0], d_raw[nn], d_raw)
-                return jnp.minimum(d_raw, jnp.where(d_nn > 0, d_nn, d_raw))
-
             if cfg.cluster_approx_knn:
                 # the consensus sets tolerate the ~0.95-recall per-tile
                 # approximation, but the per-pair THRESHOLDS do not: a
@@ -1754,10 +1828,10 @@ def register_pair_staged(
                 kq1_i, kq1_d, kq1_m = kq_idx, kq_d, kq_m
                 kt1_i, kt1_d, kt1_m = kt_idx, kt_d, kt_m
             dens_s = dens_s.at[sqj].set(
-                kp_density(kq1_i, kq1_d, kq1_m), mode="drop"
+                _kp_density_nearest(kq1_i, kq1_d, kq1_m), mode="drop"
             )
             dens_t = dens_t.at[stj].set(
-                kp_density(kt1_i, kt1_d, kt1_m), mode="drop"
+                _kp_density_nearest(kt1_i, kt1_d, kt1_m), mode="drop"
             )
         # scatter back to full rows, mapping compact train ids to originals
         clustered = bool(cfg.use_iss and cfg.cluster_matching)
@@ -1810,9 +1884,21 @@ def register_pair_staged(
         require_mutual=not clustered,
     ))
     if cfg.alignment == "gror":
-        return _t("gror", _gror_stage(src_xyz, tgt_xyz[j], mutual,
-                                      distance_thr, cfg))
-    return _t("ransac", _ransac_stage(src_xyz, tgt_xyz[j], thr, mutual, key, cfg))
+        res = _t("gror", dict(_gror_stage(src_xyz, tgt_xyz[j], mutual,
+                                          distance_thr, cfg)))
+    else:
+        res = _t("ransac", dict(
+            _ransac_stage(src_xyz, tgt_xyz[j], thr, mutual, key, cfg)
+        ))
+    if return_correspondences:
+        # compact the surviving correspondence set to its realized count
+        # (quantum-padded) before export: the CLI/measure path persists the
+        # correspondence CSV cache (alignment.cpp:87) and tunneled runtimes
+        # move full-[N] arrays at ~0.2 MB/s, so never ship the padding
+        n_c = int(np.asarray(jnp.sum(mutual.astype(jnp.int32))))
+        M_c = min(_pad_quantum(max(n_c, 1)), int(mutual.shape[0]))
+        res["correspondences"] = _corr_export(j, mutual, thr, M_c)
+    return res
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -33,6 +33,13 @@ import numpy as np
 
 from lidar_global_registration_tpu.ops import grid as gridmod
 from lidar_global_registration_tpu.ops import matchers
+
+# LGR_PYRAMID_DEBUG=1: the host pyramid records its level ranges,
+# per-keypoint bucket assignment and vote winners here so the staged TPU
+# pyramid can be parity-checked against it (the reference pins its matcher
+# variants against each other for exactly this reason,
+# tests/flann_bf_matcher.h:70-89).  Test-only; cleared per search.
+PYRAMID_DEBUG: dict = {}
 from lidar_global_registration_tpu.ops.density import knn_distances, smoothed_densities
 from lidar_global_registration_tpu.ops.downsample import voxel_downsample
 from lidar_global_registration_tpu.ops.normals import estimate_normals_knn
@@ -233,6 +240,16 @@ def initialize_side(
             counts = counts[:-1]
             side.max_log2 -= 1
         log2_radii = np.clip(log2_radii, side.min_log2, side.max_log2)
+
+    import os as _os
+
+    if _os.environ.get("LGR_PYRAMID_DEBUG") == "1":
+        PYRAMID_DEBUG[f"side_{'src' if is_source else 'tgt'}"] = dict(
+            min_log2=side.min_log2,
+            max_log2=side.max_log2,
+            kp_indices=np.asarray(kp_indices).copy(),
+            log2_radii=np.asarray(log2_radii).copy(),
+        )
 
     n_levels = side.max_log2 - side.min_log2 + 1
     # level i serves keypoints whose bucket is <= that level
@@ -523,6 +540,18 @@ def match_sides(
 
     mi_ij, md_ij, mm_ij, sd_ij, sm_ij = match_multiscale(side_src, side_tgt, params)
     matching_id = params.matching_id
+
+    import os as _os
+
+    if _os.environ.get("LGR_PYRAMID_DEBUG") == "1":
+        # source-direction consensus-vote winners in ORIGINAL cloud indices
+        rows = np.nonzero(mm_ij[:n_src])[0]
+        PYRAMID_DEBUG["winners_st"] = dict(
+            query=side_src.kp_indices[rows],
+            match=side_tgt.kp_indices[
+                np.clip(mi_ij[rows], 0, max(n_tgt - 1, 0))
+            ],
+        )
 
     if matching_id == MATCHING_RATIO:
         # The reference's RatioMatcher is an unimplemented stub
