@@ -636,6 +636,118 @@ def _cluster_filter_rows(xyz_s, kpv_s, xyz_t, kpv_t,
     return mask_st & keep_q[:, None], dens_s2, dens_t2
 
 
+@partial(jax.jit, static_argnames=("cfg", "kc", "have_cand"))
+def _compact_match_corr_stage(fqc, ftc, cand, qv, tv, sqj, stj, sq_g, st_g,
+                              src_xyz, tgt_xyz, dens_s, dens_t, distance_thr,
+                              cfg: FlagshipConfig, kc: int, have_cand: bool):
+    """ONE program for the whole compacted matching region: descriptor 1-NN
+    (or the pyramid's cross-level vote winners), the cluster consensus
+    filter, per-pair thresholds, full-row scatters and the correspondence
+    stage.
+
+    Round-4 ran this as ~8 separate dispatches (two match_bf programs, two
+    consensus-kNN programs, two exact 1-NN programs, eager gather/scatter
+    glue, then the jitted correspondence stage); each boundary
+    materializes intermediates in HBM and pays a launch on the tunneled
+    runtime — the same launch-bound regime the SHOT-side fusion fixed
+    (BASELINE.md round-5).  All shapes are static given (mq, mt, N_all);
+    the only host sync in the whole matching path remains the keypoint
+    COUNT pull before compaction."""
+    N_all = src_xyz.shape[0]
+    if have_cand:
+        ic_st, mc_st, ic_ts, mc_ts = cand
+    else:
+        ic_st, _dc1, mc_st = matchers.match_bf(
+            fqc, ftc, qv, tv, k=1, tile=cfg.match_tile,
+            bf16=cfg.bf16_matching,
+        )
+        ic_ts, _dc2, mc_ts = matchers.match_bf(
+            ftc, fqc, tv, qv, k=1, tile=cfg.match_tile,
+            bf16=cfg.bf16_matching,
+        )
+    clustered = bool(cfg.use_iss and cfg.cluster_matching)
+    if clustered:
+        # spatial-consensus (cluster) filter — the reference's DEFAULT
+        # matching strategy (ClusterMatcher, matching.h:480-551): a match
+        # survives only if >= 1 - threshold of its cluster_k nearest
+        # keypoints' matches land inside the counterpart's keypoint
+        # neighborhood, on BOTH sides.  Pure mutual 1-NN has no defense
+        # against repetitive structure; this is what disambiguates it.
+        # Keypoint kNN reuses the descriptor matcher with xyz as a 3-d
+        # "descriptor" (exact L2 k-NN on the MXU).  DELIBERATE deviation
+        # from PCL's nearestKSearch (and the reference-faithful pyramid
+        # path): the SELF neighbor is excluded from the consensus sets —
+        # with self included every match gets one consistent pair for
+        # free, which floods the 0.95 gate at high keypoint density
+        # (measured at 1M: 4305 survivors with 0 usable inliers vs 197
+        # survivors and a correct pose without self).  Exclusion is BY ID
+        # (exclude_diag): positional "column 0 is self" breaks under the
+        # approximate per-tile merge and under exact distance ties.
+        # center per side before the matmul-kNN: |q|^2+|t|^2-2q.t in f32
+        # loses inter-keypoint geometry for georeferenced coordinates far
+        # from the origin
+        ksq = src_xyz[sq_g]
+        kst = tgt_xyz[st_g]
+        ksq = ksq - jnp.mean(jnp.where(qv[:, None], ksq, 0.0), axis=0) / jnp.maximum(jnp.mean(qv.astype(jnp.float32)), 1e-9)
+        kst = kst - jnp.mean(jnp.where(tv[:, None], kst, 0.0), axis=0) / jnp.maximum(jnp.mean(tv.astype(jnp.float32)), 1e-9)
+        kq_idx, kq_d, kq_m = matchers.match_bf(
+            ksq, ksq, qv, qv, k=kc, tile=cfg.cluster_knn_tile,
+            approx=cfg.cluster_approx_knn, exclude_diag=True,
+        )
+        kt_idx, kt_d, kt_m = matchers.match_bf(
+            kst, kst, tv, tv, k=kc, tile=cfg.cluster_knn_tile,
+            approx=cfg.cluster_approx_knn, exclude_diag=True,
+        )
+        keep_q = _consensus_keep(
+            ic_st[:, 0], mc_st[:, 0], ic_ts[:, 0], mc_ts[:, 0],
+            (kq_idx, kq_d, kq_m), (kt_idx, kt_d, kt_m), cfg,
+        )
+        mc_st = mc_st & keep_q[:, None]
+        if cfg.cluster_approx_knn:
+            # the consensus sets tolerate the ~0.95-recall per-tile
+            # approximation, but the per-pair THRESHOLDS do not: a missed
+            # true nearest keypoint loosens thr exactly on the rows where
+            # the estimate failed.  One exact 1-NN per side is cheap (D=3
+            # MXU pass) next to the k=cluster_k consensus kNN above.
+            kq1_i, kq1_d, kq1_m = matchers.match_bf(
+                ksq, ksq, qv, qv, k=1, tile=cfg.cluster_knn_tile,
+                approx=False, exclude_diag=True,
+            )
+            kt1_i, kt1_d, kt1_m = matchers.match_bf(
+                kst, kst, tv, tv, k=1, tile=cfg.cluster_knn_tile,
+                approx=False, exclude_diag=True,
+            )
+        else:
+            kq1_i, kq1_d, kq1_m = kq_idx, kq_d, kq_m
+            kt1_i, kt1_d, kt1_m = kt_idx, kt_d, kt_m
+        dens_s = dens_s.at[sqj].set(
+            _kp_density_nearest(kq1_i, kq1_d, kq1_m), mode="drop"
+        )
+        dens_t = dens_t.at[stj].set(
+            _kp_density_nearest(kt1_i, kt1_d, kt1_m), mode="drop"
+        )
+    # scatter back to full rows, mapping compact train ids to originals
+    zi = jnp.zeros((N_all, 1), jnp.int32)
+    zm = jnp.zeros((N_all, 1), bool)
+    idx_st = zi.at[sqj].set(
+        st_g[ic_st[:, 0]].astype(jnp.int32)[:, None], mode="drop"
+    )
+    mask_st = zm.at[sqj].set((mc_st[:, 0] & qv)[:, None], mode="drop")
+    if clustered:
+        # one-sided stage: the target-direction scatters would never be
+        # read (require_mutual=False) — skip the two full-N scatters
+        idx_ts, mask_ts = zi, zm
+    else:
+        idx_ts = zi.at[stj].set(
+            sq_g[ic_ts[:, 0]].astype(jnp.int32)[:, None], mode="drop"
+        )
+        mask_ts = zm.at[stj].set((mc_ts[:, 0] & tv)[:, None], mode="drop")
+    return _correspondence_stage.__wrapped__(
+        idx_st, mask_st, idx_ts, mask_ts, dens_s, dens_t, distance_thr,
+        require_mutual=not clustered,
+    )
+
+
 @partial(jax.jit, static_argnames=("k_neighbors", "cap", "chunk", "approx",
                                    "gravity"))
 def _shot_side_fused(kp_xyz, kp_normal, kpv, surf_xyz, surf_normal,
@@ -1751,107 +1863,22 @@ def register_pair_staged(
             tv = tv & ftc_ok
         elif ec_q is None or ec_t is None:
             fqc, ftc = fq[sq_g], ft[st_g]
-        if pyr_match is not None:
-            # multi-scale path: the cross-level consensus-vote winners ARE
-            # the 1-NN candidates entering the cluster filter
-            ic_st, mc_st, ic_ts, mc_ts = pyr_match
-        else:
-            ic_st, _dc1, mc_st = matchers.match_bf(
-                fqc, ftc, qv, tv, k=1, tile=cfg.match_tile,
-                bf16=cfg.bf16_matching,
-            )
-            ic_ts, _dc2, mc_ts = matchers.match_bf(
-                ftc, fqc, tv, qv, k=1, tile=cfg.match_tile,
-                bf16=cfg.bf16_matching,
-            )
-        if cfg.use_iss and cfg.cluster_matching:
-            # spatial-consensus (cluster) filter — the reference's DEFAULT
-            # matching strategy (ClusterMatcher, matching.h:480-551): a
-            # match survives only if >= 1 - threshold of its cluster_k
-            # nearest keypoints' matches land inside the counterpart's
-            # keypoint neighborhood, on BOTH sides.  Pure mutual 1-NN has
-            # no defense against repetitive structure (identical corners
-            # match arbitrarily); this is what disambiguates them.
-            # Keypoint kNN reuses the descriptor matcher with xyz as a
-            # 3-d "descriptor" (exact L2 k-NN on the MXU).
-            # DELIBERATE deviation from PCL's nearestKSearch (and the
-            # pyramid path, which stays reference-faithful): the SELF
-            # neighbor is excluded from the consensus sets.  With self
-            # included every match gets one consistent pair for free
-            # (its own), which floods the 0.95 gate at high keypoint
-            # density — measured at 1M points/side: 4305 survivors with 0
-            # usable inliers vs 197 survivors and a correct pose without
-            # self.  Exclusion is BY ID inside the kNN (exclude_diag):
-            # positional "column 0 is self" breaks under the approximate
-            # per-tile merge and under exact distance ties.
-            kc = max(2, min(cfg.cluster_k, n_q - 1, n_t - 1))
-            # center per side before the matmul-kNN: |q|^2+|t|^2-2q.t in
-            # f32 loses the inter-keypoint geometry for georeferenced
-            # coordinates far from the origin
-            ksq = src_xyz[sq_g]
-            kst = tgt_xyz[st_g]
-            ksq = ksq - jnp.mean(jnp.where(qv[:, None], ksq, 0.0), axis=0) / jnp.maximum(jnp.mean(qv.astype(jnp.float32)), 1e-9)
-            kst = kst - jnp.mean(jnp.where(tv[:, None], kst, 0.0), axis=0) / jnp.maximum(jnp.mean(tv.astype(jnp.float32)), 1e-9)
-            kq_idx, kq_d, kq_m = matchers.match_bf(
-                ksq, ksq, qv, qv, k=kc, tile=cfg.cluster_knn_tile,
-                approx=cfg.cluster_approx_knn, exclude_diag=True,
-            )
-            kt_idx, kt_d, kt_m = matchers.match_bf(
-                kst, kst, tv, tv, k=kc, tile=cfg.cluster_knn_tile,
-                approx=cfg.cluster_approx_knn, exclude_diag=True,
-            )
-            # shared gate body (_consensus_keep): two-sided consensus
-            # threshold + consensus-ranked top-K — one-sided survivors
-            # (require_mutual=False below ignores idx_ts/mask_ts), matching
-            # the reference's source-direction result rows
-            keep_q = _consensus_keep(
-                ic_st[:, 0], mc_st[:, 0], ic_ts[:, 0], mc_ts[:, 0],
-                (kq_idx, kq_d, kq_m), (kt_idx, kt_d, kt_m), cfg,
-            )
-            mc_st = mc_st & keep_q[:, None]
-            if cfg.cluster_approx_knn:
-                # the consensus sets tolerate the ~0.95-recall per-tile
-                # approximation, but the per-pair THRESHOLDS do not: a
-                # missed true nearest keypoint overestimates kq_d[:, 0],
-                # loosening thr exactly on the rows where the estimate
-                # failed.  One exact 1-NN per side is cheap (D=3 MXU
-                # pass) next to the k=cluster_k consensus kNN above.
-                kq1_i, kq1_d, kq1_m = matchers.match_bf(
-                    ksq, ksq, qv, qv, k=1, tile=cfg.cluster_knn_tile,
-                    approx=False, exclude_diag=True,
-                )
-                kt1_i, kt1_d, kt1_m = matchers.match_bf(
-                    kst, kst, tv, tv, k=1, tile=cfg.cluster_knn_tile,
-                    approx=False, exclude_diag=True,
-                )
-            else:
-                kq1_i, kq1_d, kq1_m = kq_idx, kq_d, kq_m
-                kt1_i, kt1_d, kt1_m = kt_idx, kt_d, kt_m
-            dens_s = dens_s.at[sqj].set(
-                _kp_density_nearest(kq1_i, kq1_d, kq1_m), mode="drop"
-            )
-            dens_t = dens_t.at[stj].set(
-                _kp_density_nearest(kt1_i, kt1_d, kt1_m), mode="drop"
-            )
-        # scatter back to full rows, mapping compact train ids to originals
-        clustered = bool(cfg.use_iss and cfg.cluster_matching)
-        zi = jnp.zeros((N_all, 1), jnp.int32)
-        zm = jnp.zeros((N_all, 1), bool)
-        idx_st = zi.at[sqj].set(
-            st_g[ic_st[:, 0]].astype(jnp.int32)[:, None], mode="drop"
-        )
-        mask_st = zm.at[sqj].set((mc_st[:, 0] & qv)[:, None], mode="drop")
-        if clustered:
-            # one-sided stage: the target-direction scatters would never be
-            # read (require_mutual=False) — skip the two full-N scatters
-            idx_ts, mask_ts = zi, zm
-        else:
-            idx_ts = zi.at[stj].set(
-                sq_g[ic_ts[:, 0]].astype(jnp.int32)[:, None], mode="drop"
-            )
-            mask_ts = zm.at[stj].set((mc_ts[:, 0] & tv)[:, None], mode="drop")
-        _t("match_compact", (idx_st, mask_st, idx_ts, mask_ts))
+        # the whole compacted matching region — descriptor 1-NN (or the
+        # pyramid's cross-level vote winners), cluster consensus filter,
+        # per-pair thresholds, full-row scatters and the correspondence
+        # stage — runs as ONE program (_compact_match_corr_stage)
+        kc = max(2, min(cfg.cluster_k, n_q - 1, n_t - 1))
+        have_cand = pyr_match is not None
+        j, mutual, thr = _t("match_corr", _compact_match_corr_stage(
+            fqc if not have_cand else None,
+            ftc if not have_cand else None,
+            pyr_match, qv, tv, sqj, stj, sq_g, st_g,
+            src_xyz, tgt_xyz, dens_s, dens_t,
+            jnp.float32(distance_thr), cfg, kc, have_cand,
+        ))
+        matched = True
     else:
+        matched = False
         clustered = False
         if cfg.use_iss and cfg.cluster_matching:
             # the compaction precondition failed (too many keypoint rows to
@@ -1879,10 +1906,11 @@ def register_pair_staged(
         idx_ts, _d2, mask_ts = _t("match_ts", matchers.match_bf(
             ft, fq, ft_valid, fq_valid, k=1, tile=cfg.match_tile, bf16=cfg.bf16_matching
         ))
-    j, mutual, thr = _t("corr", _correspondence_stage(
-        idx_st, mask_st, idx_ts, mask_ts, dens_s, dens_t, distance_thr,
-        require_mutual=not clustered,
-    ))
+    if not matched:
+        j, mutual, thr = _t("corr", _correspondence_stage(
+            idx_st, mask_st, idx_ts, mask_ts, dens_s, dens_t, distance_thr,
+            require_mutual=not clustered,
+        ))
     if cfg.alignment == "gror":
         res = _t("gror", dict(_gror_stage(src_xyz, tgt_xyz[j], mutual,
                                           distance_thr, cfg)))
