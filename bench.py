@@ -285,7 +285,9 @@ def run_step(n: int, repeats: int):
         else:
             sx, sv, tx, tv = av, ones, b_dev, ones
         return register_pair_staged(sx, sv, tx, tv, key, *floats,
-                                    cfg=cfg, **kwargs)
+                                    cfg=cfg,
+                                    aabb=pair_aabb if use_preds else None,
+                                    **kwargs)
 
     out = _step(a_dev)
     jax.block_until_ready(out)  # compile + warmup

@@ -977,8 +977,17 @@ def register_pair_staged(
     vp_tgt=None,
     cfg: FlagshipConfig = FlagshipConfig(),
     return_correspondences: bool = False,
+    aabb=None,
 ):
     """Stage-jitted registration path — the benched/shipped configuration.
+
+    `aabb` (host [2, 2, 3]: per side lo/hi, e.g. the array
+    pre_downsample_pair pulled) is an optional scene-bounds upper bound;
+    when present the feature-scale voxel surfaces use the packed
+    single-key downsample (voxel_centroids_map_packed, ~30x the lexsort
+    map at 10M) with key bits sized from it.  Absent or oversized bounds
+    fall back to the lexsort map — identical voxel partition either way
+    (the grid anchors at each cloud's own min in both paths).
 
     Shares register_pair_step's kernels and RANSAC body, but is NOT
     semantically identical under the default config: this path honors
@@ -1046,6 +1055,29 @@ def register_pair_staged(
      iss_radius_tgt, feature_radius, distance_thr) = (
         float(v) for v in _rvals
     )
+
+    def _fs_map(xyz, valid, voxel, which):
+        """Feature-scale voxel surface + row map for one side: the packed
+        single-key path when `aabb` gives a host bit bound for this side
+        (which: 'src'/'tgt'), else the lexsort voxel_centroids_map.  Both
+        anchor the grid at the cloud's own min — same voxel partition."""
+        from lidar_global_registration_tpu.ops.downsample import (
+            voxel_centroids_map,
+            voxel_centroids_map_packed,
+        )
+
+        if aabb is not None:
+            import numpy as _np1
+
+            side = 0 if which == "src" else 1
+            lo = _np1.asarray(aabb[side][0], _np1.float64)
+            hi = _np1.asarray(aabb[side][1], _np1.float64)
+            bits = _voxel_bits(lo, hi, float(voxel))
+            if bits is not None:
+                return voxel_centroids_map_packed(
+                    xyz, valid, jnp.float32(voxel), bits
+                )
+        return voxel_centroids_map(xyz, valid, voxel)
 
     cells_env = os.environ.get("LGR_CELL_FPFH", "1")
     use_cells = (
@@ -1330,8 +1362,8 @@ def register_pair_staged(
                         np.sqrt(np.pi * r_l * r_l / FEATURE_NR_POINTS)
                     )
                     normal_l = float(np.sqrt(NORMAL_NR_POINTS / np.pi)) * voxel_l
-                    sm_xyz, sm_v, row_of, n_sm_dev = voxel_centroids_map(
-                        xyz, valid, voxel_l
+                    sm_xyz, sm_v, row_of, n_sm_dev = _fs_map(
+                        xyz, valid, voxel_l, which
                     )
                     maps.append((r_l, voxel_l, normal_l, sm_xyz, sm_v,
                                  row_of, n_sm_dev))
@@ -1509,12 +1541,13 @@ def register_pair_staged(
             )
             # NORMAL_NR-point disks on a grid of spacing voxel_f
             normal_f = float(np.sqrt(NORMAL_NR_POINTS / np.pi)) * voxel_f
-            sm_xyz_s, sm_v_s, row_of_s, n_sm_s_dev = voxel_centroids_map(
-                src_xyz, src_valid, voxel_f
+            sm_xyz_s, sm_v_s, row_of_s, n_sm_s_dev = _fs_map(
+                src_xyz, src_valid, voxel_f, "src"
             )
-            sm_xyz_t, sm_v_t, row_of_t, n_sm_t_dev = voxel_centroids_map(
-                tgt_xyz, tgt_valid, voxel_f
+            sm_xyz_t, sm_v_t, row_of_t, n_sm_t_dev = _fs_map(
+                tgt_xyz, tgt_valid, voxel_f, "tgt"
             )
+            _t("fs_maps", (sm_xyz_s, sm_xyz_t))
             z_s = jnp.zeros_like(src_xyz)
             z_t = jnp.zeros_like(tgt_xyz)
             zs_s = jnp.zeros_like(sm_xyz_s)
@@ -1528,6 +1561,7 @@ def register_pair_staged(
                     (sm_xyz_s, zs_s, sm_v_s, normal_f),
                     (sm_xyz_t, zs_t, sm_v_t, normal_f),
                 ])
+                _t("plan", ())
                 pfs_s = pfs_t = None
             else:
                 pi_s, pi_t, pns_s, pfs_s, pns_t, pfs_t = plan_grid_many([
@@ -1538,6 +1572,9 @@ def register_pair_staged(
                     (sm_xyz_t, zs_t, sm_v_t, normal_f),
                     (sm_xyz_t, zs_t, sm_v_t, feature_radius),
                 ])
+            # plan_grid_many pulls its stats internally, so the host wall
+            # since fs_maps IS the planning cost (6 stats programs + sync)
+            _t("plan", ())
             src_kp, _sal_s = _t("side_src", iss_pass(pi_s, iss_radius_src))
             tgt_kp, _sal_t = _t("side_tgt", iss_pass(pi_t, iss_radius_tgt))
             # ONE stacked pull: both keypoint counts + both surface sizes

@@ -227,3 +227,78 @@ def test_voxel_centroids_packed_matches():
         np.asarray(got_xyz)[np.asarray(got_valid)],
         np.asarray(ref_xyz)[np.asarray(ref_valid)], rtol=0, atol=1e-5,
     )
+
+
+def test_voxel_centroids_map_packed_matches():
+    """voxel_centroids_map_packed == voxel_centroids_map: same front-
+    compacted centroid rows in the same key order, same row_of map, same
+    count.  Includes a deep-occupancy voxel (> the suffix-sum doubling cap
+    of 64) so the lax.cond tail executes, and a masked pad tail so the
+    dead sentinel run is exercised."""
+    import numpy as np
+    from lidar_global_registration_tpu.models.flagship import (
+        _aabb_pair,
+        _voxel_bits,
+    )
+    from lidar_global_registration_tpu.ops.downsample import (
+        voxel_centroids_map,
+        voxel_centroids_map_packed,
+    )
+
+    rng = np.random.default_rng(11)
+    N = 4096
+    pts = np.column_stack([
+        rng.uniform(0, 11, N), rng.uniform(0, 7, N), rng.uniform(0, 2, N)
+    ]).astype(np.float32)
+    # 200 points inside ONE voxel: a run deeper than the doubling cap
+    pts[1000:1200] = np.float32([5.2, 3.3, 1.1]) + rng.uniform(
+        0, 0.05, (200, 3)
+    ).astype(np.float32)
+    xyz = jnp.asarray(pts)
+    valid = jnp.arange(N) < N - 128  # masked pad tail
+    voxel = 0.55
+    ref_xyz, ref_valid, ref_row, ref_n = voxel_centroids_map(
+        xyz, valid, voxel
+    )
+    aabb = np.asarray(_aabb_pair(xyz, valid, xyz, valid))
+    bits = _voxel_bits(aabb[0, 0], aabb[0, 1], voxel)
+    assert bits is not None
+    got_xyz, got_valid, got_row, got_n = voxel_centroids_map_packed(
+        xyz, valid, voxel, bits
+    )
+    assert int(got_n) == int(ref_n)
+    np.testing.assert_array_equal(
+        np.asarray(got_valid), np.asarray(ref_valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_xyz)[np.asarray(got_valid)],
+        np.asarray(ref_xyz)[np.asarray(ref_valid)], rtol=0, atol=1e-4,
+    )
+    v = np.asarray(valid)
+    np.testing.assert_array_equal(
+        np.asarray(got_row)[v], np.asarray(ref_row)[v]
+    )
+
+
+def test_voxel_centroids_packed_deep_run():
+    """The capped suffix-sum's cond tail: one voxel holding ~all points
+    (run length >> 64) still averages exactly."""
+    import numpy as np
+    from lidar_global_registration_tpu.ops.downsample import (
+        voxel_centroids_packed,
+    )
+
+    rng = np.random.default_rng(3)
+    N = 512
+    pts = (np.float32([1.0, 1.0, 1.0])
+           + rng.uniform(0, 0.2, (N, 3)).astype(np.float32))
+    xyz = jnp.asarray(pts)
+    valid = jnp.ones((N,), bool)
+    voxel = 0.5
+    origin = jnp.asarray([-0.25, -0.25, -0.25], jnp.float32)
+    out_xyz, out_valid, n = voxel_centroids_packed(
+        xyz, valid, voxel, origin, (4, 4, 4)
+    )
+    assert int(n) == 1
+    got = np.asarray(out_xyz)[np.asarray(out_valid)][0]
+    np.testing.assert_allclose(got, pts.mean(axis=0), rtol=0, atol=1e-5)

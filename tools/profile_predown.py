@@ -11,8 +11,11 @@ measured, not guessed:
 
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/profile_predown.py [N]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -158,31 +161,47 @@ def sort4_cumsum(xyz, valid):
     return ox, oy, oz, outv, jnp.sum(outv.astype(jnp.int32))
 
 
+_ONLY = os.environ.get("LGR_PROF_ONLY", "")
+
+
+def _want(name):
+    return not _ONLY or name in _ONLY.split(",")
+
+
 print(f"scatter table H=2^{bx+by+bz} = {H/1e6:.1f}M slots "
       f"({H*16/2**30:.2f} GiB f32 x4)")
-timeit("keys only", keys_of, xyz, valid)
-timeit("sort only (key,iota)", sort_only, xyz, valid)
-timeit("sort4 (key,x,y,z)", sort4_only, xyz, valid)
-timeit("sort4 + cumsum bounds", sort4_cumsum, xyz, valid)
-timeit("sort + gather + segsum", sort_based, xyz, valid)
-if H * 16 <= 256 * 2**20:
-    # [H,3] f32 pads (8,128)-tiles 42.7x on TPU: only worth it tiny
-    timeit("scatter-add dense table", scatter_based, xyz, valid)
-    timeit("segment_sum dense table", seg_based, xyz, valid)
-else:
-    print("dense table too big, skipping scatter/seg variants")
+if _want("keys"):
+    timeit("keys only", keys_of, xyz, valid)
+if _want("sort"):
+    timeit("sort only (key,iota)", sort_only, xyz, valid)
+if _want("sort4"):
+    timeit("sort4 (key,x,y,z)", sort4_only, xyz, valid)
+if _want("cumsum"):
+    timeit("sort4 + cumsum bounds", sort4_cumsum, xyz, valid)
+if _want("segsum"):
+    timeit("sort + gather + segsum", sort_based, xyz, valid)
+if _want("dense"):
+    if H * 16 <= 256 * 2**20:
+        # [H,3] f32 pads (8,128)-tiles 42.7x on TPU: only worth it tiny
+        timeit("scatter-add dense table", scatter_based, xyz, valid)
+        timeit("segment_sum dense table", seg_based, xyz, valid)
+    else:
+        print("dense table too big, skipping scatter/seg variants")
 
-# correctness cross-check of the cumsum variant vs the segsum reference
-ox, oy, oz, outv, cnt = jax.jit(sort4_cumsum)(xyz, valid)
-axyz, aw = jax.jit(sort_based)(xyz, valid)
-ref_v = np.asarray(aw > 0)
-ref_c = np.asarray(axyz)[ref_v] / np.asarray(aw)[ref_v, None]
-got_v = np.asarray(outv)
-got = np.stack([np.asarray(ox), np.asarray(oy), np.asarray(oz)], -1)[got_v]
-assert got.shape == ref_c.shape, (got.shape, ref_c.shape)
-# both orders are key-sorted, so rows align
-err = np.abs(np.sort(got, axis=0) - np.sort(ref_c, axis=0)).max()
-print(f"cumsum-vs-segsum centroid max |err| = {err:.2e} over {len(got)} voxels")
+if _want("cumsum") and _want("segsum"):
+    # correctness cross-check of the cumsum variant vs the segsum reference
+    ox, oy, oz, outv, cnt = jax.jit(sort4_cumsum)(xyz, valid)
+    axyz, aw = jax.jit(sort_based)(xyz, valid)
+    ref_v = np.asarray(aw > 0)
+    ref_c = np.asarray(axyz)[ref_v] / np.asarray(aw)[ref_v, None]
+    got_v = np.asarray(outv)
+    got = np.stack(
+        [np.asarray(ox), np.asarray(oy), np.asarray(oz)], -1)[got_v]
+    assert got.shape == ref_c.shape, (got.shape, ref_c.shape)
+    # both orders are key-sorted, so rows align
+    err = np.abs(np.sort(got, axis=0) - np.sort(ref_c, axis=0)).max()
+    print(f"cumsum-vs-segsum centroid max |err| = {err:.2e} "
+          f"over {len(got)} voxels")
 
 
 # production path: the real voxel_centroids_packed at this N
@@ -193,4 +212,75 @@ from lidar_global_registration_tpu.ops.downsample import (  # noqa: E402
 origin = jnp.asarray([-voxel / 2, -voxel / 2, -voxel / 2], jnp.float32)
 prod = jax.jit(lambda x, v: voxel_centroids_packed(
     x, v, jnp.float32(voxel), origin, (bx, by, bz)))
-timeit("voxel_centroids_packed", prod, xyz, valid)
+if _want("packed"):
+    timeit("voxel_centroids_packed", prod, xyz, valid)
+
+
+@jax.jit
+def packed_capped(xyz, valid):
+    """voxel_centroids_packed with the suffix-doubling capped at 64 and a
+    lax.cond tail for the (rare) deeper runs: typical fine-voxel occupancy
+    is ~16, so levels 64..N are dead bandwidth in the static unroll."""
+    key = keys_of(xyz, valid)
+    ks, sx, sy, sz = jax.lax.sort(
+        (key, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=1)
+    svalid = ks < (1 << 30)
+    kx = (ks & ((1 << bx) - 1)).astype(jnp.float32)
+    ky = ((ks >> bx) & ((1 << by) - 1)).astype(jnp.float32)
+    kz = ((ks >> (bx + by)) & ((1 << bz) - 1)).astype(jnp.float32)
+    bxr = kx * voxel - voxel / 2
+    byr = ky * voxel - voxel / 2
+    bzr = kz * voxel - voxel / 2
+    w = svalid.astype(jnp.float32)
+    rx = (sx - bxr) * w
+    ry = (sy - byr) * w
+    rz = (sz - bzr) * w
+
+    def level(args, d):
+        w, rx, ry, rz = args
+        same = jnp.concatenate([ks[d:] == ks[:-d], jnp.zeros((d,), bool)])
+
+        def _sh(a, d=d):
+            return jnp.concatenate([a[d:], jnp.zeros((d,), a.dtype)])
+
+        return (w + jnp.where(same, _sh(w), 0.0),
+                rx + jnp.where(same, _sh(rx), 0.0),
+                ry + jnp.where(same, _sh(ry), 0.0),
+                rz + jnp.where(same, _sh(rz), 0.0))
+
+    args = (w, rx, ry, rz)
+    d = 1
+    while d < min(N, 64):
+        args = level(args, d)
+        d *= 2
+    if d < N:
+        deeper = jnp.concatenate(
+            [ks[d:] == ks[:-d], jnp.zeros((d,), bool)]).any()
+
+        def tail(args):
+            dd = d
+            while dd < N:
+                args = level(args, dd)
+                dd *= 2
+            return args
+
+        args = jax.lax.cond(deeper, tail, lambda a: a, args)
+    w, rx, ry, rz = args
+    first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    outv = first & svalid
+    inv = 1.0 / jnp.maximum(w, 1e-30)
+    ox = jnp.where(outv, bxr + rx * inv, 3.0e37)
+    return ox, outv, jnp.sum(outv.astype(jnp.int32))
+
+
+if _want("capped"):
+    timeit("packed + capped doubling", packed_capped, xyz, valid)
+
+# the fs_maps path: 3-key lexsort voxel_centroids_map vs the packed key
+from lidar_global_registration_tpu.ops.downsample import (  # noqa: E402
+    voxel_centroids_map,
+)
+
+vmap_f = jax.jit(lambda x, v: voxel_centroids_map(x, v, jnp.float32(voxel)))
+if _want("lexmap"):
+    timeit("voxel_centroids_map (lexsort)", vmap_f, xyz, valid)
